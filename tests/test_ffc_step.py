@@ -1,0 +1,218 @@
+"""FFC step equivalence: the functional double-pass (core/ffc.py) must
+reproduce the reference's mutate-then-rollback protocol (ffc.py:153-267)
+step for step.
+
+Oracle: a numpy simulation that literally mutates a queue, computes both
+directional losses with the reference ordering (speculative pass first,
+restore, then the persistent pass), using the same LRU bookkeeping oracle as
+test_dcp and the same margin math oracle as test_margin.
+
+A tiny linear embedding backbone stands in for the convnets so the protocol
+is isolated from backbone numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from tests.test_dcp import ReferenceOracle
+from tests.test_margin import oracle_loss
+from vlsfr_tpu.config import Config
+from vlsfr_tpu.core.dcp import DCPManager
+from vlsfr_tpu.core.ffc import (
+    FFCState,
+    create_ffc_state,
+    init_queue,
+    make_ffc_loss_fn,
+    make_train_step,
+)
+from vlsfr_tpu.ops.margin import default_hard_neg
+
+
+class TinyEmbed(nn.Module):
+    """Linear embedding + L2 norm; stand-in backbone for protocol tests."""
+
+    feat_dim: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.feat_dim, use_bias=False, name="fc")(x)
+        n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        return x / jnp.maximum(n, 1e-12)
+
+
+def np_embed(w, data):
+    z = data.reshape(data.shape[0], -1) @ w
+    return z / np.maximum(np.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+
+
+class RefProtocolOracle:
+    """Numpy replay of the reference FFC.forward (ffc.py:264-267)."""
+
+    def __init__(self, wp, wg, queue, cfg: Config):
+        self.wp, self.wg = wp.copy(), wg.copy()
+        self.queue = queue.copy()
+        self.cfg = cfg
+        self.book = ReferenceOracle(cfg.pool.queue_size)
+        self.hard_neg = default_hard_neg(cfg.pool.queue_size)
+
+    def _pass(self, p, g, gallery_labels, probe_labels, speculative):
+        rows, cols, seen, fake = self.book.run_pass(
+            list(map(int, gallery_labels)), list(map(int, probe_labels)), speculative
+        )
+        saved = self.queue.copy()
+        for i in range(len(rows)):  # sequential writes: duplicates last-wins
+            self.queue[rows[i], cols[i]] = g[i]
+        cos1 = p @ self.queue[0].T
+        mask = np.zeros((self.cfg.pool.queue_size, 1))
+        for c, s in zip(cols, seen):
+            if s:
+                mask[c] = 1.0
+        weight = mask * self.queue[1] + (1 - mask) * self.queue[0]
+        cos2 = p @ weight.T
+        kw = (self.cfg.loss.loss_type, self.cfg.loss.margin, self.cfg.loss.scale, self.hard_neg)
+        fake = np.asarray(fake)
+        loss = oracle_loss(cos1, fake, *kw) + oracle_loss(cos2, fake, *kw)
+        if speculative:
+            self.queue = saved  # rollback (ffc.py:255)
+        return loss
+
+    def step(self, x, y, x_label, y_label):
+        # EMA first (ffc.py:211), then both passes use the updated gallery
+        m = self.cfg.pool.momentum
+        self.wg = m * self.wg + (1 - m) * self.wp
+        p_x, g_y = np_embed(self.wp, x), np_embed(self.wg, y)
+        p_y, g_x = np_embed(self.wp, y), np_embed(self.wg, x)
+        loss_a = self._pass(p_x, g_y, y_label, x_label, speculative=True)
+        loss_b = self._pass(p_y, g_x, x_label, y_label, speculative=False)
+        return loss_a + loss_b
+
+
+def small_cfg(loss_type="Arc", queue_size=16, feat_dim=8):
+    c = Config()
+    c.pool.queue_size = queue_size
+    c.model.feat_dim = feat_dim
+    c.loss.loss_type = loss_type
+    c.loss.margin = 0.5
+    c.loss.scale = 16.0
+    c.pool.momentum = 0.9
+    return c
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+def test_step_equivalence_with_reference_protocol(loss_type, rng):
+    cfg = small_cfg(loss_type)
+    q, d, b, din = cfg.pool.queue_size, cfg.model.feat_dim, 6, 12
+    model = TinyEmbed(feat_dim=d)
+
+    wp = rng.standard_normal((din, d)).astype(np.float32) * 0.3
+    wg = rng.standard_normal((din, d)).astype(np.float32) * 0.3
+    queue0 = np.asarray(init_queue(jax.random.PRNGKey(3), q, d))
+
+    oracle = RefFFCStepRunner = RefProtocolOracle(wp, wg, queue0, cfg)
+    mgr = DCPManager(q)
+    loss_fn = make_ffc_loss_fn(model, cfg)
+    state = FFCState(
+        step=jnp.zeros((), jnp.int32),
+        probe_params={"fc": {"kernel": jnp.asarray(wp)}},
+        probe_stats={},
+        gallery_params={"fc": {"kernel": jnp.asarray(wg)}},
+        gallery_stats={},
+        queue=jnp.asarray(queue0),
+        opt_state=None,
+    )
+
+    num_ids = 40
+    for step in range(8):
+        half = b // 2
+        ids = rng.integers(0, num_ids, size=half)
+        x_label = np.concatenate([ids, rng.integers(0, num_ids, size=half)])
+        y_label = np.concatenate([ids, rng.integers(0, num_ids, size=half)])
+        x = rng.standard_normal((b, din)).astype(np.float32)
+        y = rng.standard_normal((b, din)).astype(np.float32)
+
+        want_loss = oracle.step(x, y, x_label, y_label)
+
+        idx = mgr.plan_step(x_label, y_label)
+        # same EMA on our side: loss_fn does it internally from state
+        loss, (new_queue, _, _, gallery_params, _) = loss_fn(
+            state.probe_params, state, jnp.asarray(x), jnp.asarray(y), idx
+        )
+        state = state.replace(queue=new_queue, gallery_params=gallery_params)
+
+        assert float(loss) == pytest.approx(want_loss, rel=2e-3), f"step {step}"
+        np.testing.assert_allclose(np.asarray(new_queue), oracle.queue, atol=1e-5)
+
+
+def test_train_step_smoke(rng):
+    """End-to-end: gradients flow, state advances, loss finite."""
+    import optax
+
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+
+    cfg = small_cfg("Arc")
+    cfg.optim.lr = 0.05
+    model = TinyEmbed(feat_dim=cfg.model.feat_dim)
+    optimizer = make_optimizer(cfg.optim)
+    schedule = make_schedule(cfg.optim, steps_per_epoch=10)
+
+    # create state via the real initializer (image-shaped input)
+    class ImgEmbed(TinyEmbed):
+        pass
+
+    state = create_ffc_state(jax.random.PRNGKey(0), model, cfg, optimizer, image_size=4)
+    step_fn = make_train_step(model, cfg, optimizer, schedule)
+    mgr = DCPManager(cfg.pool.queue_size)
+
+    b = 4
+    losses = []
+    p0 = np.asarray(jax.tree.leaves(state.probe_params)[0]).copy()
+    for s in range(3):
+        x = rng.standard_normal((b, 4, 4, 3)).astype(np.float32)
+        y = rng.standard_normal((b, 4, 4, 3)).astype(np.float32)
+        labels = rng.integers(0, 10, size=b)
+        idx = mgr.plan_step(labels, labels)
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y), idx, 1.0)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 3
+    p1 = np.asarray(jax.tree.leaves(state.probe_params)[0])
+    assert not np.allclose(p0, p1), "params must update"
+    # gallery EMA drifted toward probe
+    g1 = np.asarray(jax.tree.leaves(state.gallery_params)[0])
+    assert not np.allclose(g1, np.asarray(jax.tree.leaves(state.gallery_params)[0]) * 0 + p0)
+
+
+def test_queue_rows_hold_written_embeddings(rng):
+    """After a step, slots written by direction B contain gallery embeddings
+    of x (unit norm)."""
+    cfg = small_cfg("AM")
+    model = TinyEmbed(feat_dim=cfg.model.feat_dim)
+    loss_fn = make_ffc_loss_fn(model, cfg)
+    mgr = DCPManager(cfg.pool.queue_size)
+    wp = rng.standard_normal((12, cfg.model.feat_dim)).astype(np.float32)
+    wg = rng.standard_normal((12, cfg.model.feat_dim)).astype(np.float32)
+    state = FFCState(
+        step=jnp.zeros((), jnp.int32),
+        probe_params={"fc": {"kernel": jnp.asarray(wp)}},
+        probe_stats={},
+        gallery_params={"fc": {"kernel": jnp.asarray(wg)}},
+        gallery_stats={},
+        queue=jnp.asarray(init_queue(jax.random.PRNGKey(1), cfg.pool.queue_size, cfg.model.feat_dim)),
+        opt_state=None,
+    )
+    b = 4
+    x = rng.standard_normal((b, 12)).astype(np.float32)
+    y = rng.standard_normal((b, 12)).astype(np.float32)
+    labels = np.arange(b)
+    idx = mgr.plan_step(labels, labels)
+    _, (new_queue, _, _, gparams, _) = loss_fn(state.probe_params, state, jnp.asarray(x), jnp.asarray(y), idx)
+    # direction B wrote gallery(x) under the *post-EMA* gallery params
+    m = cfg.pool.momentum
+    w_post = m * wg + (1 - m) * wp
+    want = np_embed(w_post, x)
+    got = np.asarray(new_queue)[idx.b.rows, idx.b.cols]
+    np.testing.assert_allclose(got, want, atol=1e-5)

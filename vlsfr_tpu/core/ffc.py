@@ -1,0 +1,230 @@
+"""FFC algorithm core: functional twin-network train step over the DCP.
+
+Re-design of the reference ``FFC`` module (/root/reference/ffc.py:10-267) as
+a pure function of (state, batch, precomputed indices):
+
+Reference per-step protocol (ffc.py:264-267):
+  1. ``forward_impl_rollback(x, y, ...)`` — EMA-update the gallery net, run
+     probe(x)/gallery(y), *mutate* the LRU + queue, compute the margin loss
+     both against queue row 0 and against the parity-blended queue, then
+     *undo every mutation* (ffc.py:255-259) so that…
+  2. ``forward_impl(y, x, ...)`` — the mirrored direction sees the same
+     pre-update pool state, this time persisting its mutations.
+
+The rollback exists only because the reference's queue is a mutable buffer.
+Here the queue is a value: each direction scatters its gallery embeddings
+into its *own* functional copy (``queue.at[rows, cols].set(g)``), both
+directions read the same input state by construction, and only direction B's
+queue is returned as the new state. Rollback disappears; step equivalence to
+the reference protocol is proven in tests/test_ffc_step.py.
+
+The LRU bookkeeping (which slots, which of the 2 parity rows, which samples
+are pool hits, pool-local labels) arrives as small integer tensors planned
+one step ahead by the host (core/dcp.py) — deleting the reference's two
+device→host ``.tolist()`` syncs per step (ffc.py:160,190).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vlsfr_tpu.config import Config
+from vlsfr_tpu.core.dcp import StepIndices
+from vlsfr_tpu.ops.margin import add_margin, default_hard_neg
+
+
+class FFCState(struct.PyTreeNode):
+    """Complete on-device training state (checkpointable as one pytree)."""
+
+    step: jnp.ndarray  # scalar int32, global step
+    probe_params: Any
+    probe_stats: Any  # BN running stats
+    gallery_params: Any  # EMA copy of probe_params (ffc.py:53-55,139-145)
+    gallery_stats: Any
+    queue: jnp.ndarray  # [2, Q, D] float32, L2-normalized rows (ffc.py:29-30)
+    opt_state: Any
+
+
+def init_queue(rng: jax.Array, queue_size: int, feat_dim: int) -> jnp.ndarray:
+    """Random init + L2 normalization over features (ffc.py:29-30).
+
+    Uses uniform[0,1) like the reference's ``torch.rand``."""
+    q = jax.random.uniform(rng, (2, queue_size, feat_dim), jnp.float32)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def scatter_mask(seen: jnp.ndarray, cols: jnp.ndarray, queue_size: int) -> jnp.ndarray:
+    """[Q] blend mask: 1 where any batch sample hit that slot.
+
+    Device-side build of the reference's ``ones_idx``/``mask`` buffer
+    (ffc.py:176,197-201); max-scatter so duplicate slots stay 1.
+    """
+    mask = jnp.zeros((queue_size,), jnp.float32)
+    return mask.at[cols].max(seen)
+
+
+def directional_loss(
+    p: jnp.ndarray,
+    g: jnp.ndarray,
+    queue: jnp.ndarray,
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    seen: jnp.ndarray,
+    fake_labels: jnp.ndarray,
+    *,
+    loss_type: str,
+    margin: float,
+    scale: float,
+    hard_neg: int,
+    mask_svfc: float = 1.2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One direction: write gallery embeddings, score probe against both
+    queue views, sum the two margin losses (reference ffc.py:180-202).
+
+    Returns (loss, updated_queue). Pure — the caller decides persistence.
+    """
+    g = jax.lax.stop_gradient(g)
+    new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
+    q = queue.shape[1]
+    # view 1: row 0 (ffc.py:195)
+    cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
+    # view 2: parity blend — slots hit this step read row 1 (ffc.py:197-201)
+    mask = scatter_mask(seen, cols, q)[:, None]
+    weight = jax.lax.stop_gradient(mask * new_queue[1] + (1.0 - mask) * new_queue[0])
+    cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
+              mask_svfc=mask_svfc)
+    loss = add_margin(cos1, fake_labels, **kw) + add_margin(cos2, fake_labels, **kw)
+    return loss, new_queue
+
+
+def make_ffc_loss_fn(model, cfg: Config) -> Callable:
+    """Build the pure loss over one combined FFC step.
+
+    ``model`` is the backbone flax Module (probe and gallery share it).
+    Returns  fn(probe_params, state, x, y, idx) ->
+    (loss, (new_queue, new_probe_stats, new_gallery_stats, metrics)).
+    """
+    hard_neg = cfg.pool.hard_neg if cfg.pool.hard_neg > 0 else default_hard_neg(cfg.pool.queue_size)
+    loss_kw = dict(
+        loss_type=cfg.loss.loss_type,
+        margin=cfg.loss.margin,
+        scale=cfg.loss.scale,
+        hard_neg=hard_neg,
+        mask_svfc=cfg.loss.mask_svfc,
+    )
+    m = cfg.pool.momentum
+
+    def loss_fn(probe_params, state: FFCState, x, y, idx: StepIndices):
+        # EMA gallery update happens once, before any gallery forward
+        # (ffc.py:211: only the first pass updates; both passes then use it)
+        gallery_params = jax.tree.map(
+            lambda g_, p_: m * g_ + (1.0 - m) * jax.lax.stop_gradient(p_),
+            state.gallery_params,
+            probe_params,
+        )
+
+        def probe_fwd(data, stats):
+            out, mut = model.apply(
+                {"params": probe_params, "batch_stats": stats},
+                data, train=True, mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+
+        def gallery_fwd(data, stats):
+            out, mut = model.apply(
+                {"params": gallery_params, "batch_stats": stats},
+                data, train=True, mutable=["batch_stats"],
+            )
+            return jax.lax.stop_gradient(out), jax.tree.map(jax.lax.stop_gradient, mut["batch_stats"])
+
+        # forward order mirrors the reference: pass A = probe(x)/gallery(y),
+        # pass B = probe(y)/gallery(x) (ffc.py:209-212,157-159)
+        p_x, probe_stats = probe_fwd(x, state.probe_stats)
+        g_y, gallery_stats = gallery_fwd(y, state.gallery_stats)
+        p_y, probe_stats = probe_fwd(y, probe_stats)
+        g_x, gallery_stats = gallery_fwd(x, gallery_stats)
+
+        # direction A (the reference's rollback pass): functional, discarded
+        loss_a, _ = directional_loss(
+            p_x, g_y, state.queue, idx.a.rows, idx.a.cols, idx.a.seen, idx.a.fake_labels,
+            **loss_kw,
+        )
+        # direction B: persists
+        loss_b, new_queue = directional_loss(
+            p_y, g_x, state.queue, idx.b.rows, idx.b.cols, idx.b.seen, idx.b.fake_labels,
+            **loss_kw,
+        )
+        loss = loss_a + loss_b
+        metrics = {
+            "loss": loss,
+            "loss_dir_a": loss_a,
+            "loss_dir_b": loss_b,
+            "pool_hit_rate": (jnp.mean(idx.a.seen) + jnp.mean(idx.b.seen)) / 2,
+            "outlier_frac": jnp.mean((idx.a.fake_labels < 0).astype(jnp.float32)),
+        }
+        return loss, (new_queue, probe_stats, gallery_stats, gallery_params, metrics)
+
+    return loss_fn
+
+
+def make_train_step(model, cfg: Config, optimizer, schedule) -> Callable:
+    """Jittable train step: grads → optax update → new FFCState.
+
+    ``schedule(step) * lr_scale`` sets the injected learning rate
+    (lr_scale carries the host-side plateau factor).
+    """
+    loss_fn = make_ffc_loss_fn(model, cfg)
+
+    def train_step(state: FFCState, x, y, idx: StepIndices, lr_scale):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_queue, probe_stats, gallery_stats, gallery_params, metrics)), grads = grad_fn(
+            state.probe_params, state, x, y, idx
+        )
+        lr = schedule(state.step) * lr_scale
+        state.opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.probe_params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.probe_params, updates)
+        metrics = dict(metrics, lr=lr, grad_norm=optax_global_norm(grads))
+        new_state = state.replace(
+            step=state.step + 1,
+            probe_params=new_params,
+            probe_stats=probe_stats,
+            gallery_params=gallery_params,
+            gallery_stats=gallery_stats,
+            queue=new_queue,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
+
+
+def create_ffc_state(
+    rng: jax.Array, model, cfg: Config, optimizer, image_size: int
+) -> FFCState:
+    """Initialize probe/gallery (gallery = copy of probe, ffc.py:53-55),
+    queue, and optimizer state."""
+    k_model, k_queue = jax.random.split(rng)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init(k_model, dummy, train=False)
+    probe_params = variables["params"]
+    probe_stats = variables.get("batch_stats", {})
+    return FFCState(
+        step=jnp.zeros((), jnp.int32),
+        probe_params=probe_params,
+        probe_stats=probe_stats,
+        gallery_params=jax.tree.map(jnp.copy, probe_params),
+        gallery_stats=jax.tree.map(jnp.copy, probe_stats),
+        queue=init_queue(k_queue, cfg.pool.queue_size, cfg.model.feat_dim),
+        opt_state=optimizer.init(probe_params),
+    )

@@ -1,0 +1,248 @@
+"""Input pipeline: deterministic samplers, host decode, async prefetch.
+
+Rebuilds the reference's two-DataLoader arrangement (main.py:102-111) —
+an *instance* stream (uniformly shuffled single images,
+util/lmdb_loader.py:12-132) and an *identity-pair* stream (two images of one
+identity per element, util/lmdb_loader.py:134-237) — and the per-step FFC
+batch composition (main.py:53-60):
+
+    x = [pair_img1 ; instance_half1]   x_label = [pair_ids ; labels_half1]
+    y = [pair_img2 ; instance_half2]   y_label = [pair_ids ; labels_half2]
+
+TPU-first design decisions:
+
+* **Stateless determinism**: sample order and flip decisions derive from
+  ``(seed, epoch, position)`` via counter-based RNG — any step is
+  reconstructable for resume without replaying the stream (the reference's
+  DataLoader workers are nondeterministic across runs).
+* **Static shapes**: trailing partial batches are dropped so one XLA
+  compilation serves every step (the reference pads nothing and would
+  recompile per tail batch under jit).
+* **Host decode, device math**: JPEG decode + resize happen on host threads
+  (cv2 releases the GIL); flip + normalize are cheap and fused here too so
+  the device receives ready NHWC float32 (normalization contract
+  (x − 127.5) · 0.0078125, grayscale→3ch: util/lmdb_loader.py:113-127).
+* **Async prefetch**: a producer thread assembles batches into a bounded
+  queue while the device runs the previous step (replaces
+  DataLoader(num_workers=8, pin_memory=True)).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+import numpy as np
+
+from vlsfr_tpu.data.records import MultiSourceReader
+
+try:
+    import cv2
+
+    cv2.setNumThreads(0)  # we manage our own thread pool
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _rng(*key: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence(entropy=key))
+
+
+def decode_image(payload: bytes, image_size: int) -> np.ndarray:
+    """JPEG bytes → HWC uint8 (3 channels), resized to image_size."""
+    if not _HAS_CV2:
+        raise RuntimeError("cv2 unavailable; use synthetic raw records")
+    img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("failed to decode image payload")
+    if img.ndim == 2:  # grayscale → replicate (util/lmdb_loader.py:115-119)
+        img = np.stack([img] * 3, axis=-1)
+    elif img.shape[-1] == 4:
+        img = img[..., :3]
+    if img.shape[0] != image_size or img.shape[1] != image_size:
+        img = cv2.resize(img, (image_size, image_size))
+    return img
+
+
+def normalize(img: np.ndarray, flip: bool) -> np.ndarray:
+    """Flip + (x−127.5)/128 to float32 (util/lmdb_loader.py:113-127), HWC."""
+    if flip:
+        img = img[:, ::-1, :]
+    return (img.astype(np.float32) - 127.5) * 0.0078125
+
+
+class InstanceStream:
+    """Uniformly shuffled single-image index stream, one permutation per epoch."""
+
+    def __init__(self, reader: MultiSourceReader, batch_size: int, seed: int):
+        self.reader = reader
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def steps_per_epoch(self) -> int:
+        return len(self.reader) // self.batch_size
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        return _rng(self.seed, epoch, 0x1157).permutation(len(self.reader))
+
+    def batch_indices(self, epoch: int, step: int) -> np.ndarray:
+        perm = self.epoch_indices(epoch)
+        lo = step * self.batch_size
+        return perm[lo : lo + self.batch_size]
+
+
+class PairStream:
+    """Identity-pair stream: each element is an identity; two of its images
+    are sampled (with duplication when it has only one,
+    util/lmdb_loader.py:196-199)."""
+
+    def __init__(self, reader: MultiSourceReader, batch_size: int, seed: int):
+        self.reader = reader
+        self.batch_size = batch_size
+        self.seed = seed
+        by_id = reader.labels_by_identity()
+        self.identities = np.asarray(list(by_id.keys()))
+        self.id_records = [by_id[int(i)] for i in self.identities]
+
+    def steps_per_epoch(self) -> int:
+        return max(len(self.identities) // self.batch_size, 1)
+
+    def batch(self, epoch: int, step: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (labels[b], rec1[b], rec2[b]) for this step. The stream
+        wraps around epochs internally (the reference restarts its exhausted
+        id-loader mid-epoch, main.py:42-46)."""
+        b = self.batch_size
+        spe = self.steps_per_epoch()
+        sub_epoch, sub_step = divmod(step, spe)
+        perm = _rng(self.seed, epoch, sub_epoch, 0x9A12).permutation(len(self.identities))
+        chosen = perm[sub_step * b : sub_step * b + b]
+        if len(chosen) < b:  # wrap within the tail
+            extra = perm[: b - len(chosen)]
+            chosen = np.concatenate([chosen, extra])
+        labels = self.identities[chosen]
+        rec1 = np.empty(b, dtype=np.int64)
+        rec2 = np.empty(b, dtype=np.int64)
+        for k, ident_idx in enumerate(chosen):
+            recs = self.id_records[int(ident_idx)]
+            r = _rng(self.seed, epoch, step, int(ident_idx), 0x77)
+            if len(recs) >= 2:
+                pick = r.choice(len(recs), size=2, replace=False)
+                rec1[k], rec2[k] = recs[pick[0]], recs[pick[1]]
+            else:
+                rec1[k] = rec2[k] = recs[0]
+        return labels, rec1, rec2
+
+
+@dataclass
+class FFCBatch:
+    """One composed FFC step batch (all host numpy, NHWC)."""
+
+    x: np.ndarray  # [B, H, W, 3] float32
+    y: np.ndarray  # [B, H, W, 3] float32
+    x_label: np.ndarray  # [B] int32 (global identity labels)
+    y_label: np.ndarray  # [B] int32
+    epoch: int
+    step: int  # step within epoch
+
+
+class FFCPipeline:
+    """Composes instance + pair streams into FFC batches with async prefetch."""
+
+    def __init__(
+        self,
+        reader: MultiSourceReader,
+        batch_size: int,
+        image_size: int,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        assert batch_size % 2 == 0, "FFC batch composition needs an even batch"
+        self.reader = reader
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.seed = seed
+        self.instance = InstanceStream(reader, batch_size, seed)
+        self.pairs = PairStream(reader, batch_size // 2, seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.prefetch = prefetch
+
+    @property
+    def num_class(self) -> int:
+        return self.reader.num_class
+
+    def steps_per_epoch(self) -> int:
+        return self.instance.steps_per_epoch()
+
+    # -- single-batch assembly (synchronous) ---------------------------
+    def _load_one(self, rec: int, flip_key: tuple) -> np.ndarray:
+        img = decode_image(self.reader.payload(int(rec)), self.image_size)
+        flip = bool(_rng(*flip_key).random() < 0.5)
+        return normalize(img, flip)
+
+    def make_batch(self, epoch: int, step: int) -> FFCBatch:
+        b = self.batch_size
+        half = b // 2
+        ins = self.instance.batch_indices(epoch, step)
+        ins_labels = np.asarray([self.reader.label(int(i)) for i in ins])
+        pair_labels, rec1, rec2 = self.pairs.batch(epoch, step)
+
+        jobs = []
+        for k, r in enumerate(rec1):
+            jobs.append((r, (self.seed, epoch, step, 0, k)))
+        for k, r in enumerate(rec2):
+            jobs.append((r, (self.seed, epoch, step, 1, k)))
+        for k, r in enumerate(ins):
+            jobs.append((r, (self.seed, epoch, step, 2, k)))
+        imgs = list(self.pool.map(lambda j: self._load_one(*j), jobs))
+        p1 = np.stack(imgs[:half])
+        p2 = np.stack(imgs[half : 2 * half])
+        inst = np.stack(imgs[2 * half :])
+        i1, i2 = inst[:half], inst[half:]
+        l1, l2 = ins_labels[:half], ins_labels[half:]
+        # composition from reference main.py:53-60
+        return FFCBatch(
+            x=np.concatenate([p1, i1]),
+            y=np.concatenate([p2, i2]),
+            x_label=np.concatenate([pair_labels, l1]).astype(np.int32),
+            y_label=np.concatenate([pair_labels, l2]).astype(np.int32),
+            epoch=epoch,
+            step=step,
+        )
+
+    # -- async epoch iterator ------------------------------------------
+    def epoch_iter(self, epoch: int, start_step: int = 0):
+        """Yield FFCBatch for each step of ``epoch`` with background prefetch."""
+        spe = self.steps_per_epoch()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for s in range(start_step, spe):
+                if stop.is_set():
+                    return
+                q.put(self.make_batch(epoch, s))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+    def close(self):
+        self.pool.shutdown(wait=False)

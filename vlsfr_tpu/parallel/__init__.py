@@ -1,0 +1,1 @@
+from vlsfr_tpu.parallel.mesh import make_mesh, batch_sharding, replicated, queue_sharding

@@ -1,0 +1,76 @@
+"""Sharded margin-softmax classifier (partial-FC layout).
+
+The reference never shards its classifier — the whole point of its FFC
+algorithm is to keep the classifier O(queue_size) on one GPU. The rebuild
+adds the *spatial* dimension the paper family (Partial FC, arXiv 2010.05222)
+uses at 10M+ identities: the class-weight matrix [C, D] is sharded row-wise
+over the mesh's ``model`` axis.
+
+Everything here is plain global-view math with sharding constraints — under
+jit+GSPMD, XLA turns:
+
+* ``emb @ W.T``              into per-shard matmuls producing class-sharded
+                             logits (no weight gather);
+* ``logsumexp(logits, -1)``  into a local reduce + ICI all-reduce;
+* the weight gradient        into a reduce-scatter back onto the shards.
+
+The same functions run unsharded on one chip (constraints are no-ops).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vlsfr_tpu.ops.margin import margin_logits
+
+
+def l2_normalize_rows(w: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    n = jnp.sqrt(jnp.sum(jnp.square(w.astype(jnp.float32)), axis=-1, keepdims=True))
+    return w / jnp.maximum(n, eps)
+
+
+def cosine_logits(
+    emb: jnp.ndarray, weights: jnp.ndarray, mesh=None
+) -> jnp.ndarray:
+    """[B, D] normalized embeddings × [C, D] class weights → [B, C] cosines.
+
+    ``weights`` rows are normalized here (ArcFace convention); with a mesh,
+    logits are constrained to (data, model) sharding so the matmul stays
+    local to each class shard.
+    """
+    w = l2_normalize_rows(weights)
+    logits = jnp.einsum("bd,cd->bc", emb.astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32)
+    if mesh is not None:
+        logits = jax.lax.with_sharding_constraint(
+            logits, jax.sharding.NamedSharding(mesh, P("data", "model"))
+        )
+    return logits
+
+
+def margin_softmax_loss(
+    emb: jnp.ndarray,
+    weights: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    loss_type: str = "Arc",
+    margin: float = 0.5,
+    scale: float = 32.0,
+    mask_svfc: float = 1.2,
+    mesh=None,
+) -> tuple[jnp.ndarray, dict]:
+    """Full-softmax ArcFace/AM/SV loss over ``num_classes = weights.shape[0]``.
+
+    Labels are global class ids (always valid — no pool, no outliers).
+    Returns (mean CE, metrics).
+    """
+    logits = cosine_logits(emb, weights, mesh=mesh)
+    modified = margin_logits(logits, labels, loss_type=loss_type, margin=margin,
+                             mask_svfc=mask_svfc) * scale
+    logz = jax.nn.logsumexp(modified, axis=-1)
+    target = jnp.take_along_axis(modified, labels[:, None], axis=-1)[:, 0]
+    ce = logz - target
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+    return jnp.mean(ce), {"ce": jnp.mean(ce), "train_acc": acc}
