@@ -1,0 +1,87 @@
+"""End-to-end trainer tests on a synthetic store (SURVEY.md §4: the smoke
+train the reference never had), including checkpoint/resume equivalence."""
+
+import numpy as np
+import pytest
+
+from vlsfr_tpu.config import Config
+from vlsfr_tpu.data.records import MultiSourceReader
+from vlsfr_tpu.data.synthetic import generate_synthetic_store
+from vlsfr_tpu.train.trainer import Trainer
+
+pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("trainstore")
+    generate_synthetic_store(str(d), num_ids=10, images_per_id=8, image_size=32, seed=0)
+    return str(d)
+
+
+def tiny_cfg(store, tmp_path, head="ffc"):
+    c = Config()
+    c.model.net_type = "toy"
+    c.model.feat_dim = 32
+    c.model.dtype = "float32"
+    c.data.sources = [store]
+    c.data.batch_size = 8
+    c.data.image_size = 32
+    c.data.num_workers = 2
+    c.pool.queue_size = 16
+    c.pool.head = head
+    c.optim.epochs = 1
+    c.optim.lr = 0.01
+    c.train.saved_dir = str(tmp_path / "ckpt")
+    c.train.print_freq = 2
+    c.train.save_freq = 5
+    return c
+
+
+@pytest.mark.parametrize("head", ["ffc", "full_softmax"])
+def test_one_epoch_trains(store, tmp_path, head):
+    cfg = tiny_cfg(store, tmp_path / head, head=head)
+    t = Trainer(cfg)
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    assert result["final_step"] == t.steps_per_epoch
+    t.close()
+
+
+def test_resume_matches_uninterrupted(store, tmp_path):
+    """Train 1 epoch straight vs train, stop, resume — same final params."""
+    cfg_a = tiny_cfg(store, tmp_path / "a")
+    cfg_a.optim.epochs = 2
+    t_a = Trainer(cfg_a)
+    t_a.train()
+    params_a = np.concatenate(
+        [np.ravel(x) for x in jax_leaves(t_a.state.probe_params)]
+    )
+    queue_a = np.asarray(t_a.state.queue)
+    t_a.close()
+
+    # interrupted run: 1 epoch, then a fresh Trainer resumes for epoch 2
+    cfg_b = tiny_cfg(store, tmp_path / "b")
+    cfg_b.optim.epochs = 1
+    t_b1 = Trainer(cfg_b)
+    t_b1.train()
+    t_b1.close()
+    cfg_b2 = tiny_cfg(store, tmp_path / "b")
+    cfg_b2.optim.epochs = 2
+    t_b2 = Trainer(cfg_b2)
+    assert t_b2.start_epoch == 1
+    t_b2.train()
+    params_b = np.concatenate(
+        [np.ravel(x) for x in jax_leaves(t_b2.state.probe_params)]
+    )
+    queue_b = np.asarray(t_b2.state.queue)
+    t_b2.close()
+
+    np.testing.assert_allclose(params_a, params_b, atol=1e-5)
+    np.testing.assert_allclose(queue_a, queue_b, atol=1e-5)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return [np.asarray(x) for x in jax.tree.leaves(tree)]

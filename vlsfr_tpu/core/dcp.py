@@ -34,14 +34,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from vlsfr_tpu.core.lru import LRU
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class PassIndices:
-    """Index tensors for one directional pass (numpy, host-resident)."""
+    """Index tensors for one directional pass (numpy, host-resident).
+
+    Registered as a pytree so a StepIndices can cross the jit boundary."""
 
     rows: np.ndarray  # [B] int32, which of the 2 queue rows to write
     cols: np.ndarray  # [B] int32, pool slot per gallery sample
@@ -49,6 +53,7 @@ class PassIndices:
     fake_labels: np.ndarray  # [B] int32, probe label -> pool slot or -1
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class StepIndices:
     """All host-precomputed indices for one combined FFC step."""

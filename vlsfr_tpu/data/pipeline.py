@@ -246,3 +246,87 @@ class FFCPipeline:
 
     def close(self):
         self.pool.shutdown(wait=False)
+
+
+@dataclass
+class InstanceBatch:
+    images: np.ndarray  # [B, H, W, 3] float32
+    labels: np.ndarray  # [B] int32
+    epoch: int
+    step: int
+
+
+class InstancePipeline:
+    """Plain (image, label) batches for full-softmax training and eval.
+
+    Same determinism/prefetch machinery as FFCPipeline, single stream.
+    """
+
+    def __init__(
+        self,
+        reader: MultiSourceReader,
+        batch_size: int,
+        image_size: int,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        augment: bool = True,
+    ):
+        self.reader = reader
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.seed = seed
+        self.augment = augment
+        self.instance = InstanceStream(reader, batch_size, seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.prefetch = prefetch
+
+    @property
+    def num_class(self) -> int:
+        return self.reader.num_class
+
+    def steps_per_epoch(self) -> int:
+        return self.instance.steps_per_epoch()
+
+    def _load_one(self, rec: int, flip_key: tuple) -> np.ndarray:
+        img = decode_image(self.reader.payload(int(rec)), self.image_size)
+        flip = self.augment and bool(_rng(*flip_key).random() < 0.5)
+        return normalize(img, flip)
+
+    def make_batch(self, epoch: int, step: int) -> InstanceBatch:
+        idx = self.instance.batch_indices(epoch, step)
+        labels = np.asarray([self.reader.label(int(i)) for i in idx], dtype=np.int32)
+        jobs = [(r, (self.seed, epoch, step, 3, k)) for k, r in enumerate(idx)]
+        imgs = list(self.pool.map(lambda j: self._load_one(*j), jobs))
+        return InstanceBatch(images=np.stack(imgs), labels=labels, epoch=epoch, step=step)
+
+    def epoch_iter(self, epoch: int, start_step: int = 0):
+        spe = self.steps_per_epoch()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for s in range(start_step, spe):
+                if stop.is_set():
+                    return
+                q.put(self.make_batch(epoch, s))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+    def close(self):
+        self.pool.shutdown(wait=False)

@@ -24,8 +24,14 @@ from vlsfr_tpu.models.iresnet import IResNet
 from vlsfr_tpu.models.mobilefacenet import MobileFaceNet
 from vlsfr_tpu.models.resnet import DEPTHS as _R_DEPTHS
 from vlsfr_tpu.models.resnet import ResNet
+from vlsfr_tpu.models.toynet import ToyNet
 
-NATIVE_IMAGE_SIZE = {"mobile": 112, **{k: 112 for k in _IR_DEPTHS}, **{k: 224 for k in _R_DEPTHS}}
+NATIVE_IMAGE_SIZE = {
+    "mobile": 112,
+    "toy": 32,
+    **{k: 112 for k in _IR_DEPTHS},
+    **{k: 224 for k in _R_DEPTHS},
+}
 
 
 def create_net(
@@ -39,6 +45,8 @@ def create_net(
     (reference model/__init__.py:9-10)."""
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
+    if net_type == "toy":
+        return ToyNet(feat_dim=feat_dim, dtype=dtype, axis_name=axis_name)
     if net_type == "mobile":
         return MobileFaceNet(feat_dim=feat_dim, dtype=dtype, axis_name=axis_name)
     if net_type in _IR_DEPTHS:

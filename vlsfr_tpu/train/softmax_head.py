@@ -1,0 +1,88 @@
+"""Full-softmax margin-classifier training (BASELINE configs 1-2).
+
+The reference trains ONLY through the FFC/DCP head; a dense ArcFace
+classifier is the natural baseline it compares against (and the first
+end-to-end slice per SURVEY.md §7 stage 4). One network, one classifier
+matrix [num_classes, feat_dim] (shardable over the mesh ``model`` axis via
+parallel/partial_fc.py), margin-softmax CE from the shared ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vlsfr_tpu.config import Config
+from vlsfr_tpu.parallel.partial_fc import margin_softmax_loss
+
+
+class SoftmaxState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # {"backbone": ..., "classifier": [C, D]}
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_softmax_state(
+    rng: jax.Array, model, cfg: Config, optimizer, image_size: int, num_classes: int
+) -> SoftmaxState:
+    k_model, k_w = jax.random.split(rng)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init(k_model, dummy, train=False)
+    params = {
+        "backbone": variables["params"],
+        # ArcFace-style classifier init: small normal; rows are re-normalized
+        # every forward so only direction matters
+        "classifier": jax.random.normal(k_w, (num_classes, cfg.model.feat_dim), jnp.float32)
+        * 0.01,
+    }
+    return SoftmaxState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Callable:
+    loss_kw = dict(
+        loss_type=cfg.loss.loss_type,
+        margin=cfg.loss.margin,
+        scale=cfg.loss.scale,
+        mask_svfc=cfg.loss.mask_svfc,
+    )
+
+    def loss_fn(params, batch_stats, images, labels):
+        emb, mut = model.apply(
+            {"params": params["backbone"], "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        loss, metrics = margin_softmax_loss(
+            emb, params["classifier"], labels, mesh=mesh, **loss_kw
+        )
+        return loss, (mut["batch_stats"], metrics)
+
+    def train_step(state: SoftmaxState, images, labels, lr_scale):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, images, labels
+        )
+        lr = schedule(state.step) * lr_scale
+        state.opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = dict(metrics, loss=loss, lr=lr)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return train_step

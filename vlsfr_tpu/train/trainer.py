@@ -1,0 +1,212 @@
+"""Training orchestrator.
+
+Replaces the reference's ``train`` / ``train_one_epoch``
+(/root/reference/main.py:23-143) with a mesh-aware, checkpoint/resume-capable
+loop. Differences that matter (all deliberate, per SURVEY.md §7):
+
+* One jitted step serves both heads: ``ffc`` (DCP pool, twin nets) or
+  ``full_softmax`` (dense/partial-FC classifier).
+* LR scheduling is inside the step (traced schedule); only the plateau
+  controller runs host-side, feeding a scalar ``lr_scale``.
+* DCP planning happens on the host in step order (core/dcp.py), so the
+  device step never syncs back (the reference's ``.tolist()`` pattern).
+* Full resume: device pytree + DCP/plateau/data-position sidecar, observed
+  at the reference's cadence knobs (--print_freq/--save_freq ≙ main.py:76).
+* The frozen gallery net never reaches the optimizer (the reference
+  optimizes it by accident, main.py:126).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlsfr_tpu.config import Config
+from vlsfr_tpu.core.dcp import DCPManager
+from vlsfr_tpu.core.ffc import create_ffc_state, make_train_step
+from vlsfr_tpu.data.pipeline import FFCPipeline, InstancePipeline
+from vlsfr_tpu.data.records import MultiSourceReader
+from vlsfr_tpu.models import create_net, native_image_size
+from vlsfr_tpu.optim import PlateauController, make_optimizer, make_schedule
+from vlsfr_tpu.parallel.mesh import batch_sharding, make_mesh, queue_sharding, replicated
+from vlsfr_tpu.train.checkpoints import CheckpointManager
+from vlsfr_tpu.train.softmax_head import create_softmax_state, make_softmax_train_step
+from vlsfr_tpu.utils.metrics import MetricsLogger, Throughput, logger
+
+
+class Trainer:
+    def __init__(self, cfg: Config, reader: MultiSourceReader | None = None):
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.image_size = cfg.data.image_size or native_image_size(cfg.model.net_type)
+
+        if reader is None:
+            if cfg.data.synthetic:
+                import tempfile
+
+                from vlsfr_tpu.data.synthetic import generate_synthetic_store
+
+                d = tempfile.mkdtemp(prefix="vlsfr_syn_")
+                generate_synthetic_store(
+                    d,
+                    num_ids=cfg.data.synthetic_ids,
+                    images_per_id=cfg.data.synthetic_images_per_id,
+                    image_size=self.image_size,
+                    seed=cfg.data.seed,
+                )
+                cfg.data.sources = [d]
+            reader = MultiSourceReader(cfg.data.sources)
+        self.reader = reader
+
+        self.model = create_net(
+            cfg.model.net_type,
+            feat_dim=cfg.model.feat_dim,
+            dtype=cfg.model.dtype,
+            dropout=cfg.model.dropout,
+        )
+        self.optimizer = make_optimizer(cfg.optim)
+        self.plateau = PlateauController(
+            patience=cfg.optim.patience, min_lr=cfg.optim.lr_min, base_lr=cfg.optim.lr
+        )
+        self.metrics = MetricsLogger(cfg.train.log_dir or f"{cfg.train.saved_dir}/logs")
+        self.ckpt = CheckpointManager(cfg.train.saved_dir, cfg.train.keep_checkpoints)
+        self.num_chips = self.mesh.devices.size
+
+        self.is_ffc = cfg.pool.head == "ffc"
+        if self.is_ffc:
+            self.pipeline = FFCPipeline(
+                reader,
+                cfg.data.batch_size,
+                self.image_size,
+                seed=cfg.data.seed,
+                num_workers=cfg.data.num_workers,
+                prefetch=cfg.data.prefetch,
+            )
+            self.dcp = DCPManager(cfg.pool.queue_size)
+        else:
+            self.pipeline = InstancePipeline(
+                reader,
+                cfg.data.batch_size,
+                self.image_size,
+                seed=cfg.data.seed,
+                num_workers=cfg.data.num_workers,
+                prefetch=cfg.data.prefetch,
+            )
+            self.dcp = None
+            if cfg.pool.num_classes <= 0:
+                cfg.pool.num_classes = reader.num_class
+
+        spe = cfg.train.steps_per_epoch or self.pipeline.steps_per_epoch()
+        self.steps_per_epoch = max(spe, 1)
+        self.schedule = make_schedule(cfg.optim, self.steps_per_epoch)
+
+        self._build_state_and_step()
+        self.start_epoch = 0
+        self.start_step = 0
+        if cfg.train.resume:
+            self._maybe_resume()
+
+    # ------------------------------------------------------------------
+    def _build_state_and_step(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.data.seed)
+        if self.is_ffc:
+            state = create_ffc_state(rng, self.model, cfg, self.optimizer, self.image_size)
+            step_fn = make_train_step(self.model, cfg, self.optimizer, self.schedule)
+        else:
+            state = create_softmax_state(
+                rng, self.model, cfg, self.optimizer, self.image_size, cfg.pool.num_classes
+            )
+            step_fn = make_softmax_train_step(
+                self.model, cfg, self.optimizer, self.schedule, mesh=self.mesh
+            )
+        # placement: queue/classifier sharded over 'model', rest replicated
+        rep = replicated(self.mesh)
+        state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+        if self.is_ffc:
+            state = state.replace(queue=jax.device_put(state.queue, queue_sharding(self.mesh)))
+        elif cfg.mesh.model > 1:
+            from vlsfr_tpu.parallel.mesh import classifier_sharding
+
+            cls = jax.device_put(state.params["classifier"], classifier_sharding(self.mesh))
+            state = state.replace(params=dict(state.params, classifier=cls))
+        self.state = state
+        self._step = jax.jit(step_fn, donate_argnums=0)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+    # ------------------------------------------------------------------
+    def _maybe_resume(self):
+        latest = self.ckpt.latest_step()
+        if latest is None:
+            return
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding), self.state
+        )
+        self.state, extra = self.ckpt.restore(latest, abstract, self.dcp)
+        if "plateau" in extra:
+            b, nb, sc = np.asarray(extra["plateau"]).tolist()
+            self.plateau.load_state_dict({"best": b, "num_bad": nb, "scale": sc})
+        g = int(self.state.step)
+        self.start_epoch, self.start_step = divmod(g, self.steps_per_epoch)
+        logger.info("resumed from checkpoint step %d (epoch %d, step %d)",
+                    g, self.start_epoch, self.start_step)
+
+    def _save(self, global_step: int):
+        extra = {
+            "plateau": np.asarray(
+                [self.plateau.best, float(self.plateau.num_bad), self.plateau.scale]
+            )
+        }
+        self.ckpt.save(global_step, self.state, self.dcp, extra)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, *arrays):
+        return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        window_losses: list[float] = []
+        thr = Throughput(self.num_chips)
+        last_metrics: dict = {}
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
+            start = self.start_step if epoch == self.start_epoch else 0
+            for batch in self.pipeline.epoch_iter(epoch, start_step=start):
+                gstep = int(self.state.step)
+                if self.is_ffc:
+                    idx = self.dcp.plan_step(batch.x_label, batch.y_label)
+                    x, y = self._device_batch(batch.x, batch.y)
+                    self.state, m = self._step(self.state, x, y, idx, self.plateau.scale)
+                    n_images = batch.x.shape[0] * 2
+                else:
+                    images, labels = self._device_batch(batch.images, batch.labels)
+                    self.state, m = self._step(self.state, images, labels, self.plateau.scale)
+                    n_images = batch.images.shape[0]
+                thr.update(n_images)
+                gstep += 1
+                if gstep % cfg.train.print_freq == 0:
+                    m = {k: float(v) for k, v in m.items()}  # one sync per window
+                    window_losses.append(m["loss"])
+                    ips, ips_chip = thr.value()
+                    self.metrics.log(
+                        gstep,
+                        dict(m, epoch=epoch, images_per_sec=ips, images_per_sec_chip=ips_chip),
+                    )
+                    if cfg.optim.scheduler == "plateau":
+                        self.plateau.observe(m["loss"])
+                    thr.reset()
+                    last_metrics = m
+                if gstep % cfg.train.save_freq == 0:
+                    self._save(gstep)
+        final_step = int(self.state.step)
+        self._save(final_step)
+        self.ckpt.wait()
+        return dict(last_metrics, final_step=final_step)
+
+    def close(self):
+        self.ckpt.wait()
+        self.ckpt.close()
+        self.pipeline.close()
+        self.metrics.close()
