@@ -1,0 +1,116 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh:
+shard-vs-unsharded equivalence for the FFC step and the partial-FC loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vlsfr_tpu.config import Config
+from vlsfr_tpu.core.dcp import DCPManager
+from vlsfr_tpu.core.ffc import create_ffc_state, make_train_step
+from vlsfr_tpu.models import create_net
+from vlsfr_tpu.optim import make_optimizer, make_schedule
+from vlsfr_tpu.parallel.mesh import (
+    batch_sharding,
+    classifier_sharding,
+    make_mesh,
+    queue_sharding,
+    replicated,
+)
+from vlsfr_tpu.parallel.partial_fc import margin_softmax_loss
+
+
+def make_cfg():
+    cfg = Config()
+    cfg.model.net_type = "toy"
+    cfg.model.feat_dim = 32
+    cfg.model.dtype = "float32"
+    cfg.pool.queue_size = 64
+    return cfg
+
+
+def run_ffc_steps(mesh, cfg, n_steps=3, batch=16):
+    model = create_net(cfg.model.net_type, feat_dim=cfg.model.feat_dim, dtype=cfg.model.dtype)
+    optimizer = make_optimizer(cfg.optim)
+    schedule = make_schedule(cfg.optim, steps_per_epoch=10)
+    state = create_ffc_state(jax.random.PRNGKey(0), model, cfg, optimizer, 32)
+    state = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), state)
+    state = state.replace(queue=jax.device_put(state.queue, queue_sharding(mesh)))
+    step = jax.jit(make_train_step(model, cfg, optimizer, schedule), donate_argnums=0)
+    mgr = DCPManager(cfg.pool.queue_size)
+    rng = np.random.default_rng(42)
+    bs = batch_sharding(mesh)
+    losses = []
+    for _ in range(n_steps):
+        x = rng.standard_normal((batch, 32, 32, 3)).astype(np.float32)
+        y = rng.standard_normal((batch, 32, 32, 3)).astype(np.float32)
+        labels = rng.integers(0, 100, size=batch)
+        idx = mgr.plan_step(labels, labels)
+        state, m = step(state, jax.device_put(x, bs), jax.device_put(y, bs), idx, 1.0)
+        losses.append(float(m["loss"]))
+    return losses, np.asarray(state.queue)
+
+
+def test_ffc_step_shard_vs_single_device():
+    cfg = make_cfg()
+    mesh_1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    mesh_8 = make_mesh(4, 2)
+    losses_1, queue_1 = run_ffc_steps(mesh_1, cfg)
+    losses_8, queue_8 = run_ffc_steps(mesh_8, cfg)
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4)
+    np.testing.assert_allclose(queue_1, queue_8, atol=2e-5)
+
+
+def test_partial_fc_shard_vs_replicated(rng):
+    b, d, c = 16, 32, 128
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+
+    loss_ref, m_ref = jax.jit(
+        lambda e, ww, l: margin_softmax_loss(e, ww, l, loss_type="Arc", margin=0.5, scale=32.0)
+    )(emb, w, labels)
+
+    mesh = make_mesh(4, 2)
+    e_s = jax.device_put(emb, batch_sharding(mesh))
+    w_s = jax.device_put(w, classifier_sharding(mesh))
+    l_s = jax.device_put(labels, batch_sharding(mesh))
+    loss_s, m_s = jax.jit(
+        lambda e, ww, l: margin_softmax_loss(
+            e, ww, l, loss_type="Arc", margin=0.5, scale=32.0, mesh=mesh
+        )
+    )(e_s, w_s, l_s)
+    assert float(loss_s) == pytest.approx(float(loss_ref), rel=1e-5)
+    assert float(m_s["train_acc"]) == pytest.approx(float(m_ref["train_acc"]), abs=1e-6)
+
+
+def test_partial_fc_grads_sharded(rng):
+    """Classifier grads must come back sharded like the weights (no full
+    gather of the class axis)."""
+    b, d, c = 8, 16, 64
+    mesh = make_mesh(4, 2)
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    w = jax.device_put(
+        rng.standard_normal((c, d)).astype(np.float32), classifier_sharding(mesh)
+    )
+    labels = jax.device_put(
+        rng.integers(0, c, size=b).astype(np.int32), batch_sharding(mesh)
+    )
+    emb = jax.device_put(emb, batch_sharding(mesh))
+
+    def loss(w):
+        l, _ = margin_softmax_loss(emb, w, labels, loss_type="AM", margin=0.4, scale=16.0, mesh=mesh)
+        return l
+
+    g = jax.jit(jax.grad(loss))(w)
+    assert g.sharding.spec == P("model", None)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

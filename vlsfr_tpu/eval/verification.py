@@ -1,0 +1,102 @@
+"""Face verification (1:1) and identification (1:N) evaluation.
+
+LFW-style protocol: cosine scores over labeled same/different pairs,
+threshold selected per held-out fold (10-fold cross-validation), plus
+TAR@FAR and rank-k identification. The reference has no eval at all
+(SURVEY.md §3.5) — this is the missing test surface for its checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cosine_scores(e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
+    """Row-wise cosine similarity for paired embedding matrices [N, D]."""
+    a = e1 / np.maximum(np.linalg.norm(e1, axis=-1, keepdims=True), 1e-12)
+    b = e2 / np.maximum(np.linalg.norm(e2, axis=-1, keepdims=True), 1e-12)
+    return np.sum(a * b, axis=-1)
+
+
+def _accuracy_at(scores, labels, thr) -> float:
+    pred = scores >= thr
+    return float(np.mean(pred == labels.astype(bool)))
+
+
+def best_threshold(scores: np.ndarray, labels: np.ndarray, grid: int = 400) -> tuple[float, float]:
+    """(threshold, accuracy) maximizing accuracy over a cosine grid."""
+    thrs = np.linspace(-1.0, 1.0, grid)
+    accs = [(_accuracy_at(scores, labels, t), t) for t in thrs]
+    acc, thr = max(accs)
+    return thr, acc
+
+
+def kfold_verification_accuracy(
+    scores: np.ndarray, labels: np.ndarray, folds: int = 10, seed: int = 0
+) -> tuple[float, float]:
+    """LFW protocol: per fold, pick the threshold on the other folds, report
+    held-out accuracy. Returns (mean, std)."""
+    n = len(scores)
+    order = np.random.default_rng(seed).permutation(n)
+    splits = np.array_split(order, folds)
+    accs = []
+    for k in range(folds):
+        test = splits[k]
+        train = np.concatenate([splits[i] for i in range(folds) if i != k])
+        thr, _ = best_threshold(scores[train], labels[train])
+        accs.append(_accuracy_at(scores[test], labels[test], thr))
+    return float(np.mean(accs)), float(np.std(accs))
+
+
+def tar_at_far(scores: np.ndarray, labels: np.ndarray, far: float = 1e-3) -> float:
+    """True-accept rate at the threshold giving the requested false-accept rate."""
+    pos = scores[labels.astype(bool)]
+    neg = scores[~labels.astype(bool)]
+    if len(neg) == 0 or len(pos) == 0:
+        return float("nan")
+    thr = np.quantile(neg, 1.0 - far)
+    return float(np.mean(pos >= thr))
+
+
+def identification_topk(
+    gallery_emb: np.ndarray,
+    gallery_labels: np.ndarray,
+    probe_emb: np.ndarray,
+    probe_labels: np.ndarray,
+    k: int = 1,
+) -> float:
+    """Rank-k identification accuracy (1:N closed set)."""
+    g = gallery_emb / np.maximum(np.linalg.norm(gallery_emb, axis=-1, keepdims=True), 1e-12)
+    p = probe_emb / np.maximum(np.linalg.norm(probe_emb, axis=-1, keepdims=True), 1e-12)
+    sims = p @ g.T  # [P, G]
+    topk = np.argsort(-sims, axis=-1)[:, :k]
+    hits = (gallery_labels[topk] == probe_labels[:, None]).any(axis=-1)
+    return float(np.mean(hits))
+
+
+def make_verification_pairs(
+    labels: np.ndarray, num_pairs: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sample balanced same/different record-index pairs from a label vector.
+
+    Returns (idx1, idx2, issame) with num_pairs//2 positives + negatives.
+    """
+    rng = np.random.default_rng(seed)
+    by_label: dict[int, list[int]] = {}
+    for i, l in enumerate(labels):
+        by_label.setdefault(int(l), []).append(i)
+    multi = [l for l, v in by_label.items() if len(v) >= 2]
+    all_labels = list(by_label.keys())
+    assert len(multi) >= 1 and len(all_labels) >= 2, "need >=2 ids, one with >=2 images"
+    half = num_pairs // 2
+    i1, i2, same = [], [], []
+    for _ in range(half):
+        l = multi[rng.integers(len(multi))]
+        a, b = rng.choice(by_label[l], size=2, replace=False)
+        i1.append(a), i2.append(b), same.append(1)
+    for _ in range(half):
+        la, lb = rng.choice(all_labels, size=2, replace=False)
+        i1.append(rng.choice(by_label[int(la)]))
+        i2.append(rng.choice(by_label[int(lb)]))
+        same.append(0)
+    return np.asarray(i1), np.asarray(i2), np.asarray(same, dtype=np.int32)
