@@ -1,0 +1,111 @@
+"""Fused streaming margin-softmax tests.
+
+Ladder of equivalence (SURVEY.md §4 style):
+  add_margin (dense reference impl, itself golden-tested vs numpy)
+    == streaming scan implementation (values AND gradients)
+    == Pallas kernel in interpreter mode (values; CPU-runnable)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlsfr_tpu.ops.margin import add_margin
+from vlsfr_tpu.ops.margin_pallas import (
+    _stream_fwd,
+    compute_gt,
+    fused_add_margin,
+    fused_margin_softmax,
+    pallas_margin_ce_fwd,
+)
+
+
+def make_case(rng, b=12, c=100, d=16, frac_outlier=0.4):
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+    labels[rng.random(b) < frac_outlier] = -1
+    return jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels)
+
+
+def dense_loss(emb, w, labels, loss_type, k):
+    wn = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    cos = emb @ wn.T
+    return add_margin(cos, labels, loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=k)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+@pytest.mark.parametrize("tile", [32, 64, 128])
+def test_streaming_matches_dense(loss_type, tile, rng):
+    emb, w, labels = make_case(rng)
+    want = float(dense_loss(emb, w, labels, loss_type, 5))
+    got = float(
+        fused_add_margin(
+            emb, w, labels, loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=5,
+            tile=tile, use_pallas=False,
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+def test_streaming_grads_match_dense(loss_type, rng):
+    emb, w, labels = make_case(rng, b=8, c=64, d=8)
+
+    def dense(e, ww):
+        return dense_loss(e, ww, labels, loss_type, 3)
+
+    def fused(e, ww):
+        return fused_add_margin(
+            e, ww, labels, loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=3,
+            tile=16, use_pallas=False,
+        )
+
+    gd_e, gd_w = jax.grad(dense, argnums=(0, 1))(emb, w)
+    gf_e, gf_w = jax.grad(fused, argnums=(0, 1))(emb, w)
+    np.testing.assert_allclose(np.asarray(gf_e), np.asarray(gd_e), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gd_w), atol=2e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+def test_pallas_interpret_matches_streaming(loss_type, rng):
+    emb, w, labels = make_case(rng, b=8, c=70, d=128)
+    gt = compute_gt(emb, w, labels, True)
+    kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, k=4, mask_svfc=1.2,
+              normalize_w=True, tile=32)
+    ce_s, neg_s, logz_s, topk_s = _stream_fwd(emb, w, labels, gt, **kw)
+    ce_p, neg_p, logz_p, topk_p = pallas_margin_ce_fwd(
+        emb, w, labels, gt, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(ce_p), np.asarray(ce_s), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(neg_p), np.asarray(neg_s), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logz_p), np.asarray(logz_s), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(topk_p), np.asarray(topk_s), rtol=2e-5, atol=1e-5)
+
+
+def test_prenormalized_weights_path(rng):
+    emb, w, labels = make_case(rng, b=6, c=40, d=8, frac_outlier=0.0)
+    wn = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    a = float(fused_add_margin(emb, wn, labels, normalize_w=False, hard_neg=3,
+                               tile=16, use_pallas=False))
+    b_ = float(fused_add_margin(emb, w, labels, normalize_w=True, hard_neg=3,
+                                tile=16, use_pallas=False))
+    assert a == pytest.approx(b_, rel=1e-5)
+
+
+def test_all_outliers_neg_only(rng):
+    emb, w, labels = make_case(rng, b=6, c=50, d=8, frac_outlier=1.1)
+    assert np.all(np.asarray(labels) == -1)
+    ce, neg = fused_margin_softmax(emb, w, labels, "Arc", 0.5, 24.0, 3, 1.2, True, 16, False)
+    np.testing.assert_array_equal(np.asarray(ce), 0.0)
+    assert np.all(np.asarray(neg) >= 0.0)
+
+
+def test_large_class_count_memory_safe(rng):
+    """200k classes: dense logits would be 12 MB here, but at 10M classes the
+    dense path would OOM — the streaming path's memory is O(B·tile)."""
+    emb, w, labels = make_case(rng, b=4, c=200_000, d=32, frac_outlier=0.2)
+    loss = float(fused_add_margin(emb, w, labels, hard_neg=10, tile=4096, use_pallas=False))
+    assert np.isfinite(loss)

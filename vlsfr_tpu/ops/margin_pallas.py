@@ -1,0 +1,420 @@
+"""Fused streaming margin-softmax-CE over a huge class axis.
+
+THE hot kernel of the framework (BASELINE.json north star): normalized
+embeddings [B, D] × class weights [C, D] with the margin transform, scaled
+cross-entropy, and the FFC outlier hard-negative term — **without ever
+materializing the [B, C] logits** (at C = 10M, B = 128 that would be 5 GB).
+
+Two interchangeable implementations, equivalence-tested against each other
+and against ops/margin.py:
+
+* :func:`streaming_margin_ce` — ``lax.scan`` over class tiles with an online
+  (flash-style) logsumexp and a running top-k. Runs anywhere; also defines
+  the custom VJP (the backward re-streams the tiles, rebuilding softmax
+  columns from the saved logsumexp — activation memory stays O(B·T)).
+* :func:`pallas_margin_ce_fwd` — Pallas TPU kernel for the forward pass:
+  class tiles are DMA'd HBM→VMEM, the cosine block hits the MXU
+  (``preferred_element_type=f32``), margin/online-softmax/top-k run on the
+  VPU in the same pass. Used automatically on TPU via
+  :func:`fused_margin_softmax`.
+
+Semantics match reference ffc.py:60-138 exactly (same transforms as
+ops/margin.py): labels are class ids or -1 for outlier rows; positives get
+margin-CE, outliers get mean(top-hard_neg clipped cosines).
+
+The target-column trick that makes single-pass streaming possible: for every
+margin family, the modified target logit φ(gt) depends only on
+``gt = cos(emb_i, w_label_i)``, which is one [B, D] gather + dot computed
+up-front — so each tile can apply its margin locally, including SVFC's
+hard-column test ``cos > gt − m``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _normalize_rows(w, eps=1e-12):
+    n2 = jnp.sum(jnp.square(w.astype(jnp.float32)), axis=-1, keepdims=True)
+    return w * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
+
+
+def _phi_target(gt, loss_type: str, margin: float, mask_svfc: float):
+    """Modified target logit value φ(gt) (pre-scale)."""
+    if loss_type == "AM":
+        return gt - margin
+    if loss_type == "Arc":
+        sin = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 0.0))
+        return gt * np.cos(margin) - sin * np.sin(margin)
+    if loss_type == "SV":
+        return jnp.where(gt > margin, gt - margin, gt)
+    raise ValueError(loss_type)
+
+
+def _phi_prime(gt, loss_type: str, margin: float):
+    """dφ/dgt (the reference's autograd: mask/threshold treated constant)."""
+    if loss_type == "AM":
+        return jnp.ones_like(gt)
+    if loss_type == "Arc":
+        sin = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 1e-12))
+        return np.cos(margin) + gt / sin * np.sin(margin)
+    if loss_type == "SV":
+        return jnp.ones_like(gt)
+    raise ValueError(loss_type)
+
+
+def _tile_modified(cos, is_target, gt_col, valid, loss_type, margin, mask_svfc):
+    """Margin-modified logits for one tile (pre-scale). Invalid cols → -inf."""
+    if loss_type in ("AM", "Arc"):
+        mod = cos
+    else:  # SV: boost hard non-target columns
+        hard = cos > (gt_col - margin)
+        mod = jnp.where(hard, mask_svfc * cos + mask_svfc - 1.0, cos)
+    phi = _phi_target(gt_col, loss_type, margin, mask_svfc)
+    mod = jnp.where(is_target, phi, mod)
+    return jnp.where(valid, mod, NEG_INF)
+
+
+def compute_gt(emb, w, labels, normalize_w: bool):
+    """gt_i = cos(emb_i, w[label_i]) via one row gather (0 for outliers)."""
+    safe = jnp.maximum(labels, 0)
+    wl = w[safe]
+    if normalize_w:
+        wl = _normalize_rows(wl)
+    return jnp.sum(emb.astype(jnp.float32) * wl.astype(jnp.float32), axis=-1)
+
+
+# ======================================================================
+# scan-based streaming implementation (+ VJP definition)
+# ======================================================================
+
+
+def _pad_classes(w, c, tile):
+    pad = (-c) % tile
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((pad, w.shape[1]), w.dtype)], axis=0)
+    return w, (c + pad) // tile
+
+
+def _stream_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k, mask_svfc,
+                normalize_w, tile):
+    b, d = emb.shape
+    c = w.shape[0]
+    emb32 = emb.astype(jnp.float32)
+    wp, n_tiles = _pad_classes(w, c, tile)
+    wt = wp.reshape(n_tiles, tile, d)
+    gt_col = gt[:, None]
+
+    def body(carry, w_tile_idx):
+        m_run, s_run, topk = carry
+        w_tile, t = w_tile_idx
+        wn = _normalize_rows(w_tile) if normalize_w else w_tile.astype(jnp.float32)
+        cos = emb32 @ wn.T  # [B, T]
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        cos = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels[:, None]
+        mod = _tile_modified(cos, is_target, gt_col, valid, loss_type, margin, mask_svfc)
+        z = scale * mod
+        m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
+        s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
+        cand = jnp.concatenate([topk, cos], axis=-1)
+        topk, _ = jax.lax.top_k(cand, k)
+        return (m_new, s_run, topk), None
+
+    m0 = jnp.full((b,), NEG_INF, jnp.float32)
+    s0 = jnp.zeros((b,), jnp.float32)
+    t0 = jnp.full((b, k), NEG_INF, jnp.float32)
+    (m_run, s_run, topk), _ = jax.lax.scan(
+        body, (m0, s0, t0), (wt, jnp.arange(n_tiles))
+    )
+    logz = m_run + jnp.log(s_run)
+    phi = _phi_target(gt, loss_type, margin, mask_svfc)
+    pos = labels >= 0
+    ce = jnp.where(pos, logz - scale * phi, 0.0)
+    neg = jnp.where(pos, 0.0, jnp.mean(jnp.maximum(topk, 0.0), axis=-1))
+    return ce, neg, logz, topk
+
+
+def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margin,
+                scale, k, mask_svfc, normalize_w, tile):
+    """Re-stream tiles, building d_emb and d_w without [B, C] storage."""
+    b, d = emb.shape
+    c = w.shape[0]
+    emb32 = emb.astype(jnp.float32)
+    wp, n_tiles = _pad_classes(w, c, tile)
+    wt = wp.reshape(n_tiles, tile, d)
+    gt_col = gt[:, None]
+    pos = (labels >= 0)[:, None]
+    kth = topk[:, -1][:, None]  # smallest of the running top-k
+    # outputs are constant on the "other" row class (ce≡0 on outliers,
+    # neg≡0 on positives) → their cotangents must not leak through
+    d_ce = jnp.where(labels >= 0, d_ce, 0.0)
+    d_neg = jnp.where(labels >= 0, 0.0, d_neg)
+    d_gt = jnp.zeros((b,), jnp.float32)
+
+    def body(carry, w_tile_idx):
+        d_emb, d_gt = carry
+        w_tile, t = w_tile_idx
+        wn = _normalize_rows(w_tile) if normalize_w else w_tile.astype(jnp.float32)
+        cos = emb32 @ wn.T
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        cos_v = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels[:, None]
+        mod = _tile_modified(cos_v, is_target, gt_col, valid, loss_type, margin, mask_svfc)
+        p = jnp.exp(scale * mod - logz[:, None])  # softmax columns
+
+        # -- CE grad: dce/dz_j = p_j - δ_target ; z_j = s·mod_j
+        dz = (p - is_target.astype(jnp.float32)) * d_ce[:, None] * scale
+        if loss_type == "SV":
+            hard = cos_v > (gt_col - margin)
+            col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+        else:
+            col_fac = 1.0
+        d_cos_ce = jnp.where(is_target, 0.0, dz * col_fac)
+        # target-column contribution routes through φ'(gt)
+        d_gt = d_gt + jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1) * _phi_prime(
+            gt, loss_type, margin
+        )
+
+        # -- outlier hard-neg grad: columns in the top-k with cos > 0
+        in_topk = (cos_v >= kth) & (cos_v > 0) & ~pos
+        d_cos_neg = jnp.where(in_topk, d_neg[:, None] / k, 0.0)
+
+        d_cos = jnp.where(valid, d_cos_ce + d_cos_neg, 0.0)
+        d_emb = d_emb + d_cos @ wn
+        d_wn = d_cos.T @ emb32  # [T, D]
+        if normalize_w:
+            w32 = w_tile.astype(jnp.float32)
+            n2 = jnp.maximum(jnp.sum(w32 * w32, axis=-1, keepdims=True), 1e-24)
+            inv = jax.lax.rsqrt(n2)
+            d_w_tile = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+        else:
+            d_w_tile = d_wn
+        return (d_emb, d_gt), d_w_tile
+
+    (d_emb, d_gt), d_w_tiles = jax.lax.scan(
+        body, (jnp.zeros((b, d), jnp.float32), d_gt), (wt, jnp.arange(n_tiles))
+    )
+    d_w = d_w_tiles.reshape(-1, d)[:c]
+
+    # gt = emb · ŵ_label: route d_gt into emb and the label rows of w
+    safe = jnp.maximum(labels, 0)
+    wl = w[safe].astype(jnp.float32)
+    wln = _normalize_rows(wl) if normalize_w else wl
+    pos1 = (labels >= 0).astype(jnp.float32)[:, None]
+    d_emb = d_emb + d_gt[:, None] * wln * pos1
+    d_wln = d_gt[:, None] * emb32 * pos1
+    if normalize_w:
+        n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)
+        inv = jax.lax.rsqrt(n2)
+        d_wl = inv * (d_wln - wln * jnp.sum(d_wln * wln, axis=-1, keepdims=True))
+    else:
+        d_wl = d_wln
+    d_w = d_w.at[safe].add(d_wl)
+    return d_emb.astype(emb.dtype), d_w.astype(w.dtype)
+
+
+# ======================================================================
+# Pallas forward kernel
+# ======================================================================
+
+
+def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w):
+    def kernel(labels_ref, gt_ref, emb_ref, w_ref,
+               ce_ref, neg_ref, logz_ref, topk_ref,
+               m_scr, s_scr, topk_scr):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            m_scr[:] = jnp.full((b, 1), NEG_INF, jnp.float32)
+            s_scr[:] = jnp.zeros((b, 1), jnp.float32)
+            topk_scr[:] = jnp.full((b, k), NEG_INF, jnp.float32)
+
+        w_tile = w_ref[:].astype(jnp.float32)  # [T, D]
+        if normalize_w:
+            n2 = jnp.maximum(jnp.sum(w_tile * w_tile, axis=-1, keepdims=True), 1e-24)
+            w_tile = w_tile * jax.lax.rsqrt(n2)
+        cos = jnp.dot(emb_ref[:].astype(jnp.float32), w_tile.T,
+                      preferred_element_type=jnp.float32)  # [B, T] on the MXU
+
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        cos = jnp.where(valid, cos, NEG_INF)
+        labels = labels_ref[:]  # [B, 1]
+        gt = gt_ref[:]  # [B, 1]
+        is_target = col == labels
+        mod = _tile_modified(cos, is_target, gt, valid, loss_type, margin, mask_svfc)
+        z = scale * mod
+
+        m_old = m_scr[:]  # [B, 1]
+        m_new = jnp.maximum(m_old, jnp.max(z, axis=-1, keepdims=True))
+        s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+            jnp.exp(z - m_new), axis=-1, keepdims=True
+        )
+        m_scr[:] = m_new
+
+        # running top-k merge: k argmax-extraction rounds over [B, k+T]
+        buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+        buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
+        new_topk = []
+        for _ in range(k):
+            vmax = jnp.max(buf, axis=-1, keepdims=True)
+            amax = jnp.argmax(buf, axis=-1)[:, None]
+            new_topk.append(vmax)
+            buf = jnp.where(buf_col == amax, NEG_INF, buf)
+        topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
+
+        @pl.when(t == n_t - 1)
+        def _finalize():
+            logz = m_scr[:] + jnp.log(s_scr[:])
+            if loss_type == "AM":
+                phi = gt - margin
+            elif loss_type == "Arc":
+                sin = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 0.0))
+                phi = gt * np.cos(margin) - sin * np.sin(margin)
+            else:
+                phi = jnp.where(gt > margin, gt - margin, gt)
+            pos = labels >= 0
+            ce_ref[:] = jnp.where(pos, logz - scale * phi, 0.0)
+            neg_ref[:] = jnp.where(
+                pos, 0.0, jnp.mean(jnp.maximum(topk_scr[:], 0.0), axis=-1, keepdims=True)
+            )
+            logz_ref[:] = logz
+            topk_ref[:] = topk_scr[:]
+
+    return kernel
+
+
+def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
+                         mask_svfc, normalize_w, tile=512, interpret=False):
+    """Forward pass on TPU: returns (ce [B], neg [B], logz [B], topk [B,k])."""
+    b, d = emb.shape
+    c = w.shape[0]
+    wp, n_tiles = _pad_classes(w, c, tile)
+    kernel = _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                              mask_svfc, normalize_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # labels
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # gt
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),  # emb
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # w tile
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels.astype(jnp.int32)[:, None], gt[:, None].astype(jnp.float32),
+      emb, wp)
+    ce, neg, logz, topk = out
+    return ce[:, 0], neg[:, 0], logz[:, 0], topk
+
+
+# ======================================================================
+# public custom-VJP op
+# ======================================================================
+
+
+@partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+)
+def fused_margin_softmax(emb, w, labels, loss_type="Arc", margin=0.5, scale=32.0,
+                         hard_neg=10, mask_svfc=1.2, normalize_w=True, tile=512,
+                         use_pallas="auto"):
+    """(ce [B], neg [B]) without materializing [B, C] logits.
+
+    ``ce``: margin-softmax cross-entropy per positive row (0 on outliers);
+    ``neg``: mean top-``hard_neg`` clipped cosine per outlier row (0 on
+    positives). Sum/mask/mean is the caller's choice (cf. ops.margin.add_margin).
+    """
+    ce, neg, _, _ = _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg,
+                              mask_svfc, normalize_w, tile, use_pallas)
+    return ce, neg
+
+
+def _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
+              normalize_w, tile, use_pallas):
+    gt = compute_gt(emb, w, labels, normalize_w)
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        ce, neg, logz, topk = pallas_margin_ce_fwd(
+            emb, w, labels, gt, loss_type=loss_type, margin=margin, scale=scale,
+            k=hard_neg, mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+        )
+    else:
+        ce, neg, logz, topk = _stream_fwd(
+            emb, w, labels, gt, loss_type=loss_type, margin=margin, scale=scale,
+            k=hard_neg, mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+        )
+    return ce, neg, logz, topk
+
+
+def _vjp_fwd(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
+             normalize_w, tile, use_pallas):
+    gt = compute_gt(emb, w, labels, normalize_w)
+    ce, neg, logz, topk = _fwd_impl(emb, w, labels, loss_type, margin, scale,
+                                    hard_neg, mask_svfc, normalize_w, tile, use_pallas)
+    return (ce, neg), (emb, w, labels, gt, logz, topk)
+
+
+def _vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, normalize_w, tile,
+             use_pallas, res, cotangents):
+    emb, w, labels, gt, logz, topk = res
+    d_ce, d_neg = cotangents
+    d_emb, d_w = _stream_bwd(
+        emb, w, labels, gt, logz, topk, d_ce, d_neg,
+        loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+        mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+    )
+    return d_emb, d_w, None
+
+
+fused_margin_softmax.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_add_margin(cos_weights_emb, w, labels, *, loss_type="Arc", margin=0.5,
+                     scale=32.0, hard_neg=10, mask_svfc=1.2, normalize_w=True,
+                     tile=512, use_pallas="auto"):
+    """Scalar loss = mean CE over positives + mean hard-neg over outliers —
+    the exact reduction of reference ffc.py:60-138 / ops.margin.add_margin,
+    but streaming over the class axis."""
+    ce, neg = fused_margin_softmax(
+        cos_weights_emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
+        normalize_w, tile, use_pallas,
+    )
+    pos = (labels >= 0).astype(jnp.float32)
+    n_pos = jnp.sum(pos)
+    n_out = jnp.sum(1.0 - pos)
+    cls = jnp.where(n_pos > 0, jnp.sum(ce) / jnp.maximum(n_pos, 1.0), 0.0)
+    neg_l = jnp.where(n_out > 0, jnp.sum(neg) / jnp.maximum(n_out, 1.0), 0.0)
+    return cls + neg_l
