@@ -54,12 +54,24 @@ class FaceRecordWriter:
 
     def close(self) -> None:
         self._data.close()
+        offsets = np.asarray(self._offsets, dtype=np.uint64)
+        lengths = np.asarray(self._lengths, dtype=np.uint32)
+        labels = np.asarray(self._labels, dtype=np.int64)
         np.savez(
             os.path.join(self.dir, "index.npz"),
-            offsets=np.asarray(self._offsets, dtype=np.uint64),
-            lengths=np.asarray(self._lengths, dtype=np.uint32),
-            labels=np.asarray(self._labels, dtype=np.int64),
+            offsets=offsets,
+            lengths=lengths,
+            labels=labels,
         )
+        # flat binary twin of the index for the native (C++) reader:
+        # header = magic "VLFR" + u32 version + u64 count, then the 3 arrays
+        with open(os.path.join(self.dir, "index.bin"), "wb") as f:
+            f.write(b"VLFR")
+            f.write(np.uint32(1).tobytes())
+            f.write(np.uint64(len(offsets)).tobytes())
+            f.write(offsets.tobytes())
+            f.write(lengths.tobytes())
+            f.write(labels.tobytes())
         with open(os.path.join(self.dir, "keys.txt"), "w") as f:
             f.write("\n".join(self._keys) + ("\n" if self._keys else ""))
         # reference-format manifest (creat_lmdb.py:67: "key label" per line)
@@ -102,9 +114,27 @@ class FaceRecordReader:
         self._file.close()
 
 
+def open_reader(directory: str, native: bool | str = "auto"):
+    """Open one store: native C++ mmap reader when available (needs the
+    index.bin twin written by FaceRecordWriter), else the Python reader."""
+    if native != False:  # noqa: E712 — "auto" and True both try native
+        try:
+            import os as _os
+
+            if _os.path.exists(_os.path.join(directory, "index.bin")):
+                from vlsfr_tpu.data.records_native import NativeRecordReader, native_available
+
+                if native_available():
+                    return NativeRecordReader(directory)
+        except Exception:
+            if native is True:
+                raise
+    return FaceRecordReader(directory)
+
+
 @dataclass
 class _Source:
-    reader: FaceRecordReader
+    reader: object  # FaceRecordReader | NativeRecordReader
     label_offset: int
 
 
@@ -117,7 +147,7 @@ class MultiSourceReader:
     ``num_class`` is the final ``last_label``.
     """
 
-    def __init__(self, directories: list[str] | str):
+    def __init__(self, directories: list[str] | str, native: bool | str = "auto"):
         if isinstance(directories, str):
             directories = [directories]
         assert directories, "need at least one source"
@@ -127,7 +157,7 @@ class MultiSourceReader:
         counts = []
         all_labels = []
         for d in directories:
-            r = FaceRecordReader(d)
+            r = open_reader(d, native=native)
             self.sources.append(_Source(reader=r, label_offset=last_label))
             if len(r):
                 shifted = r.labels + last_label

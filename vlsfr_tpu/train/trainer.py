@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlsfr_tpu.config import Config
-from vlsfr_tpu.core.dcp import DCPManager
+from vlsfr_tpu.core.dcp_native import create_dcp_manager
 from vlsfr_tpu.core.ffc import create_ffc_state, make_train_step
 from vlsfr_tpu.data.pipeline import FFCPipeline, InstancePipeline
 from vlsfr_tpu.data.records import MultiSourceReader
@@ -85,7 +85,7 @@ class Trainer:
                 num_workers=cfg.data.num_workers,
                 prefetch=cfg.data.prefetch,
             )
-            self.dcp = DCPManager(cfg.pool.queue_size)
+            self.dcp = create_dcp_manager(cfg.pool.queue_size)
         else:
             self.pipeline = InstancePipeline(
                 reader,
