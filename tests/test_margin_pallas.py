@@ -109,3 +109,55 @@ def test_large_class_count_memory_safe(rng):
     emb, w, labels = make_case(rng, b=4, c=200_000, d=32, frac_outlier=0.2)
     loss = float(fused_add_margin(emb, w, labels, hard_neg=10, tile=4096, use_pallas=False))
     assert np.isfinite(loss)
+
+
+def test_ffc_directional_loss_fused_matches_dense(rng):
+    """core.ffc.directional_loss with use_fused must equal the dense path."""
+    import jax.numpy as jnp
+
+    from vlsfr_tpu.core.ffc import directional_loss, init_queue
+
+    b, d, q = 6, 16, 64
+    p = rng.standard_normal((b, d)).astype(np.float32)
+    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+    g = rng.standard_normal((b, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    queue = init_queue(jax.random.PRNGKey(0), q, d)
+    rows = rng.integers(0, 2, size=b).astype(np.int32)
+    cols = rng.integers(0, q, size=b).astype(np.int32)
+    seen = (rng.random(b) < 0.5).astype(np.float32)
+    fake = rng.integers(-1, q, size=b).astype(np.int32)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, hard_neg=3)
+    l_dense, q_dense = directional_loss(
+        jnp.asarray(p), jnp.asarray(g), queue, rows, cols, seen, fake, use_fused=False, **kw
+    )
+    l_fused, q_fused = directional_loss(
+        jnp.asarray(p), jnp.asarray(g), queue, rows, cols, seen, fake, use_fused=True, **kw
+    )
+    assert float(l_fused) == pytest.approx(float(l_dense), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(q_fused), np.asarray(q_dense))
+
+
+def test_streaming_softmax_loss_matches_dense(rng):
+    from vlsfr_tpu.parallel.partial_fc import margin_softmax_loss
+
+    b, d, c = 8, 16, 96
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+    l_dense, _ = margin_softmax_loss(jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels))
+    l_stream, m = margin_softmax_loss(
+        jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels), streaming=True
+    )
+    assert float(l_stream) == pytest.approx(float(l_dense), rel=1e-4)
+    # gradients agree too
+    ga = jax.grad(lambda ww: margin_softmax_loss(jnp.asarray(emb), ww, jnp.asarray(labels))[0])(
+        jnp.asarray(w)
+    )
+    gb = jax.grad(
+        lambda ww: margin_softmax_loss(
+            jnp.asarray(emb), ww, jnp.asarray(labels), streaming=True
+        )[0]
+    )(jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=2e-5)

@@ -103,6 +103,10 @@ class PoolConfig:
     # num_classes (BASELINE config 1-2); "ffc" uses the LRU pool.
     head: str = "ffc"  # ffc | full_softmax
     num_classes: int = 0  # required for full_softmax; informational for ffc
+    # streaming fused margin-softmax kernel (ops/margin_pallas.py):
+    # "auto" switches it on once the class axis reaches streaming_threshold
+    use_fused: str = "auto"  # auto | on | off
+    streaming_threshold: int = 131072
 
 
 @dataclass

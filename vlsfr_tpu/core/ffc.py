@@ -82,24 +82,35 @@ def directional_loss(
     scale: float,
     hard_neg: int,
     mask_svfc: float = 1.2,
+    use_fused: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One direction: write gallery embeddings, score probe against both
     queue views, sum the two margin losses (reference ffc.py:180-202).
 
     Returns (loss, updated_queue). Pure — the caller decides persistence.
+    With ``use_fused``, the cosine×margin×CE runs through the streaming
+    kernel (ops/margin_pallas.py) and never materializes [B, Q] logits —
+    the path for very large pools.
     """
     g = jax.lax.stop_gradient(g)
     new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
     q = queue.shape[1]
-    # view 1: row 0 (ffc.py:195)
-    cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
-    # view 2: parity blend — slots hit this step read row 1 (ffc.py:197-201)
+    # view 2 weights: parity blend — slots hit this step read row 1
+    # (ffc.py:197-201); view 1 is row 0 (ffc.py:195)
     mask = scatter_mask(seen, cols, q)[:, None]
     weight = jax.lax.stop_gradient(mask * new_queue[1] + (1.0 - mask) * new_queue[0])
-    cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
               mask_svfc=mask_svfc)
-    loss = add_margin(cos1, fake_labels, **kw) + add_margin(cos2, fake_labels, **kw)
+    if use_fused:
+        from vlsfr_tpu.ops.margin_pallas import fused_add_margin
+
+        # queue rows are L2-normalized by construction (init + writes)
+        loss = fused_add_margin(p, new_queue[0], fake_labels, normalize_w=False, **kw)
+        loss = loss + fused_add_margin(p, weight, fake_labels, normalize_w=False, **kw)
+    else:
+        cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
+        cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
+        loss = add_margin(cos1, fake_labels, **kw) + add_margin(cos2, fake_labels, **kw)
     return loss, new_queue
 
 
@@ -111,12 +122,17 @@ def make_ffc_loss_fn(model, cfg: Config) -> Callable:
     (loss, (new_queue, new_probe_stats, new_gallery_stats, metrics)).
     """
     hard_neg = cfg.pool.hard_neg if cfg.pool.hard_neg > 0 else default_hard_neg(cfg.pool.queue_size)
+    if cfg.pool.use_fused == "auto":
+        use_fused = cfg.pool.queue_size >= cfg.pool.streaming_threshold
+    else:
+        use_fused = cfg.pool.use_fused == "on"
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
         scale=cfg.loss.scale,
         hard_neg=hard_neg,
         mask_svfc=cfg.loss.mask_svfc,
+        use_fused=use_fused,
     )
     m = cfg.pool.momentum
 

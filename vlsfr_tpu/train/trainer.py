@@ -123,6 +123,14 @@ class Trainer:
             step_fn = make_softmax_train_step(
                 self.model, cfg, self.optimizer, self.schedule, mesh=self.mesh
             )
+        if cfg.train.pretrained_model_path:
+            from vlsfr_tpu.train.pretrained import apply_pretrained, load_pretrained_backbone
+
+            variables = load_pretrained_backbone(
+                cfg.train.pretrained_model_path, cfg.model.net_type, cfg.model.feat_dim
+            )
+            state = apply_pretrained(state, variables)
+            logger.info("loaded pretrained backbone from %s", cfg.train.pretrained_model_path)
         # placement: queue/classifier sharded over 'model', rest replicated
         rep = replicated(self.mesh)
         state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
