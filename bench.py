@@ -53,6 +53,7 @@ def main():
     queue_size = int(os.environ.get("BENCH_QUEUE", 16384))
     net_type = os.environ.get("BENCH_NET", "ir50")
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    fuse_forward = os.environ.get("BENCH_FUSE_FWD", "1") == "1"
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
@@ -64,6 +65,7 @@ def main():
     cfg.model.dtype = "bfloat16"
     cfg.pool.queue_size = queue_size
     cfg.data.batch_size = batch
+    cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
 
     model = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)

@@ -85,3 +85,39 @@ def jax_leaves(tree):
     import jax
 
     return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+
+def test_fuse_forward_mode_trains(store, tmp_path):
+    cfg = tiny_cfg(store, tmp_path / "fuse")
+    cfg.pool.fuse_forward = True
+    t = Trainer(cfg)
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    t.close()
+
+
+def test_in_training_eval(store, tmp_path):
+    cfg = tiny_cfg(store, tmp_path / "ev")
+    cfg.train.eval_freq = 5
+    t = Trainer(cfg)
+    t.train()
+    ev = t.evaluate()
+    assert 0.0 <= ev["verification_acc"] <= 1.0
+    t.close()
+
+
+def test_pretrained_from_previous_run(store, tmp_path):
+    cfg1 = tiny_cfg(store, tmp_path / "pre1")
+    t1 = Trainer(cfg1)
+    t1.train()
+    trained = np.concatenate([np.ravel(x) for x in jax_leaves(t1.state.probe_params)])
+    t1.close()
+    cfg2 = tiny_cfg(store, tmp_path / "pre2")
+    cfg2.train.pretrained_model_path = str(tmp_path / "pre1" / "ckpt")
+    cfg2.optim.epochs = 0  # just init
+    t2 = Trainer(cfg2)
+    init_params = np.concatenate([np.ravel(x) for x in jax_leaves(t2.state.probe_params)])
+    gal = np.concatenate([np.ravel(x) for x in jax_leaves(t2.state.gallery_params)])
+    np.testing.assert_allclose(init_params, trained, atol=1e-6)
+    np.testing.assert_allclose(gal, trained, atol=1e-6)  # gallery = copy
+    t2.close()

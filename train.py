@@ -78,7 +78,11 @@ def build_config(argv=None) -> Config:
 
 def main(argv=None):
     cfg = build_config(argv)
+    from vlsfr_tpu.parallel.distributed import initialize_multihost
+
+    initialize_multihost()
     trainer = Trainer(cfg)
+    trainer.install_signal_handlers()
     try:
         result = trainer.train()
         print("training done:", result)

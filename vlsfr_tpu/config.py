@@ -107,6 +107,10 @@ class PoolConfig:
     # "auto" switches it on once the class axis reaches streaming_threshold
     use_fused: str = "auto"  # auto | on | off
     streaming_threshold: int = 131072
+    # batch the two probe (and two gallery) passes into one 2B forward —
+    # faster on TPU; BN batch stats then span 2B samples (perf mode, not
+    # bit-equivalent to the reference's per-pass statistics)
+    fuse_forward: bool = False
 
 
 @dataclass
@@ -167,6 +171,9 @@ class TrainConfig:
     resume: bool = True  # auto-resume from latest checkpoint if present
     steps_per_epoch: int = 0  # 0 = derive from dataset size
     log_dir: str = ""  # tensorboard; "" = saved_dir/logs
+    eval_freq: int = 0  # steps between in-training verification evals (0 = off)
+    eval_records: int = 512  # max records sampled for in-training eval
+    eval_pairs: int = 500  # verification pairs per eval
 
 
 @dataclass

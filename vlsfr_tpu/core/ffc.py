@@ -135,6 +135,7 @@ def make_ffc_loss_fn(model, cfg: Config) -> Callable:
         use_fused=use_fused,
     )
     m = cfg.pool.momentum
+    fuse_fwd = cfg.pool.fuse_forward
 
     def loss_fn(probe_params, state: FFCState, x, y, idx: StepIndices):
         # EMA gallery update happens once, before any gallery forward
@@ -159,12 +160,24 @@ def make_ffc_loss_fn(model, cfg: Config) -> Callable:
             )
             return jax.lax.stop_gradient(out), jax.tree.map(jax.lax.stop_gradient, mut["batch_stats"])
 
-        # forward order mirrors the reference: pass A = probe(x)/gallery(y),
-        # pass B = probe(y)/gallery(x) (ffc.py:209-212,157-159)
-        p_x, probe_stats = probe_fwd(x, state.probe_stats)
-        g_y, gallery_stats = gallery_fwd(y, state.gallery_stats)
-        p_y, probe_stats = probe_fwd(y, probe_stats)
-        g_x, gallery_stats = gallery_fwd(x, gallery_stats)
+        if fuse_fwd:
+            # perf mode: one 2B-batch forward per net instead of two B-batch
+            # forwards — larger per-op batch for the MXU, half the kernel
+            # launches. BN batch statistics are then computed over 2B samples
+            # (the reference computes them per B-batch pass); training-
+            # dynamics-equivalent but not bit-equivalent to the reference.
+            b = x.shape[0]
+            p_xy, probe_stats = probe_fwd(jnp.concatenate([x, y]), state.probe_stats)
+            g_yx, gallery_stats = gallery_fwd(jnp.concatenate([y, x]), state.gallery_stats)
+            p_x, p_y = p_xy[:b], p_xy[b:]
+            g_y, g_x = g_yx[:b], g_yx[b:]
+        else:
+            # forward order mirrors the reference: pass A = probe(x)/gallery(y),
+            # pass B = probe(y)/gallery(x) (ffc.py:209-212,157-159)
+            p_x, probe_stats = probe_fwd(x, state.probe_stats)
+            g_y, gallery_stats = gallery_fwd(y, state.gallery_stats)
+            p_y, probe_stats = probe_fwd(y, probe_stats)
+            g_x, gallery_stats = gallery_fwd(x, gallery_stats)
 
         # direction A (the reference's rollback pass): functional, discarded
         loss_a, _ = directional_loss(

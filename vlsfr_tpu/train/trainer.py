@@ -174,6 +174,22 @@ class Trainer:
     def _device_batch(self, *arrays):
         return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
 
+    def install_signal_handlers(self):
+        """Preemption tolerance: SIGTERM/SIGINT triggers a final checkpoint
+        before exit; the next run auto-resumes (the reference has no failure
+        handling at all, SURVEY.md §5)."""
+        import signal
+
+        def handler(signum, frame):
+            logger.warning("signal %d: checkpointing at step %d then exiting",
+                           signum, int(self.state.step))
+            self._save(int(self.state.step))
+            self.ckpt.wait()
+            raise SystemExit(128 + signum)
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
+
     def train(self) -> dict:
         cfg = self.cfg
         window_losses: list[float] = []
@@ -208,10 +224,46 @@ class Trainer:
                     last_metrics = m
                 if gstep % cfg.train.save_freq == 0:
                     self._save(gstep)
+                if cfg.train.eval_freq and gstep % cfg.train.eval_freq == 0:
+                    self.metrics.log(gstep, self.evaluate(), prefix="eval")
         final_step = int(self.state.step)
         self._save(final_step)
         self.ckpt.wait()
         return dict(last_metrics, final_step=final_step)
+
+    def evaluate(self) -> dict:
+        """In-training verification eval on a capped sample of the store
+        (the reference has no eval at all; SURVEY.md §3.5)."""
+        import numpy as _np
+
+        from vlsfr_tpu.eval.extract import Embedder
+        from vlsfr_tpu.eval.verification import (
+            cosine_scores,
+            kfold_verification_accuracy,
+            make_verification_pairs,
+        )
+
+        cfg = self.cfg
+        n = min(len(self.reader), cfg.train.eval_records)
+        idx = _np.random.default_rng(cfg.data.seed).choice(len(self.reader), n, replace=False)
+        labels = _np.asarray([self.reader.label(int(i)) for i in idx])
+        if self.is_ffc:
+            variables = {"params": self.state.probe_params, "batch_stats": self.state.probe_stats}
+        else:
+            variables = {
+                "params": self.state.params["backbone"],
+                "batch_stats": self.state.batch_stats,
+            }
+        emb = Embedder(self.model, variables, batch_size=min(64, n))
+        embeddings = emb.from_reader(self.reader, self.image_size, indices=idx)
+        try:
+            i1, i2, issame = make_verification_pairs(labels, cfg.train.eval_pairs,
+                                                     seed=cfg.data.seed)
+        except AssertionError:
+            return {"verification_acc": float("nan")}
+        scores = cosine_scores(embeddings[i1], embeddings[i2])
+        acc, std = kfold_verification_accuracy(scores, issame)
+        return {"verification_acc": acc, "verification_std": std}
 
     def close(self):
         self.ckpt.wait()
