@@ -139,3 +139,19 @@ def test_grad_flows_only_reasonably(rng):
         lambda c: add_margin(c, label, loss_type="SV", margin=0.5, scale=32.0, hard_neg=3)
     )(jnp.asarray(cos))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_label_smooth_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    from vlsfr_tpu.ops.margin import cross_entropy_label_smooth
+
+    logits = rng.standard_normal((6, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, size=6)
+    got = float(cross_entropy_label_smooth(logits, labels, epsilon=0.1))
+    # reference semantics (optim/optimizer.py:136-141): smoothed targets,
+    # (-q * logp).mean(0).sum()
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=1)
+    t = torch.zeros_like(lp).scatter_(1, torch.from_numpy(labels)[:, None], 1)
+    t = 0.9 * t + 0.1 / 10
+    want = float((-t * lp).mean(0).sum())
+    assert got == pytest.approx(want, rel=1e-5)

@@ -192,7 +192,6 @@ class Trainer:
 
     def train(self) -> dict:
         cfg = self.cfg
-        window_losses: list[float] = []
         thr = Throughput(self.num_chips)
         last_metrics: dict = {}
         for epoch in range(self.start_epoch, cfg.optim.epochs):
@@ -212,7 +211,6 @@ class Trainer:
                 gstep += 1
                 if gstep % cfg.train.print_freq == 0:
                     m = {k: float(v) for k, v in m.items()}  # one sync per window
-                    window_losses.append(m["loss"])
                     ips, ips_chip = thr.value()
                     self.metrics.log(
                         gstep,
