@@ -59,6 +59,8 @@ def main():
     kind = getattr(dev, "device_kind", "cpu")
     peak = next((v for k, v in PEAK_FLOPS.items() if k.lower() in str(kind).lower()), 1e12)
 
+    mode = os.environ.get("BENCH_MODE", "ffc")  # ffc | backbone
+
     cfg = Config()
     cfg.model.net_type = net_type
     cfg.model.feat_dim = 512
@@ -67,6 +69,54 @@ def main():
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
+
+    if mode == "backbone":
+        # conv ceiling: backbone fwd+bwd only, no FFC machinery
+        import optax
+
+        model_b = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
+        rng0 = np.random.default_rng(0)
+        xb = jnp.asarray(rng0.standard_normal((batch, size, size, 3)), jnp.float32)
+        variables = model_b.init(jax.random.PRNGKey(0), xb, train=False)
+        params, stats = variables["params"], variables.get("batch_stats", {})
+        tx = optax.sgd(0.1, momentum=0.9)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, s, images):
+            emb, mut = model_b.apply({"params": p, "batch_stats": s}, images,
+                                     train=True, mutable=["batch_stats"])
+            return jnp.sum(emb * emb), mut["batch_stats"]
+
+        @jax.jit
+        def step(p, s, o, images):
+            (l, s2), g = jax.value_and_grad(loss_fn, has_aux=True)(p, s, images)
+            u, o2 = tx.update(g, o, p)
+            return jax.tree.map(lambda a, b: a + b, p, u), s2, o2, l
+
+        lowered = step.lower(params, stats, opt_state, xb)
+        compiled = lowered.compile()
+        try:
+            step_flops = float(compiled.cost_analysis().get("flops", 0.0))
+        except Exception:
+            step_flops = 0.0
+        for _ in range(3):
+            params, stats, opt_state, l = compiled(params, stats, opt_state, xb)
+        jax.block_until_ready(l)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, stats, opt_state, l = compiled(params, stats, opt_state, xb)
+        jax.block_until_ready(l)
+        dt = time.perf_counter() - t0
+        sps = n_steps / dt
+        print(json.dumps({
+            "metric": f"backbone_{net_type}_fwdbwd_images_per_sec_chip_b{batch}",
+            "value": round(sps * batch, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(sps * step_flops / peak, 4) if step_flops else 0.0,
+            "detail": {"device": str(kind), "step_time_ms": round(1000 * dt / n_steps, 2),
+                       "step_flops": step_flops, "peak_flops": peak},
+        }))
+        return
 
     model = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
     optimizer = make_optimizer(cfg.optim)

@@ -74,3 +74,33 @@ def test_embedder_padding_and_flip(rng):
     # flip-average differs from plain
     emb2 = Embedder(model, variables, batch_size=4, flip_average=False)
     assert not np.allclose(out, emb2(x))
+
+
+def test_face_index_search(rng):
+    from vlsfr_tpu.eval.index import FaceIndex
+
+    emb, labels = make_separable_embeddings(rng, n_ids=8, per_id=4, d=16)
+    idx = FaceIndex(feat_dim=16)
+    idx.add(emb[::2], labels[::2])
+    idx.add(emb[1::2], labels[1::2])
+    assert len(idx) == len(emb)
+    vals, rows, got = idx.search(emb[:6], k=3)
+    assert vals.shape == (6, 3)
+    # top-1 should be (nearly) the query itself -> same label
+    np.testing.assert_array_equal(got[:, 0], labels[:6])
+    assert np.all(vals[:, 0] >= vals[:, 1])
+    # identify with a high threshold rejects nothing here
+    top = idx.identify(emb[:6], threshold=0.5)
+    np.testing.assert_array_equal(top, labels[:6])
+
+
+def test_face_index_sharded(rng):
+    from vlsfr_tpu.eval.index import FaceIndex
+    from vlsfr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, 8)
+    emb, labels = make_separable_embeddings(rng, n_ids=10, per_id=3, d=16)
+    idx = FaceIndex(feat_dim=16, mesh=mesh)
+    idx.add(emb, labels)  # 30 rows -> padded to 32 across 8 shards
+    vals, rows, got = idx.search(emb[:5], k=2)
+    np.testing.assert_array_equal(got[:, 0], labels[:5])

@@ -52,22 +52,41 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
         streaming = cfg.pool.num_classes >= cfg.pool.streaming_threshold
     else:
         streaming = cfg.pool.use_fused == "on"
-    loss_kw = dict(
-        loss_type=cfg.loss.loss_type,
-        margin=cfg.loss.margin,
-        scale=cfg.loss.scale,
-        mask_svfc=cfg.loss.mask_svfc,
-        streaming=streaming,
-    )
+    model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
+    if streaming and model_sharded:
+        # BASELINE config 5 path: class shards × streaming via shard_map
+        from vlsfr_tpu.parallel.sharded_margin import make_sharded_streaming_loss
+
+        sharded_loss = make_sharded_streaming_loss(
+            mesh,
+            loss_type=cfg.loss.loss_type,
+            margin=cfg.loss.margin,
+            scale=cfg.loss.scale,
+            hard_neg=1,  # no outlier rows in full-softmax training
+            mask_svfc=cfg.loss.mask_svfc,
+        )
+
+        def head_loss(emb, weights, labels):
+            return sharded_loss(emb, weights, labels)
+
+    else:
+        loss_kw = dict(
+            loss_type=cfg.loss.loss_type,
+            margin=cfg.loss.margin,
+            scale=cfg.loss.scale,
+            mask_svfc=cfg.loss.mask_svfc,
+            streaming=streaming,
+        )
+
+        def head_loss(emb, weights, labels):
+            return margin_softmax_loss(emb, weights, labels, mesh=mesh, **loss_kw)
 
     def loss_fn(params, batch_stats, images, labels):
         emb, mut = model.apply(
             {"params": params["backbone"], "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],
         )
-        loss, metrics = margin_softmax_loss(
-            emb, params["classifier"], labels, mesh=mesh, **loss_kw
-        )
+        loss, metrics = head_loss(emb, params["classifier"], labels)
         return loss, (mut["batch_stats"], metrics)
 
     def train_step(state: SoftmaxState, images, labels, lr_scale):
