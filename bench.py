@@ -82,10 +82,14 @@ def main():
         tx = optax.sgd(0.1, momentum=0.9)
         opt_state = tx.init(params)
 
+        tgt = jnp.asarray(rng0.standard_normal((batch, cfg.model.feat_dim)), jnp.float32)
+
         def loss_fn(p, s, images):
             emb, mut = model_b.apply({"params": p, "batch_stats": s}, images,
                                      train=True, mutable=["batch_stats"])
-            return jnp.sum(emb * emb), mut["batch_stats"]
+            # non-degenerate loss (sum(emb²) of normalized rows is constant
+            # and lets XLA DCE the whole backward)
+            return jnp.sum(emb * tgt), mut["batch_stats"]
 
         @jax.jit
         def step(p, s, o, images):
@@ -144,11 +148,16 @@ def main():
         state, m = compiled(state, x, y, idx, 1.0)
     jax.block_until_ready(m["loss"])
 
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = compiled(state, x, y, idx, 1.0)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     steps_per_sec = n_steps / dt
     images_per_sec = steps_per_sec * 2 * batch  # 2B images trained per step

@@ -121,3 +121,15 @@ def test_pretrained_from_previous_run(store, tmp_path):
     np.testing.assert_allclose(init_params, trained, atol=1e-6)
     np.testing.assert_allclose(gal, trained, atol=1e-6)  # gallery = copy
     t2.close()
+
+
+def test_softmax_sharded_streaming_head(store, tmp_path):
+    """full_softmax + mesh.model=2 + forced streaming → sharded shard_map path."""
+    cfg = tiny_cfg(store, tmp_path / "ss", head="full_softmax")
+    cfg.mesh.model = 2
+    cfg.mesh.data = 4
+    cfg.pool.use_fused = "on"
+    t = Trainer(cfg)
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    t.close()
