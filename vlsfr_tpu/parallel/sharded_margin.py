@@ -83,7 +83,6 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
     emb [B, D] sharded P(data, None); w [C, D] sharded P(model, None);
     labels [B] global class ids (or -1) sharded P(data).
     """
-    n_shards = mesh.shape[AXIS]
     kw = dict(loss_type=loss_type, margin=margin, mask_svfc=mask_svfc, scale=scale,
               k=hard_neg, normalize_w=normalize_w, tile=tile)
 

@@ -16,11 +16,9 @@ Layout:  <dir>/<step>/state/...   (orbax)
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -18,10 +18,7 @@ loop. Differences that matter (all deliberate, per SURVEY.md §7):
 
 from __future__ import annotations
 
-import time
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from vlsfr_tpu.config import Config
