@@ -41,6 +41,11 @@ PEAK_FLOPS = {
 
 def main():
     import jax
+
+    # persistent compile cache: repeated bench configs skip the (minutes-long
+    # over a tunneled chip) XLA compile
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.vlsfr_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from vlsfr_tpu.config import Config

@@ -114,3 +114,40 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_ffc_sharded_streaming_queue(rng):
+    """FFC step with a model-sharded queue + sharded streaming loss must
+    match the single-device dense step (values, several steps)."""
+    cfg = make_cfg()
+    cfg.pool.use_fused = "off"
+    mesh_1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    losses_dense, queue_dense = run_ffc_steps(mesh_1, cfg)
+
+    cfg_s = make_cfg()
+    cfg_s.pool.use_fused = "on"
+    mesh_8 = make_mesh(4, 2)
+    # run with the sharded streaming loss path
+    model = create_net(cfg_s.model.net_type, feat_dim=cfg_s.model.feat_dim,
+                       dtype=cfg_s.model.dtype)
+    optimizer = make_optimizer(cfg_s.optim)
+    schedule = make_schedule(cfg_s.optim, steps_per_epoch=10)
+    state = create_ffc_state(jax.random.PRNGKey(0), model, cfg_s, optimizer, 32)
+    state = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh_8)), state)
+    state = state.replace(queue=jax.device_put(state.queue, queue_sharding(mesh_8)))
+    step = jax.jit(
+        make_train_step(model, cfg_s, optimizer, schedule, mesh=mesh_8), donate_argnums=0
+    )
+    mgr = DCPManager(cfg_s.pool.queue_size)
+    r = np.random.default_rng(42)
+    bs = batch_sharding(mesh_8)
+    losses = []
+    for _ in range(3):
+        x = r.standard_normal((16, 32, 32, 3)).astype(np.float32)
+        y = r.standard_normal((16, 32, 32, 3)).astype(np.float32)
+        labels = r.integers(0, 100, size=16)
+        idx = mgr.plan_step(labels, labels)
+        state, m = step(state, jax.device_put(x, bs), jax.device_put(y, bs), idx, 1.0)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, losses_dense, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(state.queue), queue_dense, atol=2e-5)

@@ -83,6 +83,7 @@ def directional_loss(
     hard_neg: int,
     mask_svfc: float = 1.2,
     use_fused: bool = False,
+    sharded_loss_fn=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One direction: write gallery embeddings, score probe against both
     queue views, sum the two margin losses (reference ffc.py:180-202).
@@ -101,7 +102,12 @@ def directional_loss(
     weight = jax.lax.stop_gradient(mask * new_queue[1] + (1.0 - mask) * new_queue[0])
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
               mask_svfc=mask_svfc)
-    if use_fused:
+    if sharded_loss_fn is not None:
+        # mesh path: queue class-axis sharded over "model", streamed per
+        # shard (parallel/sharded_margin.py); queue rows already normalized
+        loss = sharded_loss_fn(p, new_queue[0], fake_labels)[0]
+        loss = loss + sharded_loss_fn(p, weight, fake_labels)[0]
+    elif use_fused:
         from vlsfr_tpu.ops.margin_pallas import fused_add_margin
 
         # queue rows are L2-normalized by construction (init + writes)
@@ -114,18 +120,34 @@ def directional_loss(
     return loss, new_queue
 
 
-def make_ffc_loss_fn(model, cfg: Config) -> Callable:
+def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     """Build the pure loss over one combined FFC step.
 
     ``model`` is the backbone flax Module (probe and gallery share it).
     Returns  fn(probe_params, state, x, y, idx) ->
     (loss, (new_queue, new_probe_stats, new_gallery_stats, metrics)).
+    With a mesh whose model axis > 1 and streaming enabled, the twin cosine
+    heads run through the sharded streaming loss (queue sharded on its
+    class axis; parallel/sharded_margin.py).
     """
     hard_neg = cfg.pool.hard_neg if cfg.pool.hard_neg > 0 else default_hard_neg(cfg.pool.queue_size)
     if cfg.pool.use_fused == "auto":
         use_fused = cfg.pool.queue_size >= cfg.pool.streaming_threshold
     else:
         use_fused = cfg.pool.use_fused == "on"
+    sharded_loss_fn = None
+    if use_fused and mesh is not None and mesh.shape.get("model", 1) > 1:
+        from vlsfr_tpu.parallel.sharded_margin import make_sharded_streaming_loss
+
+        sharded_loss_fn = make_sharded_streaming_loss(
+            mesh,
+            loss_type=cfg.loss.loss_type,
+            margin=cfg.loss.margin,
+            scale=cfg.loss.scale,
+            hard_neg=hard_neg,
+            mask_svfc=cfg.loss.mask_svfc,
+            normalize_w=False,
+        )
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -133,6 +155,7 @@ def make_ffc_loss_fn(model, cfg: Config) -> Callable:
         hard_neg=hard_neg,
         mask_svfc=cfg.loss.mask_svfc,
         use_fused=use_fused,
+        sharded_loss_fn=sharded_loss_fn,
     )
     m = cfg.pool.momentum
     fuse_fwd = cfg.pool.fuse_forward
@@ -202,13 +225,13 @@ def make_ffc_loss_fn(model, cfg: Config) -> Callable:
     return loss_fn
 
 
-def make_train_step(model, cfg: Config, optimizer, schedule) -> Callable:
+def make_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Callable:
     """Jittable train step: grads → optax update → new FFCState.
 
     ``schedule(step) * lr_scale`` sets the injected learning rate
     (lr_scale carries the host-side plateau factor).
     """
-    loss_fn = make_ffc_loss_fn(model, cfg)
+    loss_fn = make_ffc_loss_fn(model, cfg, mesh=mesh)
 
     def train_step(state: FFCState, x, y, idx: StepIndices, lr_scale):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

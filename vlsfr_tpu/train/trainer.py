@@ -112,7 +112,8 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.data.seed)
         if self.is_ffc:
             state = create_ffc_state(rng, self.model, cfg, self.optimizer, self.image_size)
-            step_fn = make_train_step(self.model, cfg, self.optimizer, self.schedule)
+            step_fn = make_train_step(self.model, cfg, self.optimizer, self.schedule,
+                                      mesh=self.mesh)
         else:
             state = create_softmax_state(
                 rng, self.model, cfg, self.optimizer, self.image_size, cfg.pool.num_classes
