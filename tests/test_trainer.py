@@ -133,3 +133,31 @@ def test_softmax_sharded_streaming_head(store, tmp_path):
     result = t.train()
     assert np.isfinite(result["loss"])
     t.close()
+
+
+def test_resume_mid_epoch(store, tmp_path):
+    """Checkpoint at a non-epoch boundary resumes at the right step."""
+    cfg = tiny_cfg(store, tmp_path / "mid")
+    cfg.optim.epochs = 1
+    cfg.train.save_freq = 3  # spe is 10 -> saves at steps 3,6,9,10(final)
+    t1 = Trainer(cfg)
+    spe = t1.steps_per_epoch
+    t1.train()
+    t1.close()
+    # delete the final checkpoint so the latest is mid-epoch
+    import shutil
+
+    ck = tmp_path / "mid" / "ckpt"
+    steps = sorted(int(p.name) for p in ck.iterdir() if p.name.isdigit())
+    for s in steps[-1:]:
+        shutil.rmtree(ck / str(s))
+        host = ck / f"host_{s}.npz"
+        if host.exists():
+            host.unlink()
+    cfg2 = tiny_cfg(store, tmp_path / "mid")
+    cfg2.optim.epochs = 1
+    cfg2.train.save_freq = 3
+    t2 = Trainer(cfg2)
+    assert t2.start_epoch == 0
+    assert t2.start_step == steps[-2] % spe
+    t2.close()

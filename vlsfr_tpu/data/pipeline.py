@@ -68,10 +68,14 @@ def decode_image(payload: bytes, image_size: int) -> np.ndarray:
 
 
 def normalize(img: np.ndarray, flip: bool) -> np.ndarray:
-    """Flip + (x−127.5)/128 to float32 (util/lmdb_loader.py:113-127), HWC."""
+    """Flip + (x−127.5)/128 to float32 (util/lmdb_loader.py:113-127), HWC.
+
+    Single fused pass: out = img·(1/128) − 127.5/128 (same constants)."""
     if flip:
         img = img[:, ::-1, :]
-    return (img.astype(np.float32) - 127.5) * 0.0078125
+    out = np.multiply(img, np.float32(0.0078125), dtype=np.float32)
+    out -= np.float32(127.5 * 0.0078125)
+    return out
 
 
 class InstanceStream:
@@ -81,12 +85,16 @@ class InstanceStream:
         self.reader = reader
         self.batch_size = batch_size
         self.seed = seed
+        self._perm_cache: tuple[int, np.ndarray] | None = None
 
     def steps_per_epoch(self) -> int:
         return len(self.reader) // self.batch_size
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
-        return _rng(self.seed, epoch, 0x1157).permutation(len(self.reader))
+        # cache: one O(N) permutation per epoch, not per batch
+        if self._perm_cache is None or self._perm_cache[0] != epoch:
+            self._perm_cache = (epoch, _rng(self.seed, epoch, 0x1157).permutation(len(self.reader)))
+        return self._perm_cache[1]
 
     def batch_indices(self, epoch: int, step: int) -> np.ndarray:
         perm = self.epoch_indices(epoch)
@@ -106,6 +114,7 @@ class PairStream:
         by_id = reader.labels_by_identity()
         self.identities = np.asarray(list(by_id.keys()))
         self.id_records = [by_id[int(i)] for i in self.identities]
+        self._perm_cache: tuple[tuple, np.ndarray] | None = None
 
     def steps_per_epoch(self) -> int:
         return max(len(self.identities) // self.batch_size, 1)
@@ -117,7 +126,12 @@ class PairStream:
         b = self.batch_size
         spe = self.steps_per_epoch()
         sub_epoch, sub_step = divmod(step, spe)
-        perm = _rng(self.seed, epoch, sub_epoch, 0x9A12).permutation(len(self.identities))
+        key = (epoch, sub_epoch)
+        if self._perm_cache is None or self._perm_cache[0] != key:
+            self._perm_cache = (
+                key, _rng(self.seed, epoch, sub_epoch, 0x9A12).permutation(len(self.identities))
+            )
+        perm = self._perm_cache[1]
         chosen = perm[sub_step * b : sub_step * b + b]
         if len(chosen) < b:  # wrap within the tail
             extra = perm[: b - len(chosen)]
@@ -125,12 +139,15 @@ class PairStream:
         labels = self.identities[chosen]
         rec1 = np.empty(b, dtype=np.int64)
         rec2 = np.empty(b, dtype=np.int64)
+        r = _rng(self.seed, epoch, step, 0x77)  # one draw stream per batch
         for k, ident_idx in enumerate(chosen):
             recs = self.id_records[int(ident_idx)]
-            r = _rng(self.seed, epoch, step, int(ident_idx), 0x77)
-            if len(recs) >= 2:
-                pick = r.choice(len(recs), size=2, replace=False)
-                rec1[k], rec2[k] = recs[pick[0]], recs[pick[1]]
+            n = len(recs)
+            if n >= 2:
+                i1 = int(r.integers(n))
+                i2 = int(r.integers(n - 1))
+                i2 += i2 >= i1  # distinct second pick
+                rec1[k], rec2[k] = recs[i1], recs[i2]
             else:
                 rec1[k] = rec2[k] = recs[0]
         return labels, rec1, rec2
@@ -178,26 +195,22 @@ class FFCPipeline:
         return self.instance.steps_per_epoch()
 
     # -- single-batch assembly (synchronous) ---------------------------
-    def _load_one(self, rec: int, flip_key: tuple) -> np.ndarray:
+    def _load_one(self, rec: int, flip: bool) -> np.ndarray:
         img = decode_image(self.reader.payload(int(rec)), self.image_size)
-        flip = bool(_rng(*flip_key).random() < 0.5)
         return normalize(img, flip)
 
     def make_batch(self, epoch: int, step: int) -> FFCBatch:
         b = self.batch_size
         half = b // 2
         ins = self.instance.batch_indices(epoch, step)
-        ins_labels = np.asarray([self.reader.label(int(i)) for i in ins])
+        ins_labels = np.asarray(self.reader.labels[ins])
         pair_labels, rec1, rec2 = self.pairs.batch(epoch, step)
 
-        jobs = []
-        for k, r in enumerate(rec1):
-            jobs.append((r, (self.seed, epoch, step, 0, k)))
-        for k, r in enumerate(rec2):
-            jobs.append((r, (self.seed, epoch, step, 1, k)))
-        for k, r in enumerate(ins):
-            jobs.append((r, (self.seed, epoch, step, 2, k)))
-        imgs = list(self.pool.map(lambda j: self._load_one(*j), jobs))
+        recs = np.concatenate([rec1, rec2, ins])
+        # one batch-level draw for all flip decisions (deterministic per
+        # (seed, epoch, step); cheaper than one Generator per image)
+        flips = _rng(self.seed, epoch, step, 0xF11).random(len(recs)) < 0.5
+        imgs = list(self.pool.map(self._load_one, recs, flips))
         p1 = np.stack(imgs[:half])
         p2 = np.stack(imgs[half : 2 * half])
         inst = np.stack(imgs[2 * half :])
@@ -288,16 +301,18 @@ class InstancePipeline:
     def steps_per_epoch(self) -> int:
         return self.instance.steps_per_epoch()
 
-    def _load_one(self, rec: int, flip_key: tuple) -> np.ndarray:
+    def _load_one(self, rec: int, flip: bool) -> np.ndarray:
         img = decode_image(self.reader.payload(int(rec)), self.image_size)
-        flip = self.augment and bool(_rng(*flip_key).random() < 0.5)
         return normalize(img, flip)
 
     def make_batch(self, epoch: int, step: int) -> InstanceBatch:
         idx = self.instance.batch_indices(epoch, step)
-        labels = np.asarray([self.reader.label(int(i)) for i in idx], dtype=np.int32)
-        jobs = [(r, (self.seed, epoch, step, 3, k)) for k, r in enumerate(idx)]
-        imgs = list(self.pool.map(lambda j: self._load_one(*j), jobs))
+        labels = np.asarray(self.reader.labels[idx], dtype=np.int32)
+        if self.augment:
+            flips = _rng(self.seed, epoch, step, 0xF12).random(len(idx)) < 0.5
+        else:
+            flips = np.zeros(len(idx), dtype=bool)
+        imgs = list(self.pool.map(self._load_one, idx, flips))
         return InstanceBatch(images=np.stack(imgs), labels=labels, epoch=epoch, step=step)
 
     def epoch_iter(self, epoch: int, start_step: int = 0):
