@@ -161,3 +161,22 @@ def test_streaming_softmax_loss_matches_dense(rng):
         )[0]
     )(jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=2e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+def test_pallas_bwd_interpret_matches_stream(loss_type, rng):
+    from vlsfr_tpu.ops.margin_pallas import _stream_bwd, pallas_margin_ce_bwd
+
+    emb, w, labels = make_case(rng, b=8, c=70, d=128)
+    gt = compute_gt(emb, w, labels, True)
+    kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, k=4, mask_svfc=1.2,
+              normalize_w=True, tile=32)
+    ce, neg, logz, topk = _stream_fwd(emb, w, labels, gt, **kw)
+    d_ce = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    d_neg = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    # the stream bwd masks cotangents internally; match that behavior
+    ge_s, gw_s = _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, **kw)
+    ge_p, gw_p = pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg,
+                                      interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=2e-5)

@@ -339,6 +339,141 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
 
 
 # ======================================================================
+# Pallas backward kernel
+# ======================================================================
+
+
+def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w):
+    def kernel(labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
+               emb_ref, w_ref,
+               dw_ref, demb_ref, dgt_ref,
+               demb_scr, dgt_scr):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            demb_scr[:] = jnp.zeros((b, d), jnp.float32)
+            dgt_scr[:] = jnp.zeros((b, 1), jnp.float32)
+
+        labels = labels_ref[:]  # [B,1]
+        gt = gt_ref[:]
+        logz = logz_ref[:]
+        kth = kth_ref[:]
+        d_ce = dce_ref[:]
+        d_neg = dneg_ref[:]
+        pos = labels >= 0
+
+        emb = emb_ref[:].astype(jnp.float32)
+        w_tile = w_ref[:].astype(jnp.float32)
+        if normalize_w:
+            n2 = jnp.maximum(jnp.sum(w_tile * w_tile, axis=-1, keepdims=True), 1e-24)
+            inv = jax.lax.rsqrt(n2)
+            wn = w_tile * inv
+        else:
+            wn = w_tile
+        cos = jnp.dot(emb, wn.T, preferred_element_type=jnp.float32)  # [B, T]
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        cos_v = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels
+        mod = _tile_modified(cos_v, is_target, gt, valid, loss_type, margin, mask_svfc)
+        p = jnp.exp(scale * mod - logz)
+        dz = (p - is_target.astype(jnp.float32)) * d_ce * scale
+        if loss_type == "SV":
+            hard = cos_v > (gt - margin)
+            col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+        else:
+            col_fac = 1.0
+        d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+        dgt_scr[:] = dgt_scr[:] + jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1, keepdims=True)
+        in_topk = (cos_v >= kth) & (cos_v > 0) & jnp.logical_not(pos)
+        d_cos = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
+        d_cos = jnp.where(valid, d_cos, 0.0)
+
+        demb_scr[:] = demb_scr[:] + jnp.dot(d_cos, wn, preferred_element_type=jnp.float32)
+        d_wn = jnp.dot(d_cos.T, emb, preferred_element_type=jnp.float32)  # [T, D]
+        if normalize_w:
+            dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+        else:
+            dw_ref[:] = d_wn
+
+        @pl.when(t == n_t - 1)
+        def _finalize():
+            demb_ref[:] = demb_scr[:]
+            dgt_ref[:] = dgt_scr[:]
+
+    return kernel
+
+
+def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type,
+                         margin, scale, k, mask_svfc, normalize_w, tile=512,
+                         interpret=False):
+    """Pallas backward: grid over class tiles, d_w written per tile block,
+    d_emb/d_gt accumulated in VMEM. The gt-gather path (label-row grads) is
+    applied by the caller in XLA (one B-row scatter)."""
+    b, d = emb.shape
+    c = w.shape[0]
+    wp, n_tiles = _pad_classes(w, c, tile)
+    kernel = _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                              mask_svfc, normalize_w)
+    pos = labels >= 0
+    d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
+    d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)
+    kth = topk[:, -1]
+    vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
+    dw_p, d_emb, d_gt = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # labels
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # gt
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # logz
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # kth
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # d_ce
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # d_neg
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),  # emb
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # w tile
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # d_w tile
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels.astype(jnp.int32)[:, None], vec(gt), vec(logz), vec(kth), vec(d_ce),
+      vec(d_neg), emb.astype(jnp.float32), wp)
+    d_w = dw_p[:c]
+
+    # gt-gather path (cheap, XLA): φ'(gt) routing into emb and w[labels]
+    d_gt = d_gt[:, 0] * _phi_prime(gt, loss_type, margin)
+    emb32 = emb.astype(jnp.float32)
+    safe = jnp.maximum(labels, 0)
+    wl = w[safe].astype(jnp.float32)
+    wln = _normalize_rows(wl) if normalize_w else wl
+    pos1 = pos.astype(jnp.float32)[:, None]
+    d_emb = d_emb + d_gt[:, None] * wln * pos1
+    d_wln = d_gt[:, None] * emb32 * pos1
+    if normalize_w:
+        n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)
+        inv = jax.lax.rsqrt(n2)
+        d_wl = inv * (d_wln - wln * jnp.sum(d_wln * wln, axis=-1, keepdims=True))
+    else:
+        d_wl = d_wln
+    d_w = d_w.at[safe].add(d_wl)
+    return d_emb.astype(emb.dtype), d_w.astype(w.dtype)
+
+
+# ======================================================================
 # public custom-VJP op
 # ======================================================================
 
@@ -391,11 +526,20 @@ def _vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, normalize_w, tile,
              use_pallas, res, cotangents):
     emb, w, labels, gt, logz, topk = res
     d_ce, d_neg = cotangents
-    d_emb, d_w = _stream_bwd(
-        emb, w, labels, gt, logz, topk, d_ce, d_neg,
-        loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
-        mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
-    )
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        d_emb, d_w = pallas_margin_ce_bwd(
+            emb, w, labels, gt, logz, topk, d_ce, d_neg,
+            loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+            mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+        )
+    else:
+        d_emb, d_w = _stream_bwd(
+            emb, w, labels, gt, logz, topk, d_ce, d_neg,
+            loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+            mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+        )
     return d_emb, d_w, None
 
 
