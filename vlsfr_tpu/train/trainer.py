@@ -170,7 +170,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _device_batch(self, *arrays):
-        return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+        if jax.process_count() == 1:
+            return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+        # multi-host: every host assembles the same deterministic global batch
+        # (stateless samplers), feeds only its slice; jax glues the global
+        # array view. (Round-2: restrict decode to the local slice too.)
+        from vlsfr_tpu.parallel.distributed import local_batch_slice
+
+        sl = local_batch_slice(arrays[0].shape[0])
+        return tuple(
+            jax.make_array_from_process_local_data(self._batch_sharding, a[sl])
+            for a in arrays
+        )
 
     def install_signal_handlers(self):
         """Preemption tolerance: SIGTERM/SIGINT triggers a final checkpoint
