@@ -161,3 +161,38 @@ def test_resume_mid_epoch(store, tmp_path):
     assert t2.start_epoch == 0
     assert t2.start_step == steps[-2] % spe
     t2.close()
+
+
+def test_ffc_actually_learns(tmp_path):
+    """End-to-end learning signal: verification accuracy on a separable
+    synthetic set must rise well above its starting point (measured
+    0.65 → 0.99 at 12 epochs; thresholds kept lenient for CI noise)."""
+    from vlsfr_tpu.data.synthetic import generate_synthetic_store
+
+    d = str(tmp_path / "learnstore")
+    generate_synthetic_store(d, num_ids=20, images_per_id=12, image_size=32, seed=0)
+    cfg = Config()
+    cfg.model.net_type = "toy"
+    cfg.model.feat_dim = 32
+    cfg.model.dtype = "float32"
+    cfg.data.sources = [d]
+    cfg.data.batch_size = 16
+    cfg.data.image_size = 32
+    cfg.data.num_workers = 2
+    cfg.pool.queue_size = 32
+    cfg.optim.epochs = 10
+    cfg.optim.lr = 0.05
+    cfg.optim.milestones = [8]
+    cfg.optim.gammas = [0.1]
+    cfg.loss.scale = 16.0
+    cfg.loss.margin = 0.3
+    cfg.train.saved_dir = str(tmp_path / "ckpt")
+    cfg.train.print_freq = 1000
+    cfg.train.save_freq = 10**9
+    t = Trainer(cfg)
+    acc0 = t.evaluate()["verification_acc"]
+    t.train()
+    acc1 = t.evaluate()["verification_acc"]
+    t.close()
+    assert acc1 > 0.85, f"did not learn: {acc0:.3f} -> {acc1:.3f}"
+    assert acc1 > acc0 + 0.1

@@ -302,6 +302,10 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
     """Forward pass on TPU: returns (ce [B], neg [B], logz [B], topk [B,k])."""
     b, d = emb.shape
     c = w.shape[0]
+    # clamp tile so the double-buffered w_tile + the [B, tile] working set
+    # fit the VMEM budget
+    max_tile = max(256, int((11 * 2**20) // (8 * d + 24 * b)) // 128 * 128)
+    tile = min(tile, max_tile)
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                               mask_svfc, normalize_w)
@@ -414,6 +418,10 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
     applied by the caller in XLA (one B-row scatter)."""
     b, d = emb.shape
     c = w.shape[0]
+    # VMEM budget: Mosaic double-buffers the blocked w_tile input AND d_w
+    # tile output (4·tile·d·4B total) plus ~6 [B, tile] f32 working buffers
+    max_tile = max(256, int((11 * 2**20) // (16 * d + 24 * b)) // 128 * 128)
+    tile = min(tile, max_tile)
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                               mask_svfc, normalize_w)
