@@ -64,7 +64,8 @@ def main():
     kind = getattr(dev, "device_kind", "cpu")
     peak = next((v for k, v in PEAK_FLOPS.items() if k.lower() in str(kind).lower()), 1e12)
 
-    mode = os.environ.get("BENCH_MODE", "ffc")  # ffc | backbone
+    mode = os.environ.get("BENCH_MODE", "ffc")  # ffc | backbone | softmax
+    num_classes = int(os.environ.get("BENCH_CLASSES", 1_048_576))
 
     cfg = Config()
     cfg.model.net_type = net_type
@@ -74,6 +75,51 @@ def main():
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
+
+    if mode == "softmax":
+        # BASELINE headline: 1M-identity ArcFace full-softmax training, one
+        # chip, streaming fused margin head (no [B, C] logits)
+        from vlsfr_tpu.train.softmax_head import create_softmax_state, make_softmax_train_step
+
+        cfg.pool.head = "full_softmax"
+        cfg.pool.num_classes = num_classes
+        model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
+        optimizer_s = make_optimizer(cfg.optim)
+        schedule_s = make_schedule(cfg.optim, steps_per_epoch=1000)
+        state = create_softmax_state(
+            jax.random.PRNGKey(0), model_s, cfg, optimizer_s, size, num_classes
+        )
+        rng0 = np.random.default_rng(0)
+        images = jnp.asarray(rng0.standard_normal((batch, size, size, 3)), jnp.float32)
+        labels = jnp.asarray(rng0.integers(0, num_classes, size=batch).astype(np.int32))
+        step = jax.jit(
+            make_softmax_train_step(model_s, cfg, optimizer_s, schedule_s), donate_argnums=0
+        )
+        lowered = step.lower(state, images, labels, 1.0)
+        compiled = lowered.compile()
+        try:
+            step_flops = float(compiled.cost_analysis().get("flops", 0.0))
+        except Exception:
+            step_flops = 0.0
+        for _ in range(3):
+            state, m = compiled(state, images, labels, 1.0)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, m = compiled(state, images, labels, 1.0)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        sps = n_steps / dt
+        print(json.dumps({
+            "metric": f"softmax_{net_type}_train_images_per_sec_chip_b{batch}_c{num_classes}",
+            "value": round(sps * batch, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(sps * step_flops / peak, 4) if step_flops else 0.0,
+            "detail": {"device": str(kind), "step_time_ms": round(1000 * dt / n_steps, 2),
+                       "num_classes": num_classes, "loss": float(m["loss"]),
+                       "step_flops": step_flops, "peak_flops": peak},
+        }))
+        return
 
     if mode == "backbone":
         # conv ceiling: backbone fwd+bwd only, no FFC machinery
