@@ -63,9 +63,12 @@ class NativeDCPManager:
         self._h = lib.dcp_create(queue_size)
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            self._lib.dcp_destroy(self._h)
-            self._h = None
+        try:
+            if getattr(self, "_h", None):
+                self._lib.dcp_destroy(self._h)
+                self._h = None
+        except Exception:  # interpreter teardown: ctypes may be gone
+            pass
 
     def plan_step(self, x_labels, y_labels) -> StepIndices:
         x = np.ascontiguousarray(x_labels, dtype=np.int64)

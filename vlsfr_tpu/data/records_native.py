@@ -90,4 +90,7 @@ class NativeRecordReader:
             self._h = None
 
     def __del__(self):
-        self.close()
+        try:
+            self.close()
+        except Exception:  # interpreter teardown
+            pass

@@ -50,6 +50,23 @@ class CheckpointManager:
             host["parity"] = kvs["parity"]
             host["queue_size"] = np.asarray(kvs["queue_size"])
         np.savez(self._host_path(step), **{k: np.asarray(v) for k, v in host.items()})
+        self._gc_host_sidecars()
+
+    def _gc_host_sidecars(self):
+        """Drop host sidecars whose orbax step was rotated out."""
+        import glob
+
+        live = set(self._mngr.all_steps())
+        for p in glob.glob(os.path.join(self.directory, "host_*.npz")):
+            try:
+                step = int(os.path.basename(p)[5:-4])
+            except ValueError:
+                continue
+            if step not in live:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def wait(self):
         self._mngr.wait_until_finished()
