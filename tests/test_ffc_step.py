@@ -216,3 +216,36 @@ def test_queue_rows_hold_written_embeddings(rng):
     want = np_embed(w_post, x)
     got = np.asarray(new_queue)[idx.b.rows, idx.b.cols]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bf16_queue_close_to_fp32(rng):
+    """pool.queue_dtype=bfloat16 tracks the fp32 queue within bf16 noise."""
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+
+    def run(queue_dtype):
+        cfg = small_cfg("Arc")
+        cfg.pool.queue_dtype = queue_dtype
+        model = TinyEmbed(feat_dim=cfg.model.feat_dim)
+        optimizer = make_optimizer(cfg.optim)
+        schedule = make_schedule(cfg.optim, steps_per_epoch=10)
+        state = create_ffc_state(jax.random.PRNGKey(0), model, cfg, optimizer, image_size=4)
+        step = make_train_step(model, cfg, optimizer, schedule)
+        mgr = DCPManager(cfg.pool.queue_size)
+        r = np.random.default_rng(5)
+        losses = []
+        for _ in range(4):
+            x = r.standard_normal((4, 4, 4, 3)).astype(np.float32)
+            y = r.standard_normal((4, 4, 4, 3)).astype(np.float32)
+            labels = r.integers(0, 30, size=4)
+            idx = mgr.plan_step(labels, labels)
+            state, m = step(state, jnp.asarray(x), jnp.asarray(y), idx, 1.0)
+            losses.append(float(m["loss"]))
+        return losses, state.queue
+
+    l32, q32 = run("float32")
+    l16, q16 = run("bfloat16")
+    assert q16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(l16, l32, rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(q16, dtype=np.float32), np.asarray(q32), atol=0.02
+    )

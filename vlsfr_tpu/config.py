@@ -96,6 +96,9 @@ class PoolConfig:
     """Dynamic Class Pool / FFC settings (reference ffc.py:29-48)."""
 
     queue_size: int = 1000
+    # DCP storage dtype; bfloat16 halves pool HBM traffic at large queue
+    # sizes (embeddings are unit-norm, bf16 cosine error ~1e-2)
+    queue_dtype: str = "float32"  # float32 | bfloat16
     momentum: float = 0.99  # EMA alpha for gallery net (--alpha, main.py:157)
     # hard_neg = clamp(int(queue_size*2e-4), 3, 10) as in ffc.py:48; -1 = auto
     hard_neg: int = -1

@@ -50,12 +50,14 @@ class FFCState(struct.PyTreeNode):
     opt_state: Any
 
 
-def init_queue(rng: jax.Array, queue_size: int, feat_dim: int) -> jnp.ndarray:
+def init_queue(
+    rng: jax.Array, queue_size: int, feat_dim: int, dtype=jnp.float32
+) -> jnp.ndarray:
     """Random init + L2 normalization over features (ffc.py:29-30).
 
     Uses uniform[0,1) like the reference's ``torch.rand``."""
     q = jax.random.uniform(rng, (2, queue_size, feat_dim), jnp.float32)
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return (q / jnp.linalg.norm(q, axis=-1, keepdims=True)).astype(dtype)
 
 
 def scatter_mask(seen: jnp.ndarray, cols: jnp.ndarray, queue_size: int) -> jnp.ndarray:
@@ -277,6 +279,8 @@ def create_ffc_state(
         probe_stats=probe_stats,
         gallery_params=jax.tree.map(jnp.copy, probe_params),
         gallery_stats=jax.tree.map(jnp.copy, probe_stats),
-        queue=init_queue(k_queue, cfg.pool.queue_size, cfg.model.feat_dim),
+        queue=init_queue(
+            k_queue, cfg.pool.queue_size, cfg.model.feat_dim, jnp.dtype(cfg.pool.queue_dtype)
+        ),
         opt_state=optimizer.init(probe_params),
     )

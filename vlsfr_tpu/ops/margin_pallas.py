@@ -505,8 +505,9 @@ def fused_margin_softmax(emb, w, labels, loss_type="Arc", margin=0.5, scale=32.0
 
 
 def _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
-              normalize_w, tile, use_pallas):
-    gt = compute_gt(emb, w, labels, normalize_w)
+              normalize_w, tile, use_pallas, gt=None):
+    if gt is None:
+        gt = compute_gt(emb, w, labels, normalize_w)
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -526,7 +527,8 @@ def _vjp_fwd(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
              normalize_w, tile, use_pallas):
     gt = compute_gt(emb, w, labels, normalize_w)
     ce, neg, logz, topk = _fwd_impl(emb, w, labels, loss_type, margin, scale,
-                                    hard_neg, mask_svfc, normalize_w, tile, use_pallas)
+                                    hard_neg, mask_svfc, normalize_w, tile, use_pallas,
+                                    gt=gt)
     return (ce, neg), (emb, w, labels, gt, logz, topk)
 
 
