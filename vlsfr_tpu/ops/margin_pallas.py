@@ -265,16 +265,25 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         )
         m_scr[:] = m_new
 
-        # running top-k merge: k argmax-extraction rounds over [B, k+T]
-        buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
-        buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
-        new_topk = []
-        for _ in range(k):
-            vmax = jnp.max(buf, axis=-1, keepdims=True)
-            amax = jnp.argmax(buf, axis=-1)[:, None]
-            new_topk.append(vmax)
-            buf = jnp.where(buf_col == amax, NEG_INF, buf)
-        topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
+        # running top-k merge: k argmax-extraction rounds over [B, k+T].
+        # The merge only matters when some row's tile max beats its current
+        # kth value — true for ~k·T/C of tiles once the running top-k warms
+        # up — so the whole O(k·T) merge is predicated on one cheap check.
+        kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)  # [B, 1]
+        tile_max = jnp.max(cos, axis=-1, keepdims=True)
+        needs_merge = jnp.any(tile_max > kth_cur)
+
+        @pl.when(needs_merge)
+        def _merge():
+            buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+            buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
+            new_topk = []
+            for _ in range(k):
+                vmax = jnp.max(buf, axis=-1, keepdims=True)
+                amax = jnp.argmax(buf, axis=-1)[:, None]
+                new_topk.append(vmax)
+                buf = jnp.where(buf_col == amax, NEG_INF, buf)
+            topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
 
         @pl.when(t == n_t - 1)
         def _finalize():
