@@ -104,3 +104,25 @@ def test_face_index_sharded(rng):
     idx.add(emb, labels)  # 30 rows -> padded to 32 across 8 shards
     vals, rows, got = idx.search(emb[:5], k=2)
     np.testing.assert_array_equal(got[:, 0], labels[:5])
+
+
+def test_profiling_utils(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from vlsfr_tpu.utils.profiling import StepTimer, trace_steps
+
+    timer = StepTimer()
+    for _ in range(3):
+        with timer:
+            jax.block_until_ready(jnp.ones(8) * 2)
+    s = timer.summary()
+    assert s["steps"] == 3 and s["mean_ms"] >= 0
+    with trace_steps(str(tmp_path / "tr"), enabled=True):
+        jax.block_until_ready(jnp.ones(8) + 1)
+    import glob
+
+    assert glob.glob(str(tmp_path / "tr" / "**" / "*.xplane.pb"), recursive=True)
+    # disabled path is a no-op
+    with trace_steps(str(tmp_path / "tr2"), enabled=False):
+        pass
