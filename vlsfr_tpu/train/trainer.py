@@ -203,10 +203,12 @@ class Trainer:
         cfg = self.cfg
         thr = Throughput(self.num_chips)
         last_metrics: dict = {}
+        # host-side step counter: reading state.step from device would force
+        # a sync every iteration and serialize host planning with the device
+        gstep = self.start_epoch * self.steps_per_epoch + self.start_step
         for epoch in range(self.start_epoch, cfg.optim.epochs):
             start = self.start_step if epoch == self.start_epoch else 0
             for batch in self.pipeline.epoch_iter(epoch, start_step=start):
-                gstep = int(self.state.step)
                 if self.is_ffc:
                     idx = self.dcp.plan_step(batch.x_label, batch.y_label)
                     x, y = self._device_batch(batch.x, batch.y)
@@ -233,7 +235,7 @@ class Trainer:
                     self._save(gstep)
                 if cfg.train.eval_freq and gstep % cfg.train.eval_freq == 0:
                     self.metrics.log(gstep, self.evaluate(), prefix="eval")
-        final_step = int(self.state.step)
+        final_step = gstep
         self._save(final_step)
         self.ckpt.wait()
         return dict(last_metrics, final_step=final_step)
