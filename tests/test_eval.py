@@ -126,3 +126,45 @@ def test_profiling_utils(tmp_path):
     # disabled path is a no-op
     with trace_steps(str(tmp_path / "tr2"), enabled=False):
         pass
+
+
+def test_insightface_bin_roundtrip(tmp_path, rng):
+    """Synthetic .bin in the insightface layout evaluates end-to-end."""
+    import pickle
+
+    import cv2
+
+    from vlsfr_tpu.eval.verification import evaluate_bin, load_insightface_bin
+    from vlsfr_tpu.models import create_net
+
+    # 6 pairs: 3 same (identical images), 3 different
+    bins, issame = [], []
+    def jpg(seed):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 255, size=(32, 32, 3)).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        return buf.tobytes()
+    for i in range(3):
+        b = jpg(i)
+        bins += [b, b]
+        issame.append(1)
+    for i in range(3):
+        bins += [jpg(100 + i), jpg(200 + i)]
+        issame.append(0)
+    p = tmp_path / "fake_lfw.bin"
+    with open(p, "wb") as f:
+        pickle.dump((bins, issame), f)
+
+    imgs, same = load_insightface_bin(str(p), 32)
+    assert imgs.shape == (12, 32, 32, 3)
+    np.testing.assert_array_equal(same, [1, 1, 1, 0, 0, 0])
+
+    model = create_net("toy", feat_dim=16)
+    import jax
+
+    variables = model.init(jax.random.PRNGKey(0), imgs[:1], train=False)
+    emb = Embedder(model, variables, batch_size=4)
+    res = evaluate_bin(emb, str(p), 32)
+    assert res["num_pairs"] == 6
+    # identical-image pairs score cosine 1.0 -> perfect separability here
+    assert res["verification_acc"] >= 0.8

@@ -26,7 +26,9 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", required=True, help="training saved_dir")
-    ap.add_argument("--store", nargs="+", required=True)
+    ap.add_argument("--store", nargs="*", default=[])
+    ap.add_argument("--bin", dest="bin_files", nargs="*", default=[],
+                    help="insightface-style verification .bin files (lfw.bin ...)")
     ap.add_argument("--net_type", default="r50")
     ap.add_argument("--feat_dim", type=int, default=512)
     ap.add_argument("--image_size", type=int, default=0)
@@ -61,42 +63,44 @@ def main():
         "batch_stats": restored["probe_stats"],
     }
 
-    reader = MultiSourceReader(args.store)
     emb = Embedder(model, variables, batch_size=args.batch_size)
-    embeddings = emb.from_reader(reader, size)
-    labels = np.asarray(reader.labels)
+    report = {"checkpoint_step": int(step)}
 
-    i1, i2, issame = make_verification_pairs(labels, args.num_pairs)
-    scores = cosine_scores(embeddings[i1], embeddings[i2])
-    acc, std = kfold_verification_accuracy(scores, issame)
-    tar = tar_at_far(scores, issame, far=1e-3)
-
-    # 1:N — first image per identity is the gallery, the rest are probes
-    first = {}
-    g_idx, p_idx = [], []
-    for i, l in enumerate(labels):
-        if int(l) not in first:
-            first[int(l)] = i
-            g_idx.append(i)
-        else:
-            p_idx.append(i)
-    rank1 = identification_topk(
-        embeddings[g_idx], labels[g_idx], embeddings[p_idx], labels[p_idx], k=1
-    ) if p_idx else float("nan")
-
-    print(
-        json.dumps(
-            {
-                "checkpoint_step": int(step),
-                "records": len(reader),
-                "verification_acc": round(acc, 4),
-                "verification_std": round(std, 4),
-                "tar_at_far1e-3": round(tar, 4),
-                "rank1_identification": round(rank1, 4),
-            }
+    if args.store:
+        reader = MultiSourceReader(args.store)
+        embeddings = emb.from_reader(reader, size)
+        labels = np.asarray(reader.labels)
+        i1, i2, issame = make_verification_pairs(labels, args.num_pairs)
+        scores = cosine_scores(embeddings[i1], embeddings[i2])
+        acc, std = kfold_verification_accuracy(scores, issame)
+        # 1:N — first image per identity is the gallery, the rest are probes
+        first, g_idx, p_idx = {}, [], []
+        for i, l in enumerate(labels):
+            if int(l) not in first:
+                first[int(l)] = i
+                g_idx.append(i)
+            else:
+                p_idx.append(i)
+        rank1 = identification_topk(
+            embeddings[g_idx], labels[g_idx], embeddings[p_idx], labels[p_idx], k=1
+        ) if p_idx else float("nan")
+        report.update(
+            records=len(reader),
+            verification_acc=round(acc, 4),
+            verification_std=round(std, 4),
+            tar_at_far1e_3=round(tar_at_far(scores, issame, 1e-3), 4),
+            rank1_identification=round(rank1, 4),
         )
-    )
-    reader.close()
+        reader.close()
+
+    for bin_path in args.bin_files:
+        from vlsfr_tpu.eval.verification import evaluate_bin
+
+        name = os.path.splitext(os.path.basename(bin_path))[0]
+        res = evaluate_bin(emb, bin_path, size)
+        report[name] = {k: round(v, 4) if isinstance(v, float) else v for k, v in res.items()}
+
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

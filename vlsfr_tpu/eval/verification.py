@@ -74,6 +74,41 @@ def identification_topk(
     return float(np.mean(hits))
 
 
+def load_insightface_bin(path: str, image_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Load an insightface-style verification ``.bin`` (lfw.bin, cfp_fp.bin,
+    agedb_30.bin…): a pickle of (encoded_image_bins, issame_list) where
+    consecutive image pairs share one issame flag.
+
+    Returns (images [2N, H, W, 3] float32 normalized, issame [N] int32).
+    The ecosystem-standard eval format — the reference has no eval at all.
+    """
+    import pickle
+
+    from vlsfr_tpu.data.pipeline import decode_image, normalize
+
+    with open(path, "rb") as f:
+        bins, issame = pickle.load(f, encoding="bytes")
+    imgs = np.stack(
+        [normalize(decode_image(bytes(b), image_size), False) for b in bins]
+    )
+    return imgs, np.asarray(issame, dtype=np.int32)
+
+
+def evaluate_bin(embedder, path: str, image_size: int) -> dict:
+    """Run the full verification protocol on a .bin file with the given
+    Embedder (flip-TTA included). Returns accuracy/TAR metrics."""
+    imgs, issame = load_insightface_bin(path, image_size)
+    emb = embedder(imgs)
+    scores = cosine_scores(emb[0::2], emb[1::2])
+    acc, std = kfold_verification_accuracy(scores, issame)
+    return {
+        "verification_acc": acc,
+        "verification_std": std,
+        "tar_at_far1e-3": tar_at_far(scores, issame, 1e-3),
+        "num_pairs": int(len(issame)),
+    }
+
+
 def make_verification_pairs(
     labels: np.ndarray, num_pairs: int, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
