@@ -37,6 +37,7 @@ def kfold_verification_accuracy(
     """LFW protocol: per fold, pick the threshold on the other folds, report
     held-out accuracy. Returns (mean, std)."""
     n = len(scores)
+    folds = max(2, min(folds, n))  # degenerate small sets: no empty folds
     order = np.random.default_rng(seed).permutation(n)
     splits = np.array_split(order, folds)
     accs = []
