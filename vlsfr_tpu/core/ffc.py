@@ -26,7 +26,6 @@ device→host ``.tolist()`` syncs per step (ffc.py:160,190).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
