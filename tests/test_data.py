@@ -137,3 +137,27 @@ def test_epoch_iter_prefetch(store):
     np.testing.assert_array_equal(resumed[0].x, steps[1].x)
     p.close()
     r.close()
+
+
+def test_reduced_decode(tmp_path):
+    """Stored 224², trained 112² → decode at 1/2 resolution (≈4× cheaper),
+    visually equivalent to full decode + resize."""
+    from vlsfr_tpu.data.pipeline import probe_decode_reduce
+
+    d = str(tmp_path / "big")
+    generate_synthetic_store(d, num_ids=2, images_per_id=2, image_size=224, seed=0)
+    r = MultiSourceReader([d])
+    assert probe_decode_reduce(r, 112) == 2
+    assert probe_decode_reduce(r, 224) == 1
+    assert probe_decode_reduce(r, 56) == 4
+    full = decode_image(r.payload(0), 112, reduce=1).astype(np.float32)
+    fast = decode_image(r.payload(0), 112, reduce=2).astype(np.float32)
+    assert fast.shape == (112, 112, 3)
+    # same content modulo resampling differences
+    assert np.mean(np.abs(full - fast)) < 8.0
+    p = FFCPipeline(r, batch_size=2, image_size=112, num_workers=1)
+    assert p.reduce == 2
+    b = p.make_batch(0, 0)
+    assert b.x.shape == (2, 112, 112, 3)
+    p.close()
+    r.close()

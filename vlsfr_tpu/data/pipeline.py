@@ -51,11 +51,18 @@ def _rng(*key: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence(entropy=key))
 
 
-def decode_image(payload: bytes, image_size: int) -> np.ndarray:
-    """JPEG bytes → HWC uint8 (3 channels), resized to image_size."""
+def decode_image(payload: bytes, image_size: int, reduce: int = 1) -> np.ndarray:
+    """JPEG bytes → HWC uint8 (3 channels), resized to image_size.
+
+    ``reduce`` ∈ {1, 2, 4, 8}: decode the JPEG at 1/reduce resolution
+    (libjpeg DCT-domain scaling — ~reduce² cheaper). The pipelines probe the
+    stored size once and pick the largest safe factor (e.g. the reference
+    stores 224² but trains 112² backbones → reduce=2 halves host CPU)."""
     if not _HAS_CV2:
         raise RuntimeError("cv2 unavailable; use synthetic raw records")
-    img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_UNCHANGED)
+    flag = {1: cv2.IMREAD_UNCHANGED, 2: cv2.IMREAD_REDUCED_COLOR_2,
+            4: cv2.IMREAD_REDUCED_COLOR_4, 8: cv2.IMREAD_REDUCED_COLOR_8}[reduce]
+    img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), flag)
     if img is None:
         raise ValueError("failed to decode image payload")
     if img.ndim == 2:  # grayscale → replicate (util/lmdb_loader.py:115-119)
@@ -65,6 +72,26 @@ def decode_image(payload: bytes, image_size: int) -> np.ndarray:
     if img.shape[0] != image_size or img.shape[1] != image_size:
         img = cv2.resize(img, (image_size, image_size))
     return img
+
+
+def probe_decode_reduce(reader, image_size: int) -> int:
+    """Pick the largest reduced-decode factor that still yields ≥ the target
+    resolution, by decoding one record."""
+    if not _HAS_CV2 or len(reader) == 0:
+        return 1
+    try:
+        probe = cv2.imdecode(
+            np.frombuffer(reader.payload(0), dtype=np.uint8), cv2.IMREAD_UNCHANGED
+        )
+        if probe is None:
+            return 1
+    except Exception:
+        return 1
+    stored = min(probe.shape[0], probe.shape[1])
+    r = 1
+    while r < 8 and stored // (r * 2) >= image_size:
+        r *= 2
+    return r
 
 
 def normalize(img: np.ndarray, flip: bool) -> np.ndarray:
@@ -186,6 +213,7 @@ class FFCPipeline:
         self.pairs = PairStream(reader, batch_size // 2, seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
+        self.reduce = probe_decode_reduce(reader, image_size)
 
     @property
     def num_class(self) -> int:
@@ -196,7 +224,7 @@ class FFCPipeline:
 
     # -- single-batch assembly (synchronous) ---------------------------
     def _load_one(self, rec: int, flip: bool) -> np.ndarray:
-        img = decode_image(self.reader.payload(int(rec)), self.image_size)
+        img = decode_image(self.reader.payload(int(rec)), self.image_size, self.reduce)
         return normalize(img, flip)
 
     def make_batch(self, epoch: int, step: int) -> FFCBatch:
@@ -293,6 +321,7 @@ class InstancePipeline:
         self.instance = InstanceStream(reader, batch_size, seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
+        self.reduce = probe_decode_reduce(reader, image_size)
 
     @property
     def num_class(self) -> int:
@@ -302,7 +331,7 @@ class InstancePipeline:
         return self.instance.steps_per_epoch()
 
     def _load_one(self, rec: int, flip: bool) -> np.ndarray:
-        img = decode_image(self.reader.payload(int(rec)), self.image_size)
+        img = decode_image(self.reader.payload(int(rec)), self.image_size, self.reduce)
         return normalize(img, flip)
 
     def make_batch(self, epoch: int, step: int) -> InstanceBatch:
