@@ -155,3 +155,35 @@ def test_label_smooth_matches_torch(rng):
     t = 0.9 * t + 0.1 / 10
     want = float((-t * lp).mean(0).sum())
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_arc_grad_finite_at_perfect_alignment(rng):
+    """gt == 1.0 exactly (converged model, bf16 rounding) must not NaN the
+    Arc gradient — d/dgt sqrt(1-gt²) diverges at 1 without the clamp.
+    (Latent defect in the reference's own math, ffc.py:101.)"""
+    import jax
+    import jax.numpy as jnp
+
+    q, d = 8, 4
+    w = rng.standard_normal((q, d)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    emb = w[2:3].copy()  # cosine with its own class == 1.0 exactly
+    labels = np.array([2], dtype=np.int32)
+
+    def loss(e):
+        cos = e @ w.T
+        return add_margin(cos, labels, loss_type="Arc", margin=0.5, scale=32.0, hard_neg=3)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(emb)))
+    assert np.all(np.isfinite(g)), g
+
+    # streaming path too
+    from vlsfr_tpu.ops.margin_pallas import fused_add_margin
+
+    def loss_s(e):
+        return fused_add_margin(e, jnp.asarray(w), jnp.asarray(labels),
+                                loss_type="Arc", margin=0.5, scale=32.0,
+                                hard_neg=3, normalize_w=False, tile=4, use_pallas=False)
+
+    gs = np.asarray(jax.grad(loss_s)(jnp.asarray(emb)))
+    assert np.all(np.isfinite(gs)), gs

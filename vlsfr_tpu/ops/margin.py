@@ -68,9 +68,13 @@ def margin_logits(
         target_val = gt - margin
         out = cos_theta * (1.0 - onehot) + target_val * onehot
     elif loss_type == "Arc":
-        sin_theta = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 0.0))
+        # clamp: d/dgt sqrt(1-gt²) → ∞ at |gt|=1, and a well-trained model
+        # reaches gt == 1.0 exactly (NaN grads; latent in the reference too,
+        # ffc.py:101 — hit here because bf16 cosines round to 1)
+        gt_c = jnp.clip(gt, -1.0 + 1e-6, 1.0 - 1e-6)
+        sin_theta = jnp.sqrt(1.0 - gt_c * gt_c)
         m = jnp.asarray(margin, dtype=jnp.float32)
-        target_val = gt * jnp.cos(m) - sin_theta * jnp.sin(m)
+        target_val = gt_c * jnp.cos(m) - sin_theta * jnp.sin(m)
         out = cos_theta * (1.0 - onehot) + target_val * onehot
     elif loss_type == "SV":
         hard = cos_theta > (gt - margin)  # [B, Q], includes target col

@@ -48,24 +48,32 @@ def _normalize_rows(w, eps=1e-12):
 
 
 def _phi_target(gt, loss_type: str, margin: float, mask_svfc: float):
-    """Modified target logit value φ(gt) (pre-scale)."""
+    """Modified target logit value φ(gt) (pre-scale).
+
+    Arc clamps |gt| (gradient of sqrt(1-gt²) diverges at exactly ±1, which a
+    converged model reaches; see ops/margin.py)."""
     if loss_type == "AM":
         return gt - margin
     if loss_type == "Arc":
-        sin = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 0.0))
-        return gt * np.cos(margin) - sin * np.sin(margin)
+        gt_c = jnp.clip(gt, -1.0 + 1e-6, 1.0 - 1e-6)
+        sin = jnp.sqrt(1.0 - gt_c * gt_c)
+        return gt_c * np.cos(margin) - sin * np.sin(margin)
     if loss_type == "SV":
         return jnp.where(gt > margin, gt - margin, gt)
     raise ValueError(loss_type)
 
 
 def _phi_prime(gt, loss_type: str, margin: float):
-    """dφ/dgt (the reference's autograd: mask/threshold treated constant)."""
+    """dφ/dgt (the reference's autograd: mask/threshold treated constant).
+
+    Matches the clamped _phi_target: zero slope outside the clamp range."""
     if loss_type == "AM":
         return jnp.ones_like(gt)
     if loss_type == "Arc":
-        sin = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 1e-12))
-        return np.cos(margin) + gt / sin * np.sin(margin)
+        inside = jnp.abs(gt) < 1.0 - 1e-6
+        gt_c = jnp.clip(gt, -1.0 + 1e-6, 1.0 - 1e-6)
+        sin = jnp.sqrt(1.0 - gt_c * gt_c)
+        return jnp.where(inside, np.cos(margin) + gt_c / sin * np.sin(margin), 0.0)
     if loss_type == "SV":
         return jnp.ones_like(gt)
     raise ValueError(loss_type)
@@ -288,13 +296,7 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         @pl.when(t == n_t - 1)
         def _finalize():
             logz = m_scr[:] + jnp.log(s_scr[:])
-            if loss_type == "AM":
-                phi = gt - margin
-            elif loss_type == "Arc":
-                sin = jnp.sqrt(jnp.maximum(1.0 - gt * gt, 0.0))
-                phi = gt * np.cos(margin) - sin * np.sin(margin)
-            else:
-                phi = jnp.where(gt > margin, gt - margin, gt)
+            phi = _phi_target(gt, loss_type, margin, mask_svfc)
             pos = labels >= 0
             ce_ref[:] = jnp.where(pos, logz - scale * phi, 0.0)
             neg_ref[:] = jnp.where(
