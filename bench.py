@@ -121,6 +121,37 @@ def main():
         }))
         return
 
+    if mode == "infer":
+        # serving path: embedding extraction throughput (eval/extract.py)
+        model_i = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
+        rng0 = np.random.default_rng(0)
+        x = jnp.asarray(rng0.standard_normal((batch, size, size, 3)), jnp.float32)
+        variables = model_i.init(jax.random.PRNGKey(0), x, train=False)
+        fwd = jax.jit(lambda im: model_i.apply(variables, im, train=False))
+        lowered = fwd.lower(x)
+        compiled = lowered.compile()
+        try:
+            step_flops = float(compiled.cost_analysis().get("flops", 0.0))
+        except Exception:
+            step_flops = 0.0
+        for _ in range(3):
+            out = compiled(x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out = compiled(x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        sps = n_steps / dt
+        print(json.dumps({
+            "metric": f"infer_{net_type}_embeddings_per_sec_chip_b{batch}",
+            "value": round(sps * batch, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(sps * step_flops / peak, 4) if step_flops else 0.0,
+            "detail": {"device": str(kind), "batch_latency_ms": round(1000 * dt / n_steps, 2)},
+        }))
+        return
+
     if mode == "backbone":
         # conv ceiling: backbone fwd+bwd only, no FFC machinery
         import optax
