@@ -21,17 +21,41 @@ def generate_synthetic_store(
     image_size: int = 112,
     seed: int = 0,
     db_name: str = "syn",
+    hard: bool = False,
 ) -> str:
+    """``hard=False``: each identity is a distinct low-frequency pattern —
+    trivially separable (good for mechanics tests; even a random backbone
+    verifies at ~1.0). ``hard=True``: identities are small perturbations of a
+    shared "face manifold" (a few global basis patterns mixed with
+    identity-specific coefficients close to a common mean) plus strong
+    per-image jitter — inter-identity distances are small, so verification
+    accuracy actually measures learned discrimination."""
     import cv2
 
     rng = np.random.default_rng(seed)
+    if hard:
+        k = 8  # shared basis patterns
+        basis = rng.uniform(-1, 1, size=(k, 8, 8, 3)).astype(np.float32)
+        mean_coef = rng.uniform(-1, 1, size=k).astype(np.float32)
     with FaceRecordWriter(directory) as w:
         for ident in range(num_ids):
-            # low-frequency base pattern per identity
-            low = rng.uniform(0, 255, size=(8, 8, 3)).astype(np.float32)
+            if hard:
+                coef = mean_coef + 0.18 * rng.standard_normal(k).astype(np.float32)
+                low = np.tensordot(coef, basis, axes=1)
+                low = 127.5 + 60.0 * low / max(np.abs(low).max(), 1e-6)
+            else:
+                low = rng.uniform(0, 255, size=(8, 8, 3)).astype(np.float32)
             base = cv2.resize(low, (image_size, image_size), interpolation=cv2.INTER_CUBIC)
             for j in range(images_per_id):
-                img = base + rng.normal(0, 12, size=base.shape) + rng.uniform(-20, 20)
+                img = base.copy()
+                if hard:
+                    # strong per-image nuisance: brightness, contrast, shift, noise
+                    img = img * rng.uniform(0.75, 1.25) + rng.uniform(-25, 25)
+                    sh = rng.integers(-image_size // 8, image_size // 8 + 1, size=2)
+                    img = np.roll(img, tuple(sh), axis=(0, 1))
+                    img = img + rng.normal(0, 16, size=img.shape)
+                else:
+                    img = img + rng.normal(0, 12, size=img.shape) + rng.uniform(-20, 20)
                 img = np.clip(img, 0, 255).astype(np.uint8)
                 ok, buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 92])
                 assert ok
