@@ -37,10 +37,11 @@ def generate_synthetic_store(
         k = 8  # shared basis patterns
         basis = rng.uniform(-1, 1, size=(k, 8, 8, 3)).astype(np.float32)
         mean_coef = rng.uniform(-1, 1, size=k).astype(np.float32)
+        id_spread = 0.5  # identity signal vs shared mean
     with FaceRecordWriter(directory) as w:
         for ident in range(num_ids):
             if hard:
-                coef = mean_coef + 0.18 * rng.standard_normal(k).astype(np.float32)
+                coef = mean_coef + id_spread * rng.standard_normal(k).astype(np.float32)
                 low = np.tensordot(coef, basis, axes=1)
                 low = 127.5 + 60.0 * low / max(np.abs(low).max(), 1e-6)
             else:
@@ -49,11 +50,9 @@ def generate_synthetic_store(
             for j in range(images_per_id):
                 img = base.copy()
                 if hard:
-                    # strong per-image nuisance: brightness, contrast, shift, noise
-                    img = img * rng.uniform(0.75, 1.25) + rng.uniform(-25, 25)
-                    sh = rng.integers(-image_size // 8, image_size // 8 + 1, size=2)
-                    img = np.roll(img, tuple(sh), axis=(0, 1))
-                    img = img + rng.normal(0, 16, size=img.shape)
+                    # per-image nuisance: brightness, contrast, noise
+                    img = img * rng.uniform(0.9, 1.1) + rng.uniform(-12, 12)
+                    img = img + rng.normal(0, 10, size=img.shape)
                 else:
                     img = img + rng.normal(0, 12, size=img.shape) + rng.uniform(-20, 20)
                 img = np.clip(img, 0, 255).astype(np.uint8)
