@@ -112,7 +112,7 @@ def test_step_equivalence_with_reference_protocol(loss_type, rng):
     wg = rng.standard_normal((din, d)).astype(np.float32) * 0.3
     queue0 = np.asarray(init_queue(jax.random.PRNGKey(3), q, d))
 
-    oracle = RefFFCStepRunner = RefProtocolOracle(wp, wg, queue0, cfg)
+    oracle = RefProtocolOracle(wp, wg, queue0, cfg)
     mgr = DCPManager(q)
     loss_fn = make_ffc_loss_fn(model, cfg)
     state = FFCState(
