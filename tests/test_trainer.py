@@ -196,3 +196,17 @@ def test_ffc_actually_learns(tmp_path):
     t.close()
     assert acc1 > 0.85, f"did not learn: {acc0:.3f} -> {acc1:.3f}"
     assert acc1 > acc0 + 0.1
+
+
+def test_classifier_padding_for_sharding(store, tmp_path):
+    """num_classes not divisible by the model axis gets padded up."""
+    cfg = tiny_cfg(store, tmp_path / "pad", head="full_softmax")
+    cfg.mesh.model = 4
+    cfg.mesh.data = 2
+    cfg.pool.num_classes = 10  # -> 12 over 4 shards
+    t = Trainer(cfg)
+    assert t.cfg.pool.num_classes == 12
+    assert t.state.params["classifier"].shape[0] == 12
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    t.close()

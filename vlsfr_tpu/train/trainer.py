@@ -95,6 +95,15 @@ class Trainer:
             self.dcp = None
             if cfg.pool.num_classes <= 0:
                 cfg.pool.num_classes = reader.num_class
+            m = self.mesh.shape.get("model", 1)
+            if cfg.pool.num_classes % m:
+                # class axis must divide the model shards; ghost classes are
+                # plain extra negatives (never targets) — effect on the CE
+                # denominator is O(m / num_classes)
+                padded = (cfg.pool.num_classes + m - 1) // m * m
+                logger.info("padding num_classes %d -> %d for %d-way class sharding",
+                            cfg.pool.num_classes, padded, m)
+                cfg.pool.num_classes = padded
 
         spe = cfg.train.steps_per_epoch or self.pipeline.steps_per_epoch()
         self.steps_per_epoch = max(spe, 1)
