@@ -210,3 +210,17 @@ def test_classifier_padding_for_sharding(store, tmp_path):
     result = t.train()
     assert np.isfinite(result["loss"])
     t.close()
+
+
+def test_ffc_trainer_with_model_sharded_queue(store, tmp_path):
+    """FFC head through the Trainer with a 2-way model-sharded queue and the
+    sharded streaming loss."""
+    cfg = tiny_cfg(store, tmp_path / "ffcshard")
+    cfg.mesh.model = 2
+    cfg.mesh.data = 4
+    cfg.pool.queue_size = 16
+    cfg.pool.use_fused = "on"
+    t = Trainer(cfg)
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    t.close()
