@@ -151,3 +151,31 @@ def test_ffc_sharded_streaming_queue(rng):
         losses.append(float(m["loss"]))
     np.testing.assert_allclose(losses, losses_dense, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(state.queue), queue_dense, atol=2e-5)
+
+
+def test_sampled_partial_fc(rng):
+    from vlsfr_tpu.parallel.partial_fc import margin_softmax_loss, sampled_margin_softmax_loss
+
+    b, d, c = 8, 16, 512
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+
+    loss_s, m = sampled_margin_softmax_loss(
+        jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels), key, num_sampled=64
+    )
+    assert np.isfinite(float(loss_s))
+    # grads only touch sampled rows
+    g = jax.grad(
+        lambda ww: sampled_margin_softmax_loss(
+            jnp.asarray(emb), ww, jnp.asarray(labels), key, num_sampled=64
+        )[0]
+    )(jnp.asarray(w))
+    touched = np.unique(np.nonzero(np.abs(np.asarray(g)).max(-1) > 0)[0])
+    assert len(touched) <= 64
+    assert set(labels.tolist()).issubset(set(touched.tolist()))
+    # sampled CE lower-bounds the full CE (smaller denominator)
+    loss_full, _ = margin_softmax_loss(jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels))
+    assert float(loss_s) <= float(loss_full) + 1e-4

@@ -88,3 +88,41 @@ def margin_softmax_loss(
     ce = logz - target
     acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
     return jnp.mean(ce), {"ce": jnp.mean(ce), "train_acc": acc}
+
+
+def sampled_margin_softmax_loss(
+    emb: jnp.ndarray,
+    weights: jnp.ndarray,
+    labels: jnp.ndarray,
+    rng: jax.Array,
+    num_sampled: int,
+    *,
+    loss_type: str = "Arc",
+    margin: float = 0.5,
+    scale: float = 32.0,
+    mask_svfc: float = 1.2,
+) -> tuple[jnp.ndarray, dict]:
+    """Partial-FC class sampling (arXiv 2010.05222): the CE denominator uses
+    the batch's positive classes plus a per-step random subset of negatives,
+    so the classifier matmul/grad touch only ``num_sampled`` rows instead of
+    ``num_classes`` (the paper shows ~0.1 sample rates preserve accuracy).
+
+    The sampled set is ``unique(labels) ∪ random`` — positives first so
+    every target is present; duplicates with the random tail merely appear
+    twice in the denominator (the paper's CPLFU variant has the same
+    property). Gradients reach the sampled weight rows via the gather's
+    scatter-add transpose; untouched rows get exact zero grads.
+    """
+    c = weights.shape[0]
+    b = emb.shape[0]
+    assert num_sampled >= b, "num_sampled must cover the batch's positives"
+    rand = jax.random.randint(rng, (num_sampled - b,), 0, c)
+    sampled = jnp.concatenate([labels.astype(jnp.int32), rand.astype(jnp.int32)])
+    w_sub = weights[sampled]  # [S, D] gather; VJP scatter-adds into full W
+    # remap each row's label to its (first-occurrence) position in `sampled`
+    local_labels = jnp.arange(b, dtype=jnp.int32)
+    loss, metrics = margin_softmax_loss(
+        emb, w_sub, local_labels, loss_type=loss_type, margin=margin, scale=scale,
+        mask_svfc=mask_svfc,
+    )
+    return loss, dict(metrics, sampled_classes=jnp.int32(num_sampled))
