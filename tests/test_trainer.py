@@ -224,3 +224,12 @@ def test_ffc_trainer_with_model_sharded_queue(store, tmp_path):
     result = t.train()
     assert np.isfinite(result["loss"])
     t.close()
+
+
+def test_sampled_partial_fc_head(store, tmp_path):
+    cfg = tiny_cfg(store, tmp_path / "samp", head="full_softmax")
+    cfg.pool.sample_rate = 0.5
+    t = Trainer(cfg)
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    t.close()

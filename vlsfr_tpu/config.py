@@ -110,6 +110,10 @@ class PoolConfig:
     # "auto" switches it on once the class axis reaches streaming_threshold
     use_fused: str = "auto"  # auto | on | off
     streaming_threshold: int = 131072
+    # partial-FC negative sampling (arXiv 2010.05222) for the full_softmax
+    # head: fraction of classes in each step's CE denominator (0 = off).
+    # Positives are always included.
+    sample_rate: float = 0.0
     # batch the two probe (and two gallery) passes into one 2B forward —
     # faster on TPU; BN batch stats then span 2B samples (perf mode, not
     # bit-equivalent to the reference's per-pass statistics)

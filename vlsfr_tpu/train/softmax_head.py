@@ -53,7 +53,25 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
     else:
         streaming = cfg.pool.use_fused == "on"
     model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
-    if streaming and model_sharded:
+    if cfg.pool.sample_rate > 0:
+        # partial-FC sampling: per-step denominator = positives + sampled
+        # negatives (arXiv 2010.05222); key derived from the step counter
+        from vlsfr_tpu.parallel.partial_fc import sampled_margin_softmax_loss
+
+        num_sampled = max(
+            cfg.data.batch_size,
+            int(cfg.pool.num_classes * cfg.pool.sample_rate),
+        )
+
+        def head_loss(emb, weights, labels, step):
+            key = jax.random.fold_in(jax.random.PRNGKey(17), step)
+            return sampled_margin_softmax_loss(
+                emb, weights, labels, key, num_sampled,
+                loss_type=cfg.loss.loss_type, margin=cfg.loss.margin,
+                scale=cfg.loss.scale, mask_svfc=cfg.loss.mask_svfc,
+            )
+
+    elif streaming and model_sharded:
         # BASELINE config 5 path: class shards × streaming via shard_map
         from vlsfr_tpu.parallel.sharded_margin import make_sharded_streaming_loss
 
@@ -66,7 +84,8 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
             mask_svfc=cfg.loss.mask_svfc,
         )
 
-        def head_loss(emb, weights, labels):
+        def head_loss(emb, weights, labels, step):
+            del step
             return sharded_loss(emb, weights, labels)
 
     else:
@@ -78,21 +97,22 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
             streaming=streaming,
         )
 
-        def head_loss(emb, weights, labels):
+        def head_loss(emb, weights, labels, step):
+            del step
             return margin_softmax_loss(emb, weights, labels, mesh=mesh, **loss_kw)
 
-    def loss_fn(params, batch_stats, images, labels):
+    def loss_fn(params, batch_stats, images, labels, step):
         emb, mut = model.apply(
             {"params": params["backbone"], "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],
         )
-        loss, metrics = head_loss(emb, params["classifier"], labels)
+        loss, metrics = head_loss(emb, params["classifier"], labels, step)
         return loss, (mut["batch_stats"], metrics)
 
     def train_step(state: SoftmaxState, images, labels, lr_scale):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, images, labels
+            state.params, state.batch_stats, images, labels, state.step
         )
         lr = schedule(state.step) * lr_scale
         state.opt_state.hyperparams["learning_rate"] = lr
