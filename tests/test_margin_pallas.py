@@ -180,3 +180,28 @@ def test_pallas_bwd_interpret_matches_stream(loss_type, rng):
                                       interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=2e-5)
+
+
+def test_pallas_bwd_tile_skip_concentrated(rng):
+    """Converged-model distribution (emb ≈ its class weight): most tiles
+    carry no softmax mass; the skip-gated Pallas bwd must still match."""
+    from vlsfr_tpu.ops.margin_pallas import _stream_bwd, pallas_margin_ce_bwd
+
+    b, c, d = 6, 256, 16
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    labels = np.arange(b, dtype=np.int32) * 40  # spread across tiles
+    emb = w[labels] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb, wj, lj = jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels)
+    gt = compute_gt(emb, wj, lj, False)
+    kw = dict(loss_type="Arc", margin=0.5, scale=48.0, k=3, mask_svfc=1.2,
+              normalize_w=False, tile=16)
+    ce, neg, logz, topk = _stream_fwd(emb, wj, lj, gt, **kw)
+    d_ce = jnp.ones(b, jnp.float32)
+    d_neg = jnp.zeros(b, jnp.float32)
+    ge_s, gw_s = _stream_bwd(emb, wj, lj, gt, logz, topk, d_ce, d_neg, **kw)
+    ge_p, gw_p = pallas_margin_ce_bwd(emb, wj, lj, gt, logz, topk, d_ce, d_neg,
+                                      interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=3e-5)

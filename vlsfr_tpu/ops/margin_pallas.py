@@ -386,6 +386,7 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
             inv = jax.lax.rsqrt(n2)
             wn = w_tile * inv
         else:
+            inv = None
             wn = w_tile
         cos = jnp.dot(emb, wn.T, preferred_element_type=jnp.float32)  # [B, T]
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
@@ -393,25 +394,43 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         cos_v = jnp.where(valid, cos, NEG_INF)
         is_target = col == labels
         mod = _tile_modified(cos_v, is_target, gt, valid, loss_type, margin, mask_svfc)
-        p = jnp.exp(scale * mod - logz)
-        dz = (p - is_target.astype(jnp.float32)) * d_ce * scale
-        if loss_type == "SV":
-            hard = cos_v > (gt - margin)
-            col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
-        else:
-            col_fac = 1.0
-        d_cos = jnp.where(is_target, 0.0, dz * col_fac)
-        dgt_scr[:] = dgt_scr[:] + jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1, keepdims=True)
-        in_topk = (cos_v >= kth) & (cos_v > 0) & jnp.logical_not(pos)
-        d_cos = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
-        d_cos = jnp.where(valid, d_cos, 0.0)
+        z = scale * mod
 
-        demb_scr[:] = demb_scr[:] + jnp.dot(d_cos, wn, preferred_element_type=jnp.float32)
-        d_wn = jnp.dot(d_cos.T, emb, preferred_element_type=jnp.float32)  # [T, D]
-        if normalize_w:
-            dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
-        else:
-            dw_ref[:] = d_wn
+        # tile-relevance gate: softmax columns with z − logz < −20 carry
+        # p < 2e-9 — below fp32 gradient noise. Once a model concentrates its
+        # probability mass, most class tiles fail all three tests and the
+        # whole exp/select/matmul block is skipped (dw written as zeros).
+        ce_mass = jnp.any((jnp.max(z, axis=-1, keepdims=True) - logz > -20.0) & (d_ce != 0))
+        has_target = jnp.any(is_target & (d_ce != 0))
+        has_topk = jnp.any((cos_v >= kth) & (cos_v > 0) & jnp.logical_not(pos) & (d_neg != 0))
+        needs_work = ce_mass | has_target | has_topk
+
+        @pl.when(needs_work)
+        def _heavy():
+            p = jnp.exp(z - logz)
+            dz = (p - is_target.astype(jnp.float32)) * d_ce * scale
+            if loss_type == "SV":
+                hard = cos_v > (gt - margin)
+                col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+            else:
+                col_fac = 1.0
+            d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+            dgt_scr[:] = dgt_scr[:] + jnp.sum(
+                jnp.where(is_target, dz, 0.0), axis=-1, keepdims=True
+            )
+            in_topk = (cos_v >= kth) & (cos_v > 0) & jnp.logical_not(pos)
+            d_cos2 = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
+            d_cos2 = jnp.where(valid, d_cos2, 0.0)
+            demb_scr[:] = demb_scr[:] + jnp.dot(d_cos2, wn, preferred_element_type=jnp.float32)
+            d_wn = jnp.dot(d_cos2.T, emb, preferred_element_type=jnp.float32)  # [T, D]
+            if normalize_w:
+                dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+            else:
+                dw_ref[:] = d_wn
+
+        @pl.when(jnp.logical_not(needs_work))
+        def _skip():
+            dw_ref[:] = jnp.zeros((tile, d), jnp.float32)
 
         @pl.when(t == n_t - 1)
         def _finalize():
