@@ -83,6 +83,7 @@ def main():
 
         cfg.pool.head = "full_softmax"
         cfg.pool.num_classes = num_classes
+        cfg.pool.sample_rate = float(os.environ.get("BENCH_SAMPLE_RATE", 0.0))
         model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
         optimizer_s = make_optimizer(cfg.optim)
         schedule_s = make_schedule(cfg.optim, steps_per_epoch=1000)
@@ -110,8 +111,9 @@ def main():
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         sps = n_steps / dt
+        tag = "sampled_softmax" if cfg.pool.sample_rate > 0 else "softmax"
         print(json.dumps({
-            "metric": f"softmax_{net_type}_train_images_per_sec_chip_b{batch}_c{num_classes}",
+            "metric": f"{tag}_{net_type}_train_images_per_sec_chip_b{batch}_c{num_classes}",
             "value": round(sps * batch, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(sps * step_flops / peak, 4) if step_flops else 0.0,
