@@ -161,3 +161,14 @@ def test_reduced_decode(tmp_path):
     assert b.x.shape == (2, 112, 112, 3)
     p.close()
     r.close()
+
+
+def test_grayscale_decode_contract(tmp_path):
+    """Grayscale JPEGs replicate to 3 channels (util/lmdb_loader.py:115-119)."""
+    gray = np.linspace(0, 255, 32 * 32, dtype=np.uint8).reshape(32, 32)
+    ok, buf = cv2.imencode(".jpg", gray)
+    assert ok
+    img = decode_image(buf.tobytes(), 32)
+    assert img.shape == (32, 32, 3)
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+    np.testing.assert_array_equal(img[..., 1], img[..., 2])
