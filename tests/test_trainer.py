@@ -233,3 +233,63 @@ def test_sampled_partial_fc_head(store, tmp_path):
     result = t.train()
     assert np.isfinite(result["loss"])
     t.close()
+
+
+def test_sparse_classifier_update_matches_dense_when_all_sampled(store, tmp_path):
+    """With every class sampled exactly once, the sparse row-wise SGD must
+    match the dense optax trajectory exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlsfr_tpu.models import create_net
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+    from vlsfr_tpu.train.softmax_head import create_softmax_state, make_softmax_train_step
+
+    def build(sparse):
+        cfg = Config()
+        cfg.model.net_type = "toy"
+        cfg.model.feat_dim = 16
+        cfg.model.dtype = "float32"
+        cfg.data.batch_size = 8
+        cfg.pool.head = "full_softmax"
+        cfg.pool.num_classes = 8  # == batch -> sampled set = labels only
+        cfg.pool.sample_rate = 1e-9  # num_sampled = max(batch, ~0) = 8
+        cfg.pool.sparse_update = sparse
+        cfg.optim.lr = 0.05
+        model = create_net("toy", feat_dim=16)
+        opt = make_optimizer(cfg.optim)
+        sched = make_schedule(cfg.optim, steps_per_epoch=10)
+        state = create_softmax_state(jax.random.PRNGKey(0), model, cfg, opt, 32, 8)
+        step = make_softmax_train_step(model, cfg, opt, sched)
+        return state, step
+
+    rng_ = np.random.default_rng(3)
+    images = rng_.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    labels = rng_.permutation(8).astype(np.int32)  # every class exactly once
+
+    s_sparse, step_sparse = build(True)
+    s_dense, step_dense = build(False)
+    for _ in range(3):
+        s_sparse, m1 = step_sparse(s_sparse, jnp.asarray(images), jnp.asarray(labels), 1.0)
+        s_dense, m2 = step_dense(s_dense, jnp.asarray(images), jnp.asarray(labels), 1.0)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sparse.params["classifier"]),
+        np.asarray(s_dense.params["classifier"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_sparse.params["backbone"])[0]),
+        np.asarray(jax.tree.leaves(s_dense.params["backbone"])[0]),
+        atol=1e-5,
+    )
+
+
+def test_sparse_sampled_trainer_smoke(store, tmp_path):
+    cfg = tiny_cfg(store, tmp_path / "sparse", head="full_softmax")
+    cfg.pool.sample_rate = 0.5
+    cfg.pool.sparse_update = True
+    t = Trainer(cfg)
+    result = t.train()
+    assert np.isfinite(result["loss"])
+    t.close()

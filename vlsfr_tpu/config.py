@@ -114,6 +114,10 @@ class PoolConfig:
     # head: fraction of classes in each step's CE denominator (0 = off).
     # Positives are always included.
     sample_rate: float = 0.0
+    # with sampling: update only the sampled classifier rows (gather/scatter
+    # SGD+momentum, O(S·D) instead of O(C·D) optimizer traffic). Untouched
+    # rows skip decay that step (standard sparse-momentum approximation).
+    sparse_update: bool = False
     # batch the two probe (and two gallery) passes into one 2B forward —
     # faster on TPU; BN batch stats then span 2B samples (perf mode, not
     # bit-equivalent to the reference's per-pass statistics)

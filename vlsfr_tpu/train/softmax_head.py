@@ -39,11 +39,20 @@ def create_softmax_state(
         "classifier": jax.random.normal(k_w, (num_classes, cfg.model.feat_dim), jnp.float32)
         * 0.01,
     }
+    if cfg.pool.sample_rate > 0 and cfg.pool.sparse_update:
+        # sparse-classifier mode: optax only owns the backbone; the
+        # classifier gets a bare momentum buffer (train/sparse_classifier.py)
+        opt_state = {
+            "backbone": optimizer.init(params["backbone"]),
+            "classifier_mom": jnp.zeros_like(params["classifier"]),
+        }
+    else:
+        opt_state = optimizer.init(params)
     return SoftmaxState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(params),
+        opt_state=opt_state,
     )
 
 
@@ -55,23 +64,16 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
     model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
     if cfg.pool.sample_rate > 0:
         # partial-FC sampling: per-step denominator = positives + sampled
-        # negatives (arXiv 2010.05222); key derived from the step counter
-        from vlsfr_tpu.parallel.partial_fc import sampled_margin_softmax_loss
-
+        # negatives (arXiv 2010.05222); key derived from the step counter.
+        # Returns a dedicated train_step so the sampled index set is shared
+        # between the loss and the (optionally sparse) classifier update.
         num_sampled = max(
             cfg.data.batch_size,
             int(cfg.pool.num_classes * cfg.pool.sample_rate),
         )
+        return _make_sampled_train_step(model, cfg, optimizer, schedule, num_sampled)
 
-        def head_loss(emb, weights, labels, step):
-            key = jax.random.fold_in(jax.random.PRNGKey(17), step)
-            return sampled_margin_softmax_loss(
-                emb, weights, labels, key, num_sampled,
-                loss_type=cfg.loss.loss_type, margin=cfg.loss.margin,
-                scale=cfg.loss.scale, mask_svfc=cfg.loss.mask_svfc,
-            )
-
-    elif streaming and model_sharded:
+    if streaming and model_sharded:
         # BASELINE config 5 path: class shards × streaming via shard_map
         from vlsfr_tpu.parallel.sharded_margin import make_sharded_streaming_loss
 
@@ -126,6 +128,76 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
                 batch_stats=new_stats,
                 opt_state=new_opt,
             ),
+            metrics,
+        )
+
+    return train_step
+
+
+def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sampled: int):
+    """Partial-FC sampled train step; with cfg.pool.sparse_update the
+    classifier momentum/update touch only the sampled rows."""
+    from vlsfr_tpu.train.sparse_classifier import sparse_sgd_rows
+
+    loss_kw = dict(
+        loss_type=cfg.loss.loss_type,
+        margin=cfg.loss.margin,
+        scale=cfg.loss.scale,
+        mask_svfc=cfg.loss.mask_svfc,
+    )
+    sparse = cfg.pool.sparse_update
+    c = cfg.pool.num_classes
+
+    def train_step(state: SoftmaxState, images, labels, lr_scale):
+        b = labels.shape[0]
+        key = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        rand = jax.random.randint(key, (num_sampled - b,), 0, c)
+        sampled = jnp.concatenate([labels.astype(jnp.int32), rand.astype(jnp.int32)])
+        local_labels = jnp.arange(b, dtype=jnp.int32)
+        w_sub = state.params["classifier"][sampled]
+
+        def loss_fn(backbone_params, w_sub_, batch_stats):
+            emb, mut = model.apply(
+                {"params": backbone_params, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            loss, metrics = margin_softmax_loss(emb, w_sub_, local_labels, **loss_kw)
+            return loss, (mut["batch_stats"], metrics)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, (new_stats, metrics)), (g_backbone, g_wsub) = grad_fn(
+            state.params["backbone"], w_sub, state.batch_stats
+        )
+        lr = schedule(state.step) * lr_scale
+        metrics = dict(metrics, loss=loss, lr=lr,
+                       sampled_classes=jnp.int32(num_sampled))
+
+        if sparse:
+            state.opt_state["backbone"].hyperparams["learning_rate"] = lr
+            upd_b, new_bopt = optimizer.update(
+                g_backbone, state.opt_state["backbone"], state.params["backbone"]
+            )
+            new_backbone = jax.tree.map(lambda p, u: p + u, state.params["backbone"], upd_b)
+            new_w, new_mom = sparse_sgd_rows(
+                state.params["classifier"], state.opt_state["classifier_mom"],
+                sampled, g_wsub,
+                lr=lr, momentum=cfg.optim.momentum,
+                weight_decay=cfg.optim.weight_decay, nesterov=cfg.optim.nesterov,
+            )
+            new_params = {"backbone": new_backbone, "classifier": new_w}
+            new_opt = {"backbone": new_bopt, "classifier_mom": new_mom}
+        else:
+            # dense optimizer: scatter the sampled grads into a full [C, D]
+            # gradient (rows not sampled get exact zeros)
+            g_full = jnp.zeros_like(state.params["classifier"]).at[sampled].add(g_wsub)
+            grads = {"backbone": g_backbone, "classifier": g_full}
+            state.opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        return (
+            state.replace(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt),
             metrics,
         )
 
