@@ -5,18 +5,19 @@ embeddings [B, D] × class weights [C, D] with the margin transform, scaled
 cross-entropy, and the FFC outlier hard-negative term — **without ever
 materializing the [B, C] logits** (at C = 10M, B = 128 that would be 5 GB).
 
-Two interchangeable implementations, equivalence-tested against each other
-and against ops/margin.py:
+Public entry points: :func:`fused_margin_softmax` (per-row ce/neg with a
+custom VJP) and :func:`fused_add_margin` (the reference's scalar reduction).
+Two interchangeable execution paths underneath, equivalence-tested against
+each other and against ops/margin.py:
 
-* :func:`streaming_margin_ce` — ``lax.scan`` over class tiles with an online
-  (flash-style) logsumexp and a running top-k. Runs anywhere; also defines
-  the custom VJP (the backward re-streams the tiles, rebuilding softmax
-  columns from the saved logsumexp — activation memory stays O(B·T)).
-* :func:`pallas_margin_ce_fwd` — Pallas TPU kernel for the forward pass:
-  class tiles are DMA'd HBM→VMEM, the cosine block hits the MXU
-  (``preferred_element_type=f32``), margin/online-softmax/top-k run on the
-  VPU in the same pass. Used automatically on TPU via
-  :func:`fused_margin_softmax`.
+* scan streaming (``_stream_fwd``/``_stream_bwd``) — ``lax.scan`` over class
+  tiles with an online (flash-style) logsumexp and a running top-k; runs on
+  any backend; activation memory stays O(B·tile).
+* Pallas TPU kernels (:func:`pallas_margin_ce_fwd` /
+  :func:`pallas_margin_ce_bwd`) — class tiles DMA'd HBM→VMEM, the cosine
+  block on the MXU (``preferred_element_type=f32``),
+  margin/online-softmax/top-k on the VPU in the same pass; the backward is
+  tile-relevance-gated. Auto-selected on TPU (``use_pallas="auto"``).
 
 Semantics match reference ffc.py:60-138 exactly (same transforms as
 ops/margin.py): labels are class ids or -1 for outlier rows; positives get
