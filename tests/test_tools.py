@@ -64,3 +64,28 @@ def test_bench_input_cli():
                  "--image_size", "32", "--workers", "2")
     assert r.returncode == 0, r.stderr
     assert "images/sec" in r.stdout
+
+
+def test_train_cli_smoke(tmp_path):
+    """The quickstart CLI end-to-end: synthetic data, toy net, 1 epoch."""
+    r = run_tool(
+        "train.py", "--net_type", "toy", "--synthetic", "--batch_size", "8",
+        "--feat_dim", "16", "--queue_size", "16",
+        "--saved_dir", str(tmp_path / "ckpt"),
+        "--set", "data.image_size=32", "--set", "data.synthetic_ids=10",
+        "--set", "data.synthetic_images_per_id=8", "--set", "optim.epochs=1",
+        "--set", "model.dtype=float32", "--set", "data.num_workers=2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "training done" in r.stdout
+    # checkpoint written and reloadable by a resume run
+    r2 = run_tool(
+        "train.py", "--net_type", "toy", "--synthetic", "--batch_size", "8",
+        "--feat_dim", "16", "--queue_size", "16",
+        "--saved_dir", str(tmp_path / "ckpt"),
+        "--set", "data.image_size=32", "--set", "data.synthetic_ids=10",
+        "--set", "data.synthetic_images_per_id=8", "--set", "optim.epochs=1",
+        "--set", "model.dtype=float32", "--set", "data.num_workers=2",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from checkpoint" in (r2.stdout + r2.stderr)
