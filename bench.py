@@ -38,6 +38,37 @@ PEAK_FLOPS = {
     "cpu": 1e12,  # nominal, so CPU runs still report something
 }
 
+# chip HBM bandwidth (bytes/sec) — the right roofline for memory-bound
+# configs (1M+ class softmax heads), where MFU is the wrong lens
+PEAK_HBM_BW = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,
+    "cpu": 100e9,
+}
+
+
+def _roofline(compiled, dt_step, peak_flops, peak_bw):
+    """(step_flops, mfu, hbm_frac) from XLA's own cost analysis.
+
+    ``hbm_frac`` = achieved bytes/sec ÷ peak HBM bandwidth — the honest
+    utilization number for memory-bound steps. XLA's 'bytes accessed' is the
+    sum over ops (re-reads counted, fusion savings not), so it is an upper
+    bound on true HBM traffic: hbm_frac can exceed what the chip physically
+    moved, but a LOW value reliably means headroom."""
+    try:
+        cost = compiled.cost_analysis() or {}
+    except Exception:
+        cost = {}
+    flops = float(cost.get("flops", 0.0))
+    byts = float(cost.get("bytes accessed", 0.0))
+    mfu = flops / dt_step / peak_flops if flops else 0.0
+    hbm = byts / dt_step / peak_bw if byts else 0.0
+    return flops, round(mfu, 4), round(hbm, 4)
+
 
 def main():
     import jax
@@ -63,8 +94,9 @@ def main():
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
     peak = next((v for k, v in PEAK_FLOPS.items() if k.lower() in str(kind).lower()), 1e12)
+    peak_bw = next((v for k, v in PEAK_HBM_BW.items() if k.lower() in str(kind).lower()), 100e9)
 
-    mode = os.environ.get("BENCH_MODE", "ffc")  # ffc | backbone | softmax
+    mode = os.environ.get("BENCH_MODE", "ffc")  # ffc | backbone | softmax | infer
     num_classes = int(os.environ.get("BENCH_CLASSES", 1_048_576))
 
     cfg = Config()
@@ -72,18 +104,25 @@ def main():
     cfg.model.feat_dim = 512
     cfg.model.dtype = "bfloat16"
     cfg.pool.queue_size = queue_size
+    cfg.pool.queue_dtype = os.environ.get("BENCH_QUEUE_DTYPE", "float32")
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
 
     if mode == "softmax":
         # BASELINE headline: 1M-identity ArcFace full-softmax training, one
-        # chip, streaming fused margin head (no [B, C] logits)
+        # chip, streaming fused margin head (no [B, C] logits).
+        # BENCH_SPARSE=1 selects the sparse-d_w backward + sparse row
+        # optimizer (with BENCH_SAMPLE_RATE=0) or sparse partial-FC updates
+        # (with BENCH_SAMPLE_RATE>0).
         from vlsfr_tpu.train.softmax_head import create_softmax_state, make_softmax_train_step
 
         cfg.pool.head = "full_softmax"
         cfg.pool.num_classes = num_classes
         cfg.pool.sample_rate = float(os.environ.get("BENCH_SAMPLE_RATE", 0.0))
+        cfg.pool.use_fused = os.environ.get("BENCH_FUSED", "auto")
+        cfg.pool.sparse_update = os.environ.get("BENCH_SPARSE", "0") == "1"
+        cfg.pool.sparse_grad_rate = float(os.environ.get("BENCH_SPARSE_RATE", 0.05))
         model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
         optimizer_s = make_optimizer(cfg.optim)
         schedule_s = make_schedule(cfg.optim, steps_per_epoch=1000)
@@ -98,10 +137,6 @@ def main():
         )
         lowered = step.lower(state, images, labels, 1.0)
         compiled = lowered.compile()
-        try:
-            step_flops = float(compiled.cost_analysis().get("flops", 0.0))
-        except Exception:
-            step_flops = 0.0
         for _ in range(3):
             state, m = compiled(state, images, labels, 1.0)
         jax.block_until_ready(m["loss"])
@@ -111,15 +146,20 @@ def main():
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         sps = n_steps / dt
+        step_flops, mfu, hbm_frac = _roofline(compiled, dt / n_steps, peak, peak_bw)
         tag = "sampled_softmax" if cfg.pool.sample_rate > 0 else "softmax"
+        if cfg.pool.sparse_update:
+            tag += "_sparse"
         print(json.dumps({
             "metric": f"{tag}_{net_type}_train_images_per_sec_chip_b{batch}_c{num_classes}",
             "value": round(sps * batch, 2),
             "unit": "images/sec/chip",
-            "vs_baseline": round(sps * step_flops / peak, 4) if step_flops else 0.0,
+            "vs_baseline": mfu,
             "detail": {"device": str(kind), "step_time_ms": round(1000 * dt / n_steps, 2),
                        "num_classes": num_classes, "loss": float(m["loss"]),
-                       "step_flops": step_flops, "peak_flops": peak},
+                       "train_acc": float(m.get("train_acc", -1.0)),
+                       "step_flops": step_flops, "peak_flops": peak,
+                       "hbm_roofline_frac": hbm_frac},
         }))
         return
 
@@ -221,11 +261,6 @@ def main():
     step = jax.jit(make_train_step(model, cfg, optimizer, schedule), donate_argnums=0)
     lowered = step.lower(state, x, y, idx, 1.0)
     compiled = lowered.compile()
-    try:
-        cost = compiled.cost_analysis()
-        step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    except Exception:
-        step_flops = 0.0
 
     # warmup (also materializes donation pattern)
     for _ in range(3):
@@ -245,7 +280,7 @@ def main():
 
     steps_per_sec = n_steps / dt
     images_per_sec = steps_per_sec * 2 * batch  # 2B images trained per step
-    mfu = (steps_per_sec * step_flops) / peak if step_flops else 0.0
+    step_flops, mfu, hbm_frac = _roofline(compiled, dt / n_steps, peak, peak_bw)
 
     print(
         json.dumps(
@@ -253,12 +288,14 @@ def main():
                 "metric": f"ffc_{net_type}_train_images_per_sec_chip_b{batch}_q{queue_size}",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(mfu, 4),
+                "vs_baseline": mfu,
                 "detail": {
                     "device": str(kind),
                     "step_time_ms": round(1000 * dt / n_steps, 2),
                     "step_flops": step_flops,
                     "peak_flops": peak,
+                    "hbm_roofline_frac": hbm_frac,
+                    "queue_dtype": cfg.pool.queue_dtype,
                     "loss": float(m["loss"]),
                 },
             }

@@ -98,7 +98,7 @@ def test_prenormalized_weights_path(rng):
 def test_all_outliers_neg_only(rng):
     emb, w, labels = make_case(rng, b=6, c=50, d=8, frac_outlier=1.1)
     assert np.all(np.asarray(labels) == -1)
-    ce, neg = fused_margin_softmax(emb, w, labels, "Arc", 0.5, 24.0, 3, 1.2, True, 16, False)
+    ce, neg, _topk = fused_margin_softmax(emb, w, labels, "Arc", 0.5, 24.0, 3, 1.2, True, 16, False)
     np.testing.assert_array_equal(np.asarray(ce), 0.0)
     assert np.all(np.asarray(neg) >= 0.0)
 

@@ -1,0 +1,316 @@
+"""Sparse-d_w streaming backward + dedup partial-FC sampling tests.
+
+Equivalence ladder:
+  dense jax.grad of fused_add_margin (itself golden-tested vs ops.margin)
+    == streaming_sparse_margin_grads with m_tiles = n_tiles (exact)
+    ⊇ truncated m_tiles (selected rows exact, unselected rows zero)
+  _sparse_bwd_gather (XLA reference) == pallas_margin_ce_bwd_sparse
+    (interpreter mode)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlsfr_tpu.ops.margin_pallas import (
+    _pad_classes,
+    _sparse_bwd_gather,
+    _stream_fwd,
+    compute_gt,
+    fused_add_margin,
+    pallas_margin_ce_bwd_sparse,
+    select_relevant_tiles,
+    streaming_sparse_margin_grads,
+)
+from vlsfr_tpu.parallel.partial_fc import sample_classes
+
+
+def make_case(rng, b=8, c=96, d=16, frac_outlier=0.3):
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+    labels[rng.random(b) < frac_outlier] = -1
+    return jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels)
+
+
+def dense_grads(emb, w, labels, d_ce, d_neg, *, loss_type="Arc", k=3, tile=16,
+                scale=24.0):
+    """Reference: VJP of the (exact) streaming op with given cotangents."""
+    from vlsfr_tpu.ops.margin_pallas import fused_margin_softmax
+
+    def f(e, ww):
+        ce, neg, _ = fused_margin_softmax(
+            e, ww, labels, loss_type, 0.5, scale, k, 1.2, True, tile, False
+        )
+        return jnp.sum(ce * d_ce) + jnp.sum(neg * d_neg)
+
+    return jax.grad(f, argnums=(0, 1))(emb, w)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+def test_sparse_exact_when_all_tiles(loss_type, rng):
+    """m_tiles = n_tiles ⇒ the sparse backward IS the dense backward."""
+    emb, w, labels = make_case(rng)
+    b = emb.shape[0]
+    d_ce = jnp.asarray(rng.standard_normal(b), jnp.float32)
+    d_neg = jnp.asarray(rng.standard_normal(b), jnp.float32)
+    tile = 16
+    n_tiles = (w.shape[0] + tile - 1) // tile
+    ce, neg, topk, gt, d_emb, row_idx, d_w_rows = streaming_sparse_margin_grads(
+        emb, w, labels, d_ce, d_neg, m_tiles=n_tiles, loss_type=loss_type,
+        margin=0.5, scale=24.0, hard_neg=3, tile=tile, use_pallas=False,
+    )
+    gd_e, gd_w = dense_grads(emb, w, labels, d_ce, d_neg, loss_type=loss_type, tile=tile)
+    # scatter the sparse rows into a dense [C, D] to compare
+    dw = jnp.zeros_like(w).at[row_idx].add(d_w_rows, mode="drop")
+    np.testing.assert_allclose(np.asarray(d_emb), np.asarray(gd_e), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(gd_w), atol=3e-5)
+    # forward side must equal the fused op's outputs too
+    want = float(fused_add_margin(emb, w, labels, loss_type=loss_type, margin=0.5,
+                                  scale=24.0, hard_neg=3, tile=tile, use_pallas=False))
+    pos = np.asarray(labels) >= 0
+    got = (np.asarray(ce)[pos].sum() / max(pos.sum(), 1)
+           + np.asarray(neg)[~pos].sum() / max((~pos).sum(), 1))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_sparse_selected_rows_exact(rng):
+    """Truncated selection: grads of SELECTED rows match dense exactly
+    (per-column d_w depends only on that column + exact logz); unselected
+    rows are zero; every target row is selected. Uses a concentrated
+    (converged-model) distribution — the regime the truncation targets;
+    in the diffuse early-training regime the dropped tiles carry real
+    softmax mass (the Partial-FC approximation, by design)."""
+    b, c, d, tile = 6, 256, 16, 16
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    labels2 = jnp.asarray(np.arange(b, dtype=np.int32) * 40)  # spread tiles
+    emb = w[np.asarray(labels2)] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb2, w2 = jnp.asarray(emb), jnp.asarray(w)
+    d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
+    d_neg = jnp.zeros((b,), jnp.float32)
+    ce, neg, topk, gt, d_emb, row_idx, d_w_rows = streaming_sparse_margin_grads(
+        emb2, w2, labels2, d_ce, d_neg, m_tiles=8, loss_type="Arc",
+        margin=0.5, scale=48.0, hard_neg=3, tile=tile, use_pallas=False,
+    )
+    gd_e, gd_w = dense_grads(emb2, w2, labels2, d_ce, d_neg, tile=tile, scale=48.0)
+    dw = np.zeros_like(np.asarray(w2))
+    ri = np.asarray(row_idx)
+    keep = ri < w2.shape[0]
+    dw[ri[keep]] = np.asarray(d_w_rows)[keep]
+    # selected rows: exact
+    np.testing.assert_allclose(dw[ri[keep]], np.asarray(gd_w)[ri[keep]], atol=3e-5)
+    # every target row must be among the selected rows
+    for lab in np.asarray(labels2):
+        assert lab in ri
+    # d_emb: within the truncation error (dropped tiles carry tiny p here)
+    np.testing.assert_allclose(np.asarray(d_emb), np.asarray(gd_e), atol=2e-3)
+
+
+def test_select_relevant_tiles_targets_and_topk(rng):
+    emb, w, labels = make_case(rng, b=8, c=160, d=16, frac_outlier=0.4)
+    tile = 16
+    gt = compute_gt(emb, w, labels, True)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=3, mask_svfc=1.2,
+              normalize_w=True, tile=tile)
+    ce, neg, logz, topk, maxz, maxcos = _stream_fwd(emb, w, labels, gt,
+                                                    with_stats=True, **kw)
+    idx = np.asarray(select_relevant_tiles(maxz, maxcos, logz, topk, labels, 6, tile))
+    assert len(set(idx.tolist())) == len(idx)  # distinct
+    for lab in np.asarray(labels):
+        if lab >= 0:
+            assert lab // tile in idx
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "SV"])
+def test_pallas_sparse_bwd_interpret_matches_gather(loss_type, rng):
+    emb, w, labels = make_case(rng, b=8, c=96, d=128, frac_outlier=0.3)
+    tile = 32
+    gt = compute_gt(emb, w, labels, True)
+    kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, k=3, mask_svfc=1.2,
+              normalize_w=True, tile=tile)
+    ce, neg, logz, topk, maxz, maxcos = _stream_fwd(emb, w, labels, gt,
+                                                    with_stats=True, **kw)
+    d_ce = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    d_neg = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, 2, tile)
+    ge_g, gw_g = _sparse_bwd_gather(emb, w, labels, gt, logz, topk, d_ce, d_neg,
+                                    tile_idx, **kw)
+    ge_p, gw_p = pallas_margin_ce_bwd_sparse(emb, w, labels, gt, logz, topk,
+                                             d_ce, d_neg, tile_idx,
+                                             interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_g), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_g), atol=3e-5)
+
+
+def test_grad_w_false_matches_demb(rng):
+    """grad_w=False must produce the identical d_emb (and no w grad)."""
+    emb, w, labels = make_case(rng)
+
+    def loss(e, gw):
+        return fused_add_margin(e, w, labels, margin=0.5, scale=24.0, hard_neg=3,
+                                tile=16, use_pallas=False, grad_w=gw)
+
+    g_on = jax.grad(lambda e: loss(e, True))(emb)
+    g_off = jax.grad(lambda e: loss(e, False))(emb)
+    np.testing.assert_allclose(np.asarray(g_off), np.asarray(g_on), atol=1e-6)
+
+
+def test_pallas_bwd_demb_only_interpret(rng):
+    from vlsfr_tpu.ops.margin_pallas import _stream_bwd, pallas_margin_ce_bwd
+
+    emb, w, labels = make_case(rng, b=8, c=70, d=128)
+    gt = compute_gt(emb, w, labels, True)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=4, mask_svfc=1.2,
+              normalize_w=True, tile=32)
+    ce, neg, logz, topk = _stream_fwd(emb, w, labels, gt, **kw)
+    d_ce = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    d_neg = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    ge_s, gw_s = _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, **kw)
+    ge_p, none_w = pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg,
+                                        interpret=True, grad_w=False, **kw)
+    assert none_w is None
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=2e-5)
+
+
+def test_fwd_stats_pallas_matches_stream(rng):
+    from vlsfr_tpu.ops.margin_pallas import pallas_margin_ce_fwd
+
+    emb, w, labels = make_case(rng, b=8, c=70, d=128)
+    gt = compute_gt(emb, w, labels, True)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=4, mask_svfc=1.2,
+              normalize_w=True, tile=32)
+    out_s = _stream_fwd(emb, w, labels, gt, with_stats=True, **kw)
+    out_p = pallas_margin_ce_fwd(emb, w, labels, gt, with_stats=True,
+                                 interpret=True, **kw)
+    for s, p in zip(out_s[4:], out_p[4:]):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(s), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# partial-FC dedup sampling
+# ----------------------------------------------------------------------
+
+
+def test_sample_classes_dedups_and_masks():
+    labels = jnp.asarray([5, 9, 5, 7], jnp.int32)  # duplicate identity 5
+    key = jax.random.PRNGKey(0)
+    sampled, local, valid = sample_classes(labels, 50, 16, key)
+    s, lo, v = np.asarray(sampled), np.asarray(local), np.asarray(valid)
+    # both rows of identity 5 target the FIRST occurrence's column
+    assert lo[0] == 0 and lo[2] == 0 and lo[1] == 1 and lo[3] == 3
+    # the duplicate position is masked out of the denominator
+    assert v[0] and not v[2]
+    # no valid position repeats a class id, and none collides with a label
+    valid_ids = s[v]
+    assert len(set(valid_ids.tolist())) == len(valid_ids)
+    rand_part, rand_valid = s[4:], v[4:]
+    for rid, rv in zip(rand_part, rand_valid):
+        if rid in (5, 9, 7):
+            assert not rv
+
+
+def test_sampled_loss_duplicate_labels_matches_dense():
+    """With duplicate batch identities + full coverage sampling, the dedup'd
+    sampled loss equals the dense full-softmax loss."""
+    from vlsfr_tpu.parallel.partial_fc import (
+        margin_softmax_loss,
+        sampled_margin_softmax_loss,
+    )
+
+    rng = np.random.default_rng(3)
+    c, b, d = 24, 6, 8
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    labels = np.array([3, 3, 11, 7, 7, 7], dtype=np.int32)  # heavy repeats
+    emb, w, labels = jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels)
+    dense, _ = margin_softmax_loss(emb, w, labels, scale=24.0)
+    # num_sampled big enough that the random tail covers everything many
+    # times over: every class is in the denominator exactly once
+    total, _ = sampled_margin_softmax_loss(
+        emb, w, labels, jax.random.PRNGKey(0), 4 * c + b, scale=24.0
+    )
+    # sampled can only MISS classes (undercount the denominator) — with
+    # 4C random draws the probability any class is absent is ~(1-1/C)^{4C}
+    # ≈ e^{-4} per class; allow a loose tolerance
+    assert float(total) == pytest.approx(float(dense), rel=2e-2)
+
+
+def test_sampled_loss_grads_zero_for_masked_duplicates():
+    from vlsfr_tpu.parallel.partial_fc import sampled_margin_softmax_loss
+
+    rng = np.random.default_rng(4)
+    c, b, d = 40, 4, 8
+    emb = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((c, d)).astype(np.float32))
+    labels = jnp.asarray([2, 2, 2, 9], jnp.int32)
+
+    def f(ww):
+        return sampled_margin_softmax_loss(
+            emb, ww, labels, jax.random.PRNGKey(1), 12, scale=24.0
+        )[0]
+
+    g = jax.grad(f)(w)
+    assert np.isfinite(np.asarray(g)).all()
+    # class 2 appears 3× in the batch: its weight-row grad must be the
+    # single-column gradient (no duplicated unmargined copies pulling it)
+    # — just assert the loss is finite and grads flow to the target rows
+    assert float(jnp.abs(g[2]).sum()) > 0
+    assert float(jnp.abs(g[9]).sum()) > 0
+
+
+def test_sparse_sgd_rows_drops_oob():
+    from vlsfr_tpu.train.sparse_classifier import sparse_sgd_rows
+
+    w = jnp.ones((4, 3), jnp.float32)
+    mom = jnp.zeros((4, 3), jnp.float32)
+    idx = jnp.asarray([1, 4], jnp.int32)  # 4 == sentinel (dropped)
+    g = jnp.ones((2, 3), jnp.float32)
+    new_w, new_m = sparse_sgd_rows(w, mom, idx, g, lr=0.1, momentum=0.9,
+                                   weight_decay=0.0, nesterov=False)
+    np.testing.assert_allclose(np.asarray(new_w)[0], 1.0)  # untouched
+    np.testing.assert_allclose(np.asarray(new_w)[1], 0.9)  # updated
+    np.testing.assert_allclose(np.asarray(new_w)[2:], 1.0)  # sentinel dropped
+    np.testing.assert_allclose(np.asarray(new_m)[1], 1.0)
+
+
+def test_streaming_sparse_train_step_runs_and_learns():
+    """End-to-end: tiny net + streaming sparse head; loss decreases and the
+    classifier momentum stays sparse-consistent."""
+    from vlsfr_tpu.config import Config
+    from vlsfr_tpu.models import create_net
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+    from vlsfr_tpu.train.softmax_head import (
+        create_softmax_state,
+        make_softmax_train_step,
+    )
+
+    cfg = Config()
+    cfg.model.net_type = "toy"
+    cfg.model.feat_dim = 32
+    cfg.pool.head = "full_softmax"
+    cfg.pool.num_classes = 300
+    cfg.pool.use_fused = "on"
+    cfg.pool.sparse_update = True
+    cfg.pool.sparse_grad_rate = 1.0  # tiny C: keep everything = exact
+    cfg.data.batch_size = 8
+    cfg.optim.lr = 0.05
+    model = create_net("toy", feat_dim=32)
+    optimizer = make_optimizer(cfg.optim)
+    schedule = make_schedule(cfg.optim, steps_per_epoch=10)
+    state = create_softmax_state(jax.random.PRNGKey(0), model, cfg, optimizer, 32, 300)
+    assert "classifier_mom" in state.opt_state
+    step = jax.jit(make_softmax_train_step(model, cfg, optimizer, schedule))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 300, size=8).astype(np.int32))
+    losses = []
+    for _ in range(8):
+        state, m = step(state, images, labels, 1.0)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert 0.0 <= float(m["train_acc"]) <= 1.0

@@ -34,7 +34,7 @@ def build_config(argv=None) -> Config:
     ap.add_argument("--saved_dir", type=str, default="checkpoint")
     ap.add_argument("--net_type", type=str, default="r50")
     ap.add_argument("--queue_size", type=int, default=1000)
-    ap.add_argument("--print_freq", type=int, default=100)
+    ap.add_argument("--print_freq", type=int, default=1000)
     ap.add_argument("--pretrained_model_path", type=str, default="")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--alpha", type=float, default=0.99, help="gallery EMA momentum")

@@ -117,7 +117,13 @@ class PoolConfig:
     # with sampling: update only the sampled classifier rows (gather/scatter
     # SGD+momentum, O(S·D) instead of O(C·D) optimizer traffic). Untouched
     # rows skip decay that step (standard sparse-momentum approximation).
+    # With the streaming head (sample_rate=0, use_fused), this instead
+    # selects the sparse-d_w backward: grads truncated to the
+    # sparse_grad_rate most relevant class tiles (ops/margin_pallas.py).
     sparse_update: bool = False
+    # fraction of class tiles kept by the sparse streaming backward
+    # (targets + top-k tiles are always kept); the loss itself stays exact
+    sparse_grad_rate: float = 0.05
     # batch the two probe (and two gallery) passes into one 2B forward —
     # faster on TPU; BN batch stats then span 2B samples (perf mode, not
     # bit-equivalent to the reference's per-pass statistics)
@@ -175,7 +181,7 @@ class TrainConfig:
     """Training-loop settings (reference main.py:23-143)."""
 
     saved_dir: str = "checkpoint"
-    print_freq: int = 100
+    print_freq: int = 1000  # reference main.py:154 default
     save_freq: int = 1000  # checkpoint cadence (main.py:76)
     keep_checkpoints: int = 5
     pretrained_model_path: str = ""

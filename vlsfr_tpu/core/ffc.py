@@ -111,9 +111,15 @@ def directional_loss(
     elif use_fused:
         from vlsfr_tpu.ops.margin_pallas import fused_add_margin
 
-        # queue rows are L2-normalized by construction (init + writes)
-        loss = fused_add_margin(p, new_queue[0], fake_labels, normalize_w=False, **kw)
-        loss = loss + fused_add_margin(p, weight, fake_labels, normalize_w=False, **kw)
+        # queue rows are L2-normalized by construction (init + writes).
+        # grad_w=False: the queue is a stop-gradient constant — the backward
+        # kernel then skips the dense [Q, D] d_w write entirely (XLA cannot
+        # DCE one output of an opaque fused kernel), which at 1M-10M slots
+        # is the dominant HBM cost of the step.
+        loss = fused_add_margin(p, new_queue[0], fake_labels, normalize_w=False,
+                                grad_w=False, **kw)
+        loss = loss + fused_add_margin(p, weight, fake_labels, normalize_w=False,
+                                       grad_w=False, **kw)
     else:
         cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
         cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
@@ -148,6 +154,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             hard_neg=hard_neg,
             mask_svfc=cfg.loss.mask_svfc,
             normalize_w=False,
+            grad_w=False,  # queue is a stop-gradient constant
         )
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,

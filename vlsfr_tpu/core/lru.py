@@ -10,7 +10,7 @@ with the same observable semantics but an array-backed representation:
 * Recency is a doubly-linked list stored as two int arrays (``_prev``/``_next``
   over slot ids plus HEAD/TAIL sentinels) instead of per-key node objects —
   O(1) ops, no allocation on the hot path, and a layout that the optional C++
-  implementation (csrc/lru.cc) mirrors exactly.
+  implementation (csrc/dcp_planner.cc) mirrors exactly.
 * ``try_get`` logs an undo record per mutation so a whole speculative batch
   can be rolled back LIFO (reference lru.py:157-255). Rollback exists because
   the FFC loss evaluates both batch directions against the *same* pre-update

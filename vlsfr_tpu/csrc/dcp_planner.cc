@@ -8,7 +8,7 @@
 // at large batch sizes so the planner never becomes the pipeline bottleneck.
 //
 // Mirrors vlsfr_tpu/core/lru.py + core/dcp.py exactly (property-tested
-// against them from tests/test_dcp_native.py):
+// against them from tests/test_native.py):
 //   * slots allocated sequentially, eviction reuses the LRU victim's slot
 //   * pass A (gallery = y labels) is speculative: op-logged, then undone
 //   * pass B (gallery = x labels) persists

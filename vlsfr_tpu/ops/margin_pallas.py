@@ -41,6 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# top-k membership in the backward is tested BY VALUE (cos >= kth). The kth
+# value is itself one of the cosines, so recomputing cosines in the backward
+# with a different summation order (CPU BLAS vs MXU, [B,T] vs [B,M*T] GEMM
+# shapes) makes the self-tie flip by 1 ulp. The tolerance keeps the true
+# top-k columns in; a near-tie column < 1e-6 below the kth may also receive
+# d_neg/k (cosine spacing at |cos|~1 is ~1e-7, so this is rare and benign).
+KTH_TIE_TOL = 1e-6
 
 
 def _normalize_rows(w, eps=1e-12):
@@ -114,7 +121,7 @@ def _pad_classes(w, c, tile):
 
 
 def _stream_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k, mask_svfc,
-                normalize_w, tile):
+                normalize_w, tile, with_stats=False):
     b, d = emb.shape
     c = w.shape[0]
     emb32 = emb.astype(jnp.float32)
@@ -137,12 +144,13 @@ def _stream_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k, mask_svfc,
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
         cand = jnp.concatenate([topk, cos], axis=-1)
         topk, _ = jax.lax.top_k(cand, k)
-        return (m_new, s_run, topk), None
+        ys = (jnp.max(z, axis=-1), jnp.max(cos, axis=-1)) if with_stats else None
+        return (m_new, s_run, topk), ys
 
     m0 = jnp.full((b,), NEG_INF, jnp.float32)
     s0 = jnp.zeros((b,), jnp.float32)
     t0 = jnp.full((b, k), NEG_INF, jnp.float32)
-    (m_run, s_run, topk), _ = jax.lax.scan(
+    (m_run, s_run, topk), ys = jax.lax.scan(
         body, (m0, s0, t0), (wt, jnp.arange(n_tiles))
     )
     logz = m_run + jnp.log(s_run)
@@ -150,12 +158,17 @@ def _stream_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k, mask_svfc,
     pos = labels >= 0
     ce = jnp.where(pos, logz - scale * phi, 0.0)
     neg = jnp.where(pos, 0.0, jnp.mean(jnp.maximum(topk, 0.0), axis=-1))
+    if with_stats:
+        return ce, neg, logz, topk, ys[0], ys[1]
     return ce, neg, logz, topk
 
 
 def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margin,
-                scale, k, mask_svfc, normalize_w, tile):
-    """Re-stream tiles, building d_emb and d_w without [B, C] storage."""
+                scale, k, mask_svfc, normalize_w, tile, grad_w=True):
+    """Re-stream tiles, building d_emb and d_w without [B, C] storage.
+
+    ``grad_w=False`` skips the [C, D] gradient entirely (returns None for it)
+    — the FFC-queue path, where w is a non-trained constant."""
     b, d = emb.shape
     c = w.shape[0]
     emb32 = emb.astype(jnp.float32)
@@ -196,11 +209,13 @@ def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margi
         )
 
         # -- outlier hard-neg grad: columns in the top-k with cos > 0
-        in_topk = (cos_v >= kth) & (cos_v > 0) & ~pos
+        in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & ~pos
         d_cos_neg = jnp.where(in_topk, d_neg[:, None] / k, 0.0)
 
         d_cos = jnp.where(valid, d_cos_ce + d_cos_neg, 0.0)
         d_emb = d_emb + d_cos @ wn
+        if not grad_w:
+            return (d_emb, d_gt), None
         d_wn = d_cos.T @ emb32  # [T, D]
         if normalize_w:
             w32 = w_tile.astype(jnp.float32)
@@ -214,7 +229,6 @@ def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margi
     (d_emb, d_gt), d_w_tiles = jax.lax.scan(
         body, (jnp.zeros((b, d), jnp.float32), d_gt), (wt, jnp.arange(n_tiles))
     )
-    d_w = d_w_tiles.reshape(-1, d)[:c]
 
     # gt = emb · ŵ_label: route d_gt into emb and the label rows of w
     safe = jnp.maximum(labels, 0)
@@ -222,6 +236,9 @@ def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margi
     wln = _normalize_rows(wl) if normalize_w else wl
     pos1 = (labels >= 0).astype(jnp.float32)[:, None]
     d_emb = d_emb + d_gt[:, None] * wln * pos1
+    if not grad_w:
+        return d_emb.astype(emb.dtype), None
+    d_w = d_w_tiles.reshape(-1, d)[:c]
     d_wln = d_gt[:, None] * emb32 * pos1
     if normalize_w:
         n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)
@@ -238,10 +255,16 @@ def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margi
 # ======================================================================
 
 
-def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w):
+def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
+                     with_stats=False):
     def kernel(labels_ref, gt_ref, emb_ref, w_ref,
                ce_ref, neg_ref, logz_ref, topk_ref,
-               m_scr, s_scr, topk_scr):
+               *stats_and_scratch):
+        if with_stats:
+            maxz_ref, maxcos_ref = stats_and_scratch[:2]
+            m_scr, s_scr, topk_scr = stats_and_scratch[2:]
+        else:
+            m_scr, s_scr, topk_scr = stats_and_scratch
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -266,6 +289,13 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         is_target = col == labels
         mod = _tile_modified(cos, is_target, gt, valid, loss_type, margin, mask_svfc)
         z = scale * mod
+
+        if with_stats:
+            # per-(tile, row) maxima consumed by select_relevant_tiles: the
+            # sparse backward keeps only tiles whose softmax mass, top-k
+            # membership, or target column can produce a non-negligible grad
+            maxz_ref[:] = jnp.max(z, axis=-1)[None, :]
+            maxcos_ref[:] = jnp.max(cos, axis=-1)[None, :]
 
         m_old = m_scr[:]  # [B, 1]
         m_new = jnp.maximum(m_old, jnp.max(z, axis=-1, keepdims=True))
@@ -310,8 +340,12 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
 
 
 def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
-                         mask_svfc, normalize_w, tile=512, interpret=False):
-    """Forward pass on TPU: returns (ce [B], neg [B], logz [B], topk [B,k])."""
+                         mask_svfc, normalize_w, tile=512, interpret=False,
+                         with_stats=False):
+    """Forward pass on TPU: returns (ce [B], neg [B], logz [B], topk [B,k]).
+
+    With ``with_stats`` also returns (maxz [n_tiles, B], maxcos [n_tiles, B]),
+    the per-tile row maxima that feed :func:`select_relevant_tiles`."""
     b, d = emb.shape
     c = w.shape[0]
     # clamp tile so the double-buffered w_tile + the [B, tile] working set
@@ -320,7 +354,28 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
     tile = min(tile, max_tile)
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                              mask_svfc, normalize_w)
+                              mask_svfc, normalize_w, with_stats=with_stats)
+    out_specs = [
+        pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, k), jnp.float32),
+    ]
+    if with_stats:
+        out_specs += [
+            pl.BlockSpec((1, b), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_tiles, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -330,18 +385,8 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
             pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),  # emb
             pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # w tile
         ],
-        out_specs=[
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
@@ -350,7 +395,9 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
         interpret=interpret,
     )(labels.astype(jnp.int32)[:, None], gt[:, None].astype(jnp.float32),
       emb, wp)
-    ce, neg, logz, topk = out
+    ce, neg, logz, topk = out[:4]
+    if with_stats:
+        return ce[:, 0], neg[:, 0], logz[:, 0], topk, out[4], out[5]
     return ce[:, 0], neg[:, 0], logz[:, 0], topk
 
 
@@ -359,11 +406,18 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
 # ======================================================================
 
 
-def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w):
+def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
+                     emit_dw=True):
     def kernel(labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
                emb_ref, w_ref,
-               dw_ref, demb_ref, dgt_ref,
-               demb_scr, dgt_scr):
+               *outs_and_scratch):
+        if emit_dw:
+            dw_ref, demb_ref, dgt_ref = outs_and_scratch[:3]
+            demb_scr, dgt_scr = outs_and_scratch[3:]
+        else:
+            dw_ref = None
+            demb_ref, dgt_ref = outs_and_scratch[:2]
+            demb_scr, dgt_scr = outs_and_scratch[2:]
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -403,7 +457,7 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         # whole exp/select/matmul block is skipped (dw written as zeros).
         ce_mass = jnp.any((jnp.max(z, axis=-1, keepdims=True) - logz > -20.0) & (d_ce != 0))
         has_target = jnp.any(is_target & (d_ce != 0))
-        has_topk = jnp.any((cos_v >= kth) & (cos_v > 0) & jnp.logical_not(pos) & (d_neg != 0))
+        has_topk = jnp.any((cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos) & (d_neg != 0))
         needs_work = ce_mass | has_target | has_topk
 
         @pl.when(needs_work)
@@ -419,19 +473,21 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
             dgt_scr[:] = dgt_scr[:] + jnp.sum(
                 jnp.where(is_target, dz, 0.0), axis=-1, keepdims=True
             )
-            in_topk = (cos_v >= kth) & (cos_v > 0) & jnp.logical_not(pos)
+            in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos)
             d_cos2 = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
             d_cos2 = jnp.where(valid, d_cos2, 0.0)
             demb_scr[:] = demb_scr[:] + jnp.dot(d_cos2, wn, preferred_element_type=jnp.float32)
-            d_wn = jnp.dot(d_cos2.T, emb, preferred_element_type=jnp.float32)  # [T, D]
-            if normalize_w:
-                dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
-            else:
-                dw_ref[:] = d_wn
+            if emit_dw:
+                d_wn = jnp.dot(d_cos2.T, emb, preferred_element_type=jnp.float32)  # [T, D]
+                if normalize_w:
+                    dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+                else:
+                    dw_ref[:] = d_wn
 
-        @pl.when(jnp.logical_not(needs_work))
-        def _skip():
-            dw_ref[:] = jnp.zeros((tile, d), jnp.float32)
+        if emit_dw:
+            @pl.when(jnp.logical_not(needs_work))
+            def _skip():
+                dw_ref[:] = jnp.zeros((tile, d), jnp.float32)
 
         @pl.when(t == n_t - 1)
         def _finalize():
@@ -443,25 +499,45 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
 
 def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type,
                          margin, scale, k, mask_svfc, normalize_w, tile=512,
-                         interpret=False):
+                         interpret=False, grad_w=True):
     """Pallas backward: grid over class tiles, d_w written per tile block,
     d_emb/d_gt accumulated in VMEM. The gt-gather path (label-row grads) is
-    applied by the caller in XLA (one B-row scatter)."""
+    applied by the caller in XLA (one B-row scatter).
+
+    ``grad_w=False`` compiles a kernel with NO d_w output at all — the right
+    backward when ``w`` is a non-trained constant (the FFC queue): it skips
+    the dense [C, D] gradient write, which is the HBM floor of this op (a
+    2 GB store at C=1M that XLA cannot dead-code out of an opaque kernel).
+    Returns (d_emb, None) in that mode."""
     b, d = emb.shape
     c = w.shape[0]
-    # VMEM budget: Mosaic double-buffers the blocked w_tile input AND d_w
-    # tile output (4·tile·d·4B total) plus ~6 [B, tile] f32 working buffers
-    max_tile = max(256, int((11 * 2**20) // (16 * d + 24 * b)) // 128 * 128)
+    # VMEM budget: Mosaic double-buffers the blocked w_tile input AND (when
+    # emitted) the d_w tile output, plus ~6 [B, tile] f32 working buffers
+    w_bufs = 16 if grad_w else 8
+    max_tile = max(256, int((11 * 2**20) // (w_bufs * d + 24 * b)) // 128 * 128)
     tile = min(tile, max_tile)
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                              mask_svfc, normalize_w)
+                              mask_svfc, normalize_w, emit_dw=grad_w)
     pos = labels >= 0
     d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
     d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)
     kth = topk[:, -1]
     vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
-    dw_p, d_emb, d_gt = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    ]
+    if grad_w:
+        out_specs = [
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ] + out_specs
+        out_shape = [jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32)] + out_shape
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -474,16 +550,8 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
             pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),  # emb
             pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # w tile
         ],
-        out_specs=[
-            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # d_w tile
-            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((b, d), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
@@ -491,7 +559,12 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
         interpret=interpret,
     )(labels.astype(jnp.int32)[:, None], vec(gt), vec(logz), vec(kth), vec(d_ce),
       vec(d_neg), emb.astype(jnp.float32), wp)
-    d_w = dw_p[:c]
+    if grad_w:
+        dw_p, d_emb, d_gt = out
+        d_w = dw_p[:c]
+    else:
+        d_emb, d_gt = out
+        d_w = None
 
     # gt-gather path (cheap, XLA): φ'(gt) routing into emb and w[labels]
     d_gt = d_gt[:, 0] * _phi_prime(gt, loss_type, margin)
@@ -501,6 +574,8 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
     wln = _normalize_rows(wl) if normalize_w else wl
     pos1 = pos.astype(jnp.float32)[:, None]
     d_emb = d_emb + d_gt[:, None] * wln * pos1
+    if not grad_w:
+        return d_emb.astype(emb.dtype), None
     d_wln = d_gt[:, None] * emb32 * pos1
     if normalize_w:
         n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)
@@ -519,20 +594,28 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
 
 @partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
 )
 def fused_margin_softmax(emb, w, labels, loss_type="Arc", margin=0.5, scale=32.0,
                          hard_neg=10, mask_svfc=1.2, normalize_w=True, tile=512,
-                         use_pallas="auto"):
-    """(ce [B], neg [B]) without materializing [B, C] logits.
+                         use_pallas="auto", grad_w=True):
+    """(ce [B], neg [B], topk [B, hard_neg]) without materializing [B, C] logits.
 
     ``ce``: margin-softmax cross-entropy per positive row (0 on outliers);
     ``neg``: mean top-``hard_neg`` clipped cosine per outlier row (0 on
     positives). Sum/mask/mean is the caller's choice (cf. ops.margin.add_margin).
+    ``topk``: the running top-``hard_neg`` raw cosines over ALL columns — a
+    monitoring output (top-1 accuracy, hardest-negative stats); gradients do
+    not flow through it.
+
+    ``grad_w=False`` declares ``w`` a non-trained constant (the FFC queue):
+    the backward then never computes/writes the dense [C, D] gradient —
+    at C=1M that is 2 GB of HBM stores XLA could not otherwise eliminate
+    from the opaque fused kernel.
     """
-    ce, neg, _, _ = _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg,
-                              mask_svfc, normalize_w, tile, use_pallas)
-    return ce, neg
+    ce, neg, _, topk = _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg,
+                                 mask_svfc, normalize_w, tile, use_pallas)
+    return ce, neg, jax.lax.stop_gradient(topk)
 
 
 def _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
@@ -555,32 +638,35 @@ def _fwd_impl(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
 
 
 def _vjp_fwd(emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
-             normalize_w, tile, use_pallas):
+             normalize_w, tile, use_pallas, grad_w):
     gt = compute_gt(emb, w, labels, normalize_w)
     ce, neg, logz, topk = _fwd_impl(emb, w, labels, loss_type, margin, scale,
                                     hard_neg, mask_svfc, normalize_w, tile, use_pallas,
                                     gt=gt)
-    return (ce, neg), (emb, w, labels, gt, logz, topk)
+    return (ce, neg, topk), (emb, w, labels, gt, logz, topk)
 
 
 def _vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, normalize_w, tile,
-             use_pallas, res, cotangents):
+             use_pallas, grad_w, res, cotangents):
     emb, w, labels, gt, logz, topk = res
-    d_ce, d_neg = cotangents
+    d_ce, d_neg, _d_topk = cotangents  # topk is a monitoring output: no grad
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         d_emb, d_w = pallas_margin_ce_bwd(
             emb, w, labels, gt, logz, topk, d_ce, d_neg,
             loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
-            mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+            mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile, grad_w=grad_w,
         )
     else:
         d_emb, d_w = _stream_bwd(
             emb, w, labels, gt, logz, topk, d_ce, d_neg,
             loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
-            mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile,
+            mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile, grad_w=grad_w,
         )
+    if d_w is None:
+        # free-to-fold broadcast zero; JAX drops it when w isn't differentiated
+        d_w = jnp.zeros_like(w)
     return d_emb, d_w, None
 
 
@@ -589,13 +675,13 @@ fused_margin_softmax.defvjp(_vjp_fwd, _vjp_bwd)
 
 def fused_add_margin(cos_weights_emb, w, labels, *, loss_type="Arc", margin=0.5,
                      scale=32.0, hard_neg=10, mask_svfc=1.2, normalize_w=True,
-                     tile=512, use_pallas="auto"):
+                     tile=512, use_pallas="auto", grad_w=True):
     """Scalar loss = mean CE over positives + mean hard-neg over outliers —
     the exact reduction of reference ffc.py:60-138 / ops.margin.add_margin,
     but streaming over the class axis."""
-    ce, neg = fused_margin_softmax(
+    ce, neg, _topk = fused_margin_softmax(
         cos_weights_emb, w, labels, loss_type, margin, scale, hard_neg, mask_svfc,
-        normalize_w, tile, use_pallas,
+        normalize_w, tile, use_pallas, grad_w,
     )
     pos = (labels >= 0).astype(jnp.float32)
     n_pos = jnp.sum(pos)
@@ -603,3 +689,317 @@ def fused_add_margin(cos_weights_emb, w, labels, *, loss_type="Arc", margin=0.5,
     cls = jnp.where(n_pos > 0, jnp.sum(ce) / jnp.maximum(n_pos, 1.0), 0.0)
     neg_l = jnp.where(n_out > 0, jnp.sum(neg) / jnp.maximum(n_out, 1.0), 0.0)
     return cls + neg_l
+
+
+# ======================================================================
+# sparse d_w backward: truncated top-M-tile classifier gradient
+# ======================================================================
+#
+# The dense streaming backward's HBM floor is the [C, D] d_w store (plus the
+# dense optimizer re-reading it): 2 GB written + 12 GB of SGD-momentum
+# traffic per step at C=1M. But the margin-CE gradient is effectively
+# low-rank: per column j, |d_w_j| ∝ p_j (softmax mass) except at target and
+# top-k columns. This path keeps the FORWARD exact (full logsumexp) and
+# truncates only d_w/d_emb to the M most relevant class tiles:
+#
+#   * every target tile (forced — the −δ_target term is O(1));
+#   * every tile holding a top-k outlier column (the hard-neg term);
+#   * then the highest softmax-mass tiles by the per-tile bound
+#     max_row max_col (z − logz) — the same quantity the dense backward's
+#     relevance gate thresholds (see _make_bwd_kernel), made top-M instead
+#     of thresholded so the output has a static sparse shape.
+#
+# With M ≥ n_tiles the result is exact (tested); at production scale the
+# truncation is the Partial-FC approximation (arXiv 2010.05222 shows ~0.1
+# of negatives preserves accuracy) — applied to the *gradient only*, which
+# is strictly more accurate than sampling the loss itself.
+
+
+def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: int):
+    """Pick the ``m_tiles`` class tiles whose d_w can matter this step.
+
+    ``maxz``/``maxcos`` [n_tiles, B] come from the stats-emitting forward;
+    returns distinct tile indices [m_tiles] int32 (top-k of a score, so no
+    duplicates). Target tiles are force-included via a scatter-max."""
+    pos = labels >= 0
+    kth = topk[:, -1]
+    # per-tile upper bound on log softmax mass: max_row (max_col z − logz)
+    rel = jnp.max(maxz - logz[None, :], axis=1)
+    topk_hit = jnp.any(
+        (maxcos >= kth[None, :] - KTH_TIE_TOL) & (maxcos > 0.0) & (~pos)[None, :], axis=1
+    )
+    score = rel + jnp.where(topk_hit, jnp.float32(1e6), jnp.float32(0.0))
+    tgt_tiles = jnp.where(pos, labels.astype(jnp.int32) // tile, 0)
+    score = score.at[tgt_tiles].max(
+        jnp.where(pos, jnp.float32(1e9), jnp.float32(-jnp.inf))
+    )
+    _, idx = jax.lax.top_k(score, m_tiles)
+    return idx.astype(jnp.int32)
+
+
+def _sparse_tail(emb32, w, labels, gt, tile_idx, d_gt_col, d_w_rows, *, tile,
+                 loss_type, margin, normalize_w):
+    """Shared post-processing: route the gt-gather path (φ'(gt) into the
+    label rows) INTO the sparse rows structure, so row indices stay unique
+    (targets' tiles are force-selected, so every label row is present)."""
+    pos = labels >= 0
+    d_gt = d_gt_col * _phi_prime(gt, loss_type, margin)
+    safe = jnp.maximum(labels, 0)
+    wl = w[safe].astype(jnp.float32)
+    wln = _normalize_rows(wl) if normalize_w else wl
+    pos1 = pos.astype(jnp.float32)[:, None]
+    d_emb_extra = d_gt[:, None] * wln * pos1
+    d_wln = d_gt[:, None] * emb32 * pos1
+    if normalize_w:
+        n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)
+        inv = jax.lax.rsqrt(n2)
+        d_wl = inv * (d_wln - wln * jnp.sum(d_wln * wln, axis=-1, keepdims=True))
+    else:
+        d_wl = d_wln
+    # position of each label row inside the selected-tiles flat layout
+    lbl_tile = safe.astype(jnp.int32) // tile
+    match = tile_idx[None, :] == lbl_tile[:, None]  # [B, M]
+    m_of = jnp.argmax(match, axis=1)
+    present = jnp.any(match, axis=1) & pos
+    flat_pos = m_of * tile + safe.astype(jnp.int32) % tile
+    d_w_rows = d_w_rows.at[flat_pos].add(
+        jnp.where(present[:, None], d_wl, 0.0), mode="drop"
+    )
+    return d_emb_extra, d_w_rows
+
+
+def _sparse_bwd_gather(emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, *,
+                       loss_type, margin, scale, k, mask_svfc, normalize_w, tile):
+    """XLA reference implementation of the sparse backward (any backend):
+    gather the selected tiles, one dense [B, M·tile] pass."""
+    b, d = emb.shape
+    c = w.shape[0]
+    m = tile_idx.shape[0]
+    emb32 = emb.astype(jnp.float32)
+    wp, n_tiles = _pad_classes(w, c, tile)
+    w_sel = wp.reshape(n_tiles, tile, d)[tile_idx].reshape(m * tile, d)
+    col = (tile_idx[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
+    wn = _normalize_rows(w_sel) if normalize_w else w_sel.astype(jnp.float32)
+    cos = emb32 @ wn.T  # [B, M·tile]
+    valid = (col < c)[None, :]
+    cos_v = jnp.where(valid, cos, NEG_INF)
+    is_target = col[None, :] == labels[:, None]
+    pos = (labels >= 0)[:, None]
+    d_ce = jnp.where(labels >= 0, d_ce, 0.0)
+    d_neg = jnp.where(labels >= 0, 0.0, d_neg)
+    gt_col = gt[:, None]
+    mod = _tile_modified(cos_v, is_target, gt_col, valid, loss_type, margin, mask_svfc)
+    p = jnp.exp(scale * mod - logz[:, None])
+    dz = (p - is_target.astype(jnp.float32)) * d_ce[:, None] * scale
+    if loss_type == "SV":
+        hard = cos_v > (gt_col - margin)
+        col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+    else:
+        col_fac = 1.0
+    d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+    d_gt_col = jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1)
+    kth = topk[:, -1][:, None]
+    in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & ~pos
+    d_cos = d_cos + jnp.where(in_topk, d_neg[:, None] / k, 0.0)
+    d_cos = jnp.where(valid, d_cos, 0.0)
+    d_emb = d_cos @ wn
+    d_wn = d_cos.T @ emb32  # [M·tile, D]
+    if normalize_w:
+        w32 = w_sel.astype(jnp.float32)
+        n2 = jnp.maximum(jnp.sum(w32 * w32, axis=-1, keepdims=True), 1e-24)
+        inv = jax.lax.rsqrt(n2)
+        d_w_rows = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+    else:
+        d_w_rows = d_wn
+    d_emb_extra, d_w_rows = _sparse_tail(
+        emb32, w, labels, gt, tile_idx, d_gt_col, d_w_rows,
+        tile=tile, loss_type=loss_type, margin=margin, normalize_w=normalize_w,
+    )
+    return (d_emb + d_emb_extra).astype(emb.dtype), d_w_rows
+
+
+def _make_sparse_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                            normalize_w):
+    def kernel(idx_ref, labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
+               emb_ref, w_ref,
+               dw_ref, demb_ref, dgt_ref,
+               demb_scr, dgt_scr):
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _init():
+            demb_scr[:] = jnp.zeros((b, d), jnp.float32)
+            dgt_scr[:] = jnp.zeros((b, 1), jnp.float32)
+
+        t = idx_ref[i]  # the real class-tile index (scalar prefetch)
+        labels = labels_ref[:]
+        gt = gt_ref[:]
+        logz = logz_ref[:]
+        kth = kth_ref[:]
+        d_ce = dce_ref[:]
+        d_neg = dneg_ref[:]
+        pos = labels >= 0
+
+        emb = emb_ref[:].astype(jnp.float32)
+        w_tile = w_ref[:].astype(jnp.float32)
+        if normalize_w:
+            n2 = jnp.maximum(jnp.sum(w_tile * w_tile, axis=-1, keepdims=True), 1e-24)
+            inv = jax.lax.rsqrt(n2)
+            wn = w_tile * inv
+        else:
+            inv = None
+            wn = w_tile
+        cos = jnp.dot(emb, wn.T, preferred_element_type=jnp.float32)
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        cos_v = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels
+        mod = _tile_modified(cos_v, is_target, gt, valid, loss_type, margin, mask_svfc)
+        p = jnp.exp(scale * mod - logz)
+        dz = (p - is_target.astype(jnp.float32)) * d_ce * scale
+        if loss_type == "SV":
+            hard = cos_v > (gt - margin)
+            col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+        else:
+            col_fac = 1.0
+        d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+        dgt_scr[:] = dgt_scr[:] + jnp.sum(
+            jnp.where(is_target, dz, 0.0), axis=-1, keepdims=True
+        )
+        in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos)
+        d_cos2 = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
+        d_cos2 = jnp.where(valid, d_cos2, 0.0)
+        demb_scr[:] = demb_scr[:] + jnp.dot(d_cos2, wn, preferred_element_type=jnp.float32)
+        d_wn = jnp.dot(d_cos2.T, emb, preferred_element_type=jnp.float32)
+        if normalize_w:
+            dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+        else:
+            dw_ref[:] = d_wn
+
+        @pl.when(i == n_i - 1)
+        def _finalize():
+            demb_ref[:] = demb_scr[:]
+            dgt_ref[:] = dgt_scr[:]
+
+    return kernel
+
+
+def pallas_margin_ce_bwd_sparse(emb, w, labels, gt, logz, topk, d_ce, d_neg,
+                                tile_idx, *, loss_type, margin, scale, k, mask_svfc,
+                                normalize_w, tile, interpret=False):
+    """Sparse Pallas backward: grid over the M SELECTED tiles only; the tile
+    index arrives via scalar prefetch so each step DMAs just its own w tile.
+    HBM traffic is O(M·tile·D) instead of O(C·D) read + O(C·D) write."""
+    b, d = emb.shape
+    c = w.shape[0]
+    m = tile_idx.shape[0]
+    wp, n_tiles = _pad_classes(w, c, tile)
+    kernel = _make_sparse_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                     mask_svfc, normalize_w)
+    pos = labels >= 0
+    d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
+    d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)
+    kth = topk[:, -1]
+    vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, idx: (idx[i], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i, idx: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, idx: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+    )
+    dw_rows, d_emb, d_gt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m * tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_idx, labels.astype(jnp.int32)[:, None], vec(gt), vec(logz), vec(kth),
+      vec(d_ce), vec(d_neg), emb.astype(jnp.float32), wp)
+    emb32 = emb.astype(jnp.float32)
+    d_emb_extra, dw_rows = _sparse_tail(
+        emb32, w, labels, gt, tile_idx, d_gt[:, 0], dw_rows,
+        tile=tile, loss_type=loss_type, margin=margin, normalize_w=normalize_w,
+    )
+    return (d_emb + d_emb_extra).astype(emb.dtype), dw_rows
+
+
+def streaming_sparse_margin_grads(
+    emb, w, labels, d_ce, d_neg, *, m_tiles, loss_type="Arc", margin=0.5,
+    scale=32.0, hard_neg=1, mask_svfc=1.2, normalize_w=True, tile=512,
+    use_pallas="auto",
+):
+    """One explicit fwd+bwd with a SPARSE classifier gradient.
+
+    Not a custom_vjp — ``jax.grad`` requires a dense [C, D] cotangent for
+    ``w``, which is exactly the HBM traffic this path exists to avoid. The
+    caller supplies the output cotangents (``d_ce``/``d_neg`` [B], known
+    analytically for mean reductions), feeds ``d_emb`` into the backbone via
+    ``jax.vjp``, and applies (row_idx, d_w_rows) with a sparse row optimizer
+    (train/sparse_classifier.py).
+
+    Returns (ce, neg, topk, gt, d_emb, row_idx [M·tile], d_w_rows [M·tile, D]).
+    ``row_idx`` entries are unique; entries ≥ C are padding — scatter with
+    ``mode='drop'`` (train/sparse_classifier.py does). The forward/loss is
+    EXACT; only the gradient is truncated to the selected tiles (see module
+    comment above). ``gt`` (target cosines) is returned for free so callers
+    can derive top-1 accuracy against ``topk[:, 0]``.
+    """
+    c = w.shape[0]
+    b, d = emb.shape
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    tile, n_tiles = sparse_bwd_geometry(b, d, c, tile)
+    m_tiles = min(m_tiles, n_tiles)
+    gt = compute_gt(emb, w, labels, normalize_w)
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+              mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile)
+    if use_pallas:
+        ce, neg, logz, topk, maxz, maxcos = pallas_margin_ce_fwd(
+            emb, w, labels, gt, with_stats=True, **kw
+        )
+    else:
+        ce, neg, logz, topk, maxz, maxcos = _stream_fwd(
+            emb, w, labels, gt, with_stats=True, **kw
+        )
+    tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles, tile)
+    if use_pallas:
+        d_emb, d_w_rows = pallas_margin_ce_bwd_sparse(
+            emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw
+        )
+    else:
+        d_emb, d_w_rows = _sparse_bwd_gather(
+            emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw
+        )
+    row_idx = (
+        tile_idx[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    return ce, neg, topk, gt, d_emb, row_idx, d_w_rows
+
+
+def sparse_bwd_geometry(b: int, d: int, c: int, tile: int = 512) -> tuple[int, int]:
+    """(clamped_tile, n_tiles) as the sparse/dense backward kernels use —
+    lets callers size ``m_tiles`` (e.g. rate × n_tiles) consistently."""
+    max_tile = max(256, int((11 * 2**20) // (16 * d + 24 * b)) // 128 * 128)
+    tile = min(tile, max_tile)
+    return tile, (c + tile - 1) // tile

@@ -24,10 +24,12 @@ def initialize_multihost(coordinator: str | None = None, num_processes: int | No
     With no arguments, relies on the TPU environment's auto-detection
     (GCE metadata / megascale env). Returns True if a multi-process runtime
     was initialized, False when single-process (no-op).
+
+    The multi-vs-single decision is made from explicit args / env vars ONLY,
+    before any JAX backend query: calling ``jax.process_count()`` first would
+    initialize the local backend and make the subsequent
+    ``jax.distributed.initialize()`` fail on a real pod.
     """
-    already_multi = jax.process_count() > 1
-    if already_multi:
-        return True
     env_says_multi = any(
         os.environ.get(k) for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
     )

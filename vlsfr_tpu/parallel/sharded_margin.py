@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from vlsfr_tpu.ops.margin_pallas import (
+    KTH_TIE_TOL,
     NEG_INF,
     _normalize_rows,
     _pad_classes,
@@ -77,11 +78,16 @@ def _local_partials(emb32, w, local_labels, gt, *, loss_type, margin, mask_svfc,
 
 def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                                 hard_neg=10, mask_svfc=1.2, normalize_w=True,
-                                tile=512, data_axis="data"):
+                                tile=512, data_axis="data", grad_w=True):
     """Returns loss_fn(emb, w, labels) -> (loss, metrics).
 
     emb [B, D] sharded P(data, None); w [C, D] sharded P(model, None);
     labels [B] global class ids (or -1) sharded P(data).
+
+    ``grad_w=False`` (the FFC-queue use: w is a stop-gradient constant)
+    skips the per-shard d_w computation entirely — the backward then only
+    re-streams tiles for d_emb, halving its HBM traffic and dropping the
+    [C/m, D] gradient store.
     """
     kw = dict(loss_type=loss_type, margin=margin, mask_svfc=mask_svfc, scale=scale,
               k=hard_neg, normalize_w=normalize_w, tile=tile)
@@ -166,10 +172,12 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
                 col_fac = 1.0
             d_cos = jnp.where(is_target, 0.0, dz * col_fac)
             d_gt_part = jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1)
-            in_topk = (cos_v >= kth) & (cos_v > 0) & ~pos[:, None]
+            in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & ~pos[:, None]
             d_cos = d_cos + jnp.where(in_topk, d_neg[:, None] / k, 0.0)
             d_cos = jnp.where(valid, d_cos, 0.0)
             d_emb = d_emb + d_cos @ wn
+            if not grad_w:
+                return d_emb, (None, d_gt_part)
             d_wn = d_cos.T @ emb32
             if normalize_w:
                 w32 = w_tile.astype(jnp.float32)
@@ -184,7 +192,7 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
         d_emb, (d_w_tiles, d_gt_parts) = jax.lax.scan(
             body, d_emb0, (wt, jnp.arange(n_tiles))
         )
-        d_w = d_w_tiles.reshape(-1, d)[:c_local]
+        d_w = d_w_tiles.reshape(-1, d)[:c_local] if grad_w else None
         # the target column lives on exactly one shard; its dz was only
         # produced there, but φ'(gt) routing and the gt-gather grads apply
         # globally — psum the scalar then apply the gather path locally
@@ -198,6 +206,8 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
         # gt path: local contribution from the owner's normalized row (the
         # final psum below combines it with every shard's column terms)
         d_emb = d_emb + d_gt[:, None] * wln * own1
+        if not grad_w:
+            return d_emb.astype(emb_l.dtype), jnp.zeros_like(w_l), None
         d_wln = d_gt[:, None] * emb32 * own1
         if normalize_w:
             n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from vlsfr_tpu.config import Config
-from vlsfr_tpu.parallel.partial_fc import margin_softmax_loss
+from vlsfr_tpu.parallel.partial_fc import margin_softmax_loss, sample_classes
 
 
 class SoftmaxState(struct.PyTreeNode):
@@ -26,8 +26,29 @@ class SoftmaxState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _streaming_on(cfg: Config) -> bool:
+    if cfg.pool.use_fused == "auto":
+        return cfg.pool.num_classes >= cfg.pool.streaming_threshold
+    return cfg.pool.use_fused == "on"
+
+
+def _sparse_classifier_mode(cfg: Config, mesh=None) -> bool:
+    """True when the classifier is updated by hand with a bare momentum
+    buffer (sparse rows) instead of living inside the optax state: either
+    partial-FC sampling + sparse_update, or the sparse-d_w streaming head.
+    The model-sharded streaming path keeps the dense optax update (its d_w
+    shards never materialize globally)."""
+    if not cfg.pool.sparse_update:
+        return False
+    if cfg.pool.sample_rate > 0:
+        return True
+    model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
+    return _streaming_on(cfg) and not model_sharded
+
+
 def create_softmax_state(
-    rng: jax.Array, model, cfg: Config, optimizer, image_size: int, num_classes: int
+    rng: jax.Array, model, cfg: Config, optimizer, image_size: int, num_classes: int,
+    mesh=None,
 ) -> SoftmaxState:
     k_model, k_w = jax.random.split(rng)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
@@ -39,7 +60,7 @@ def create_softmax_state(
         "classifier": jax.random.normal(k_w, (num_classes, cfg.model.feat_dim), jnp.float32)
         * 0.01,
     }
-    if cfg.pool.sample_rate > 0 and cfg.pool.sparse_update:
+    if _sparse_classifier_mode(cfg, mesh):
         # sparse-classifier mode: optax only owns the backbone; the
         # classifier gets a bare momentum buffer (train/sparse_classifier.py)
         opt_state = {
@@ -57,10 +78,7 @@ def create_softmax_state(
 
 
 def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Callable:
-    if cfg.pool.use_fused == "auto":
-        streaming = cfg.pool.num_classes >= cfg.pool.streaming_threshold
-    else:
-        streaming = cfg.pool.use_fused == "on"
+    streaming = _streaming_on(cfg)
     model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
     if cfg.pool.sample_rate > 0:
         # partial-FC sampling: per-step denominator = positives + sampled
@@ -72,6 +90,12 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
             int(cfg.pool.num_classes * cfg.pool.sample_rate),
         )
         return _make_sampled_train_step(model, cfg, optimizer, schedule, num_sampled)
+
+    if streaming and cfg.pool.sparse_update and not model_sharded:
+        # sparse-d_w streaming: exact loss, gradient truncated to the most
+        # relevant class tiles, sparse row optimizer — the single-chip
+        # C ≥ 1M configuration (docs/PERF.md round-2 work)
+        return _make_streaming_sparse_train_step(model, cfg, optimizer, schedule)
 
     if streaming and model_sharded:
         # BASELINE config 5 path: class shards × streaming via shard_map
@@ -149,11 +173,11 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
     c = cfg.pool.num_classes
 
     def train_step(state: SoftmaxState, images, labels, lr_scale):
-        b = labels.shape[0]
         key = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
-        rand = jax.random.randint(key, (num_sampled - b,), 0, c)
-        sampled = jnp.concatenate([labels.astype(jnp.int32), rand.astype(jnp.int32)])
-        local_labels = jnp.arange(b, dtype=jnp.int32)
+        # shared partial-FC construction (parallel/partial_fc.py): unique
+        # positives + collision-masked negatives; `valid` masks duplicate
+        # columns out of the denominator and out of the sparse update
+        sampled, local_labels, valid = sample_classes(labels, c, num_sampled, key)
         w_sub = state.params["classifier"][sampled]
 
         def loss_fn(backbone_params, w_sub_, batch_stats):
@@ -161,7 +185,8 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
                 {"params": backbone_params, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"],
             )
-            loss, metrics = margin_softmax_loss(emb, w_sub_, local_labels, **loss_kw)
+            loss, metrics = margin_softmax_loss(emb, w_sub_, local_labels,
+                                                col_mask=valid, **loss_kw)
             return loss, (mut["batch_stats"], metrics)
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
@@ -178,9 +203,14 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
                 g_backbone, state.opt_state["backbone"], state.params["backbone"]
             )
             new_backbone = jax.tree.map(lambda p, u: p + u, state.params["backbone"], upd_b)
+            # invalid (duplicate/collision) positions carry exact-zero grads
+            # but would still receive weight decay — route them to the
+            # out-of-bounds sentinel so the scatter drops them; the remaining
+            # indices are UNIQUE, so the momentum update is unambiguous
+            upd_idx = jnp.where(valid, sampled, jnp.int32(c))
             new_w, new_mom = sparse_sgd_rows(
                 state.params["classifier"], state.opt_state["classifier_mom"],
-                sampled, g_wsub,
+                upd_idx, g_wsub,
                 lr=lr, momentum=cfg.optim.momentum,
                 weight_decay=cfg.optim.weight_decay, nesterov=cfg.optim.nesterov,
             )
@@ -198,6 +228,92 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
         return (
             state.replace(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt),
+            metrics,
+        )
+
+    return train_step
+
+
+def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
+    """Streaming full-softmax with a SPARSE classifier gradient+update.
+
+    The dense streaming backward's floor is the [C, D] d_w write plus the
+    dense SGD-momentum traffic (~12 GB/step at C=1M, docs/PERF.md). Here the
+    head runs OUTSIDE jax.grad: the backbone is differentiated via jax.vjp,
+    the head computes (exact loss, d_emb, sparse d_w rows) in one explicit
+    call (ops/margin_pallas.streaming_sparse_margin_grads), and the
+    classifier update touches only the selected rows
+    (train/sparse_classifier.sparse_sgd_rows). The gradient truncation is
+    the Partial-FC approximation applied to the backward only — the loss
+    itself stays the exact full softmax.
+    """
+    from vlsfr_tpu.ops.margin_pallas import (
+        sparse_bwd_geometry,
+        streaming_sparse_margin_grads,
+    )
+    from vlsfr_tpu.train.sparse_classifier import sparse_sgd_rows
+
+    c = cfg.pool.num_classes
+    tile, n_tiles = sparse_bwd_geometry(cfg.data.batch_size, cfg.model.feat_dim, c)
+    # targets are force-included, so m_tiles must be able to hold one tile
+    # per batch row in the worst (all-distinct-tiles) case
+    m_tiles = min(
+        n_tiles,
+        max(int(round(cfg.pool.sparse_grad_rate * n_tiles)), cfg.data.batch_size, 8),
+    )
+    loss_kw = dict(
+        loss_type=cfg.loss.loss_type,
+        margin=cfg.loss.margin,
+        scale=cfg.loss.scale,
+        mask_svfc=cfg.loss.mask_svfc,
+    )
+
+    def train_step(state: SoftmaxState, images, labels, lr_scale):
+        def backbone_fn(backbone_params):
+            emb, mut = model.apply(
+                {"params": backbone_params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            return emb, mut["batch_stats"]
+
+        emb, backbone_vjp, new_stats = jax.vjp(
+            backbone_fn, state.params["backbone"], has_aux=True
+        )
+        b = labels.shape[0]
+        # loss = mean(ce): analytic output cotangents (no outlier rows here)
+        d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
+        d_neg = jnp.zeros((b,), jnp.float32)
+        ce, _neg, topk, gt, d_emb, row_idx, d_w_rows = streaming_sparse_margin_grads(
+            emb, state.params["classifier"], labels, d_ce, d_neg,
+            m_tiles=m_tiles, hard_neg=1, normalize_w=True, tile=tile, **loss_kw,
+        )
+        loss = jnp.mean(ce)
+        (g_backbone,) = backbone_vjp(d_emb)
+        acc = jnp.mean((gt >= topk[:, 0]).astype(jnp.float32))
+
+        lr = schedule(state.step) * lr_scale
+        state.opt_state["backbone"].hyperparams["learning_rate"] = lr
+        upd_b, new_bopt = optimizer.update(
+            g_backbone, state.opt_state["backbone"], state.params["backbone"]
+        )
+        new_backbone = jax.tree.map(lambda p, u: p + u, state.params["backbone"], upd_b)
+        # row_idx entries >= C (padding-tile columns) are dropped by the
+        # scatter; all remaining indices are unique by construction
+        new_w, new_mom = sparse_sgd_rows(
+            state.params["classifier"], state.opt_state["classifier_mom"],
+            row_idx, d_w_rows,
+            lr=lr, momentum=cfg.optim.momentum,
+            weight_decay=cfg.optim.weight_decay, nesterov=cfg.optim.nesterov,
+        )
+        metrics = {"loss": loss, "ce": loss, "train_acc": acc, "lr": lr,
+                   "grad_tiles": jnp.int32(m_tiles)}
+        return (
+            state.replace(
+                step=state.step + 1,
+                params={"backbone": new_backbone, "classifier": new_w},
+                batch_stats=new_stats,
+                opt_state={"backbone": new_bopt, "classifier_mom": new_mom},
+            ),
             metrics,
         )
 

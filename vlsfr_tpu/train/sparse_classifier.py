@@ -11,9 +11,12 @@ momentum + optional nesterov), and scattered back — O(S·D) traffic.
 Approximations (standard for sparse-momentum training, documented):
 
 * untouched rows receive no weight decay and no momentum decay this step
-  (their momentum is simply stale, applied implicitly when next sampled);
-* duplicate sampled indices (random collisions, repeated batch labels)
-  scatter-add their weight deltas but last-write momentum.
+  (their momentum is simply stale, applied implicitly when next sampled).
+
+Callers pass UNIQUE indices (partial_fc.sample_classes dedups; the sparse
+streaming backward emits distinct tiles), with duplicates/padding routed to
+the out-of-bounds sentinel ``idx == num_rows`` — those positions are dropped
+by the scatters, so there is no duplicate-momentum ambiguity.
 """
 
 from __future__ import annotations
@@ -33,13 +36,14 @@ def sparse_sgd_rows(
     nesterov: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """torch-SGD step applied only to ``w[idx]`` (see optim/optimizers.py for
-    the dense-parity semantics). Returns (new_w, new_momentum_buf)."""
-    w_sub = w[idx]
-    m_sub = momentum_buf[idx]
+    the dense-parity semantics). ``idx`` entries must be unique; entries
+    ≥ len(w) are dropped. Returns (new_w, new_momentum_buf)."""
+    safe = jnp.minimum(idx, w.shape[0] - 1)  # gather-safe; OOB rows dropped below
+    w_sub = w[safe]
+    m_sub = momentum_buf[safe]
     g = grad_rows + weight_decay * w_sub
     m_new = momentum * m_sub + g
     update = g + momentum * m_new if nesterov else m_new
-    # weight delta accumulates across duplicate indices; momentum last-wins
-    new_w = w.at[idx].add(-lr * update)
-    new_m = momentum_buf.at[idx].set(m_new)
+    new_w = w.at[idx].add(-lr * update, mode="drop")
+    new_m = momentum_buf.at[idx].set(m_new, mode="drop")
     return new_w, new_m

@@ -12,6 +12,9 @@ loop. Differences that matter (all deliberate, per SURVEY.md §7):
   device step never syncs back (the reference's ``.tolist()`` pattern).
 * Full resume: device pytree + DCP/plateau/data-position sidecar, observed
   at the reference's cadence knobs (--print_freq/--save_freq ≙ main.py:76).
+  Plateau LR observations happen once per print window (the reference
+  observes per step); with the reference default print_freq=1000 the
+  windowed mean is a lower-variance version of the same signal.
 * The frozen gallery net never reaches the optimizer (the reference
   optimizes it by accident, main.py:126).
 """
