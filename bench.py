@@ -103,6 +103,7 @@ def main():
     cfg.model.net_type = net_type
     cfg.model.feat_dim = 512
     cfg.model.dtype = "bfloat16"
+    cfg.model.bn_stats_rows = int(os.environ.get("BENCH_BN_ROWS", 0))
     cfg.pool.queue_size = queue_size
     cfg.pool.queue_dtype = os.environ.get("BENCH_QUEUE_DTYPE", "float32")
     cfg.data.batch_size = batch
@@ -123,7 +124,8 @@ def main():
         cfg.pool.use_fused = os.environ.get("BENCH_FUSED", "auto")
         cfg.pool.sparse_update = os.environ.get("BENCH_SPARSE", "0") == "1"
         cfg.pool.sparse_grad_rate = float(os.environ.get("BENCH_SPARSE_RATE", 0.05))
-        model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
+        model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
+                             bn_stats_rows=cfg.model.bn_stats_rows)
         optimizer_s = make_optimizer(cfg.optim)
         schedule_s = make_schedule(cfg.optim, steps_per_epoch=1000)
         state = create_softmax_state(
@@ -198,7 +200,8 @@ def main():
         # conv ceiling: backbone fwd+bwd only, no FFC machinery
         import optax
 
-        model_b = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
+        model_b = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
+                             bn_stats_rows=cfg.model.bn_stats_rows)
         rng0 = np.random.default_rng(0)
         xb = jnp.asarray(rng0.standard_normal((batch, size, size, 3)), jnp.float32)
         variables = model_b.init(jax.random.PRNGKey(0), xb, train=False)
@@ -246,7 +249,8 @@ def main():
         }))
         return
 
-    model = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16)
+    model = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
+                       bn_stats_rows=cfg.model.bn_stats_rows)
     optimizer = make_optimizer(cfg.optim)
     schedule = make_schedule(cfg.optim, steps_per_epoch=1000)
     state = create_ffc_state(jax.random.PRNGKey(0), model, cfg, optimizer, size)

@@ -172,3 +172,38 @@ def test_grayscale_decode_contract(tmp_path):
     assert img.shape == (32, 32, 3)
     np.testing.assert_array_equal(img[..., 0], img[..., 1])
     np.testing.assert_array_equal(img[..., 1], img[..., 2])
+
+
+def test_ffc_pipeline_host_slice_decodes_only_local_rows(store):
+    """Multi-host decode slicing: a host with slice [2:6) must produce
+    exactly rows 2..5 of the full pipeline's images, with GLOBAL labels."""
+    r = MultiSourceReader([store])
+    full = FFCPipeline(r, batch_size=8, image_size=64, seed=0, num_workers=2)
+    part = FFCPipeline(r, batch_size=8, image_size=64, seed=0, num_workers=2,
+                       host_slice=slice(2, 6))
+    bf = full.make_batch(0, 0)
+    bp = part.make_batch(0, 0)
+    assert bp.x.shape[0] == 4 and bp.y.shape[0] == 4
+    np.testing.assert_array_equal(bp.x, bf.x[2:6])
+    np.testing.assert_array_equal(bp.y, bf.y[2:6])
+    # labels stay global (the DCP planner needs the full plan on every host)
+    np.testing.assert_array_equal(bp.x_label, bf.x_label)
+    np.testing.assert_array_equal(bp.y_label, bf.y_label)
+    full.close(); part.close()
+    r.close()
+
+
+def test_instance_pipeline_host_slice(store):
+    from vlsfr_tpu.data.pipeline import InstancePipeline
+
+    r = MultiSourceReader([store])
+    full = InstancePipeline(r, batch_size=8, image_size=64, seed=0, num_workers=2)
+    part = InstancePipeline(r, batch_size=8, image_size=64, seed=0, num_workers=2,
+                            host_slice=slice(4, 8))
+    bf = full.make_batch(0, 0)
+    bp = part.make_batch(0, 0)
+    assert bp.images.shape[0] == 4
+    np.testing.assert_array_equal(bp.images, bf.images[4:8])
+    np.testing.assert_array_equal(bp.labels, bf.labels)  # global
+    full.close(); part.close()
+    r.close()

@@ -138,3 +138,80 @@ def test_parity_resnet50_std():
 def test_unknown_net_type_raises():
     with pytest.raises(ValueError):
         create_net("vgg16")
+
+
+# ----------------------------------------------------------------------
+# subset-statistics BatchNorm (perf flag, models/layers.py _SubsetBN)
+# ----------------------------------------------------------------------
+
+
+def test_subset_bn_full_rows_matches_flax():
+    """stats_rows >= batch ⇒ bit-level same math as flax nn.BatchNorm
+    (same mean/var, same EMA update, same variable layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlsfr_tpu.models.layers import BatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 6, 6, 16)).astype(np.float32))
+    ref = BatchNorm(dtype=jnp.float32)
+    sub = BatchNorm(dtype=jnp.float32, bn_stats_rows=8)
+    v_ref = ref.init(jax.random.PRNGKey(0), x, train=False)
+    v_sub = sub.init(jax.random.PRNGKey(0), x, train=False)
+    # identical variable tree (checkpoint/torch-import compatibility)
+    assert jax.tree.structure(v_ref) == jax.tree.structure(v_sub)
+    y_ref, m_ref = ref.apply(v_ref, x, train=True, mutable=["batch_stats"])
+    y_sub, m_sub = sub.apply(v_sub, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_ref), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(m_sub["batch_stats"]["bn"][k]),
+            np.asarray(m_ref["batch_stats"]["bn"][k]), atol=1e-6,
+        )
+    # eval path: running stats
+    ye_ref = ref.apply(v_ref, x, train=False)
+    ye_sub = sub.apply(v_sub, x, train=False)
+    np.testing.assert_allclose(np.asarray(ye_sub), np.asarray(ye_ref), atol=1e-5)
+
+
+def test_subset_bn_subset_stats_close():
+    """stats from 4 of 32 rows: normalized output close to full-batch BN
+    (spatial positions keep per-channel sample count high)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlsfr_tpu.models.layers import BatchNorm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((32, 14, 14, 8)).astype(np.float32))
+    full = BatchNorm(dtype=jnp.float32)
+    sub = BatchNorm(dtype=jnp.float32, bn_stats_rows=4)
+    v = full.init(jax.random.PRNGKey(0), x, train=False)
+    y_full, _ = full.apply(v, x, train=True, mutable=["batch_stats"])
+    y_sub, _ = sub.apply(v, x, train=True, mutable=["batch_stats"])
+    # 4 rows × 196 positions = 784 samples/channel: stats within a few %
+    err = float(jnp.abs(y_sub - y_full).max())
+    assert err < 0.25, err
+    corr = float(jnp.mean(y_sub * y_full) / jnp.sqrt(jnp.mean(y_sub**2) * jnp.mean(y_full**2)))
+    assert corr > 0.995, corr
+
+
+def test_backbone_with_bn_subsample_trains_and_evals():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlsfr_tpu.models import create_net
+
+    m = create_net("toy", feat_dim=16, bn_stats_rows=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 32, 32, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # eval consumes the updated running stats
+    out_e = m.apply({"params": v["params"], "batch_stats": mut["batch_stats"]}, x, train=False)
+    assert np.isfinite(np.asarray(out_e)).all()

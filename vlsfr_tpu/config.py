@@ -78,6 +78,11 @@ class ModelConfig:
     # bf16 compute replaces the reference's fp16 AMP (main.py:64,133) — no
     # loss scaling is needed for bf16 on TPU.
     dtype: str = "bfloat16"
+    # BN training statistics from a strided subset of the batch rows
+    # (0 = full batch). Perf flag: the stem stat-reduces are ~11% of the
+    # step; 112^2 spatial positions keep subset estimates tight
+    # (models/layers.py _SubsetBN).
+    bn_stats_rows: int = 0
 
 
 @dataclass

@@ -193,7 +193,13 @@ class FFCBatch:
 
 
 class FFCPipeline:
-    """Composes instance + pair streams into FFC batches with async prefetch."""
+    """Composes instance + pair streams into FFC batches with async prefetch.
+
+    ``host_slice`` (multi-host DP): every host still builds the SAME global
+    index/label plan per step (stateless samplers keyed on (seed, epoch,
+    step) — required so the replicated host-side DCP planners stay in sync),
+    but only DECODES the image rows in its slice — O(global/hosts) decode
+    work per host. Labels in the returned batch remain global."""
 
     def __init__(
         self,
@@ -203,12 +209,14 @@ class FFCPipeline:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        host_slice: slice | None = None,
     ):
         assert batch_size % 2 == 0, "FFC batch composition needs an even batch"
         self.reader = reader
         self.batch_size = batch_size
         self.image_size = image_size
         self.seed = seed
+        self.host_slice = host_slice if host_slice is not None else slice(None)
         self.instance = InstanceStream(reader, batch_size, seed)
         self.pairs = PairStream(reader, batch_size // 2, seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
@@ -233,21 +241,25 @@ class FFCPipeline:
         ins = self.instance.batch_indices(epoch, step)
         ins_labels = np.asarray(self.reader.labels[ins])
         pair_labels, rec1, rec2 = self.pairs.batch(epoch, step)
-
-        recs = np.concatenate([rec1, rec2, ins])
-        # one batch-level draw for all flip decisions (deterministic per
-        # (seed, epoch, step); cheaper than one Generator per image)
-        flips = _rng(self.seed, epoch, step, 0xF11).random(len(recs)) < 0.5
-        imgs = list(self.pool.map(self._load_one, recs, flips))
-        p1 = np.stack(imgs[:half])
-        p2 = np.stack(imgs[half : 2 * half])
-        inst = np.stack(imgs[2 * half :])
-        i1, i2 = inst[:half], inst[half:]
         l1, l2 = ins_labels[:half], ins_labels[half:]
-        # composition from reference main.py:53-60
+
+        # per-row record layout of the composed batch (reference main.py:53-60)
+        x_recs = np.concatenate([rec1, ins[:half]])
+        y_recs = np.concatenate([rec2, ins[half:]])
+        # batch-level flip draws, keyed per (seed, epoch, step) and per side
+        # so any host slice decodes identical pixels for its rows
+        flips_x = _rng(self.seed, epoch, step, 0xF11).random(b) < 0.5
+        flips_y = _rng(self.seed, epoch, step, 0xF13).random(b) < 0.5
+        sl = self.host_slice
+        imgs = list(self.pool.map(
+            self._load_one,
+            np.concatenate([x_recs[sl], y_recs[sl]]),
+            np.concatenate([flips_x[sl], flips_y[sl]]),
+        ))
+        n_local = len(imgs) // 2
         return FFCBatch(
-            x=np.concatenate([p1, i1]),
-            y=np.concatenate([p2, i2]),
+            x=np.stack(imgs[:n_local]),
+            y=np.stack(imgs[n_local:]),
             x_label=np.concatenate([pair_labels, l1]).astype(np.int32),
             y_label=np.concatenate([pair_labels, l2]).astype(np.int32),
             epoch=epoch,
@@ -301,6 +313,8 @@ class InstancePipeline:
     """Plain (image, label) batches for full-softmax training and eval.
 
     Same determinism/prefetch machinery as FFCPipeline, single stream.
+    ``host_slice``: decode only this host's image rows (labels stay global —
+    see FFCPipeline).
     """
 
     def __init__(
@@ -312,12 +326,14 @@ class InstancePipeline:
         num_workers: int = 8,
         prefetch: int = 2,
         augment: bool = True,
+        host_slice: slice | None = None,
     ):
         self.reader = reader
         self.batch_size = batch_size
         self.image_size = image_size
         self.seed = seed
         self.augment = augment
+        self.host_slice = host_slice if host_slice is not None else slice(None)
         self.instance = InstanceStream(reader, batch_size, seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
@@ -341,7 +357,8 @@ class InstancePipeline:
             flips = _rng(self.seed, epoch, step, 0xF12).random(len(idx)) < 0.5
         else:
             flips = np.zeros(len(idx), dtype=bool)
-        imgs = list(self.pool.map(self._load_one, idx, flips))
+        sl = self.host_slice
+        imgs = list(self.pool.map(self._load_one, idx[sl], flips[sl]))
         return InstanceBatch(images=np.stack(imgs), labels=labels, epoch=epoch, step=step)
 
     def epoch_iter(self, epoch: int, start_step: int = 0):

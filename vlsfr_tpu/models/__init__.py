@@ -40,15 +40,18 @@ def create_net(
     dtype: Any = jnp.float32,
     axis_name: str | None = None,
     dropout: float = 0.0,
+    bn_stats_rows: int = 0,
 ):
     """Build a backbone module by name; raises on unknown type
     (reference model/__init__.py:9-10)."""
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
     if net_type == "toy":
-        return ToyNet(feat_dim=feat_dim, dtype=dtype, axis_name=axis_name)
+        return ToyNet(feat_dim=feat_dim, dtype=dtype, axis_name=axis_name,
+                      bn_stats_rows=bn_stats_rows)
     if net_type == "mobile":
-        return MobileFaceNet(feat_dim=feat_dim, dtype=dtype, axis_name=axis_name)
+        return MobileFaceNet(feat_dim=feat_dim, dtype=dtype, axis_name=axis_name,
+                             bn_stats_rows=bn_stats_rows)
     if net_type in _IR_DEPTHS:
         return IResNet(
             layers=_IR_DEPTHS[net_type],
@@ -56,10 +59,12 @@ def create_net(
             dropout=dropout,
             dtype=dtype,
             axis_name=axis_name,
+            bn_stats_rows=bn_stats_rows,
         )
     if net_type in _R_DEPTHS:
         block, layers = _R_DEPTHS[net_type]
-        return ResNet(block=block, layers=layers, feat_dim=feat_dim, dtype=dtype, axis_name=axis_name)
+        return ResNet(block=block, layers=layers, feat_dim=feat_dim, dtype=dtype,
+                      axis_name=axis_name, bn_stats_rows=bn_stats_rows)
     raise ValueError(
         f"unsupported backbone {net_type!r}; choose from "
         f"{['mobile', *_IR_DEPTHS, *_R_DEPTHS]}"

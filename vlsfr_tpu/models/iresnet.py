@@ -40,10 +40,11 @@ class IBasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         y = BatchNorm(name="bn1", **kw)(x, train)
         y = Conv(self.planes, 3, 1, 1, kernel_init=_conv_init, dtype=self.dtype, name="conv1")(y)
         y = BatchNorm(name="bn2", **kw)(y, train)
@@ -66,10 +67,11 @@ class IResNet(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         x = x.astype(self.dtype)
         x = Conv(64, 3, 1, 1, kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(name="bn1", **kw)(x, train)

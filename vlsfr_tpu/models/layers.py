@@ -53,6 +53,57 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x).astype(self.dtype)
 
 
+class _SubsetBN(nn.Module):
+    """Manual BatchNorm whose TRAINING statistics come from a strided subset
+    of the batch rows (``stats_rows`` of them, spread evenly so each data
+    shard contributes equally under GSPMD).
+
+    Why: the BN batch-stat reduces over the stem activations are ~11% of the
+    FFC step on v5e (docs/PERF.md) — a pure HBM re-read that XLA cannot fuse
+    into the producing conv. With 112² spatial positions per sample, 32 rows
+    still average >400k samples per channel, so the estimate stays tight
+    (ghost-BN-style subsampling; flag-gated, default off).
+
+    Variable layout (params: scale/bias; batch_stats: mean/var) is identical
+    to flax nn.BatchNorm — checkpoints and torch imports are interchangeable.
+    """
+
+    stats_rows: int
+    use_scale: bool = True
+    use_bias: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            b = x.shape[0]
+            stride = max(b // max(self.stats_rows, 1), 1)
+            sub = x[::stride]
+            axes = tuple(range(sub.ndim - 1))
+            mean = jnp.mean(sub, axes)
+            mean2 = jnp.mean(jnp.square(sub), axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                # same EMA rule as flax nn.BatchNorm (biased batch var)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            y = y * self.param("scale", self.scale_init, (feat,), jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        return y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d/1d with float32 statistics and torch-compatible defaults.
 
@@ -60,6 +111,9 @@ class BatchNorm(nn.Module):
     ``axis_name`` enables cross-device (sync) BN: batch statistics are averaged
     over the named mesh axis — the real implementation of the reference's dead
     ``--sync_bn`` flag (main.py:162).
+
+    ``bn_stats_rows > 0`` switches to :class:`_SubsetBN`: training statistics
+    from a strided row subset (perf flag; identical variable layout).
     """
 
     use_scale: bool = True
@@ -69,9 +123,21 @@ class BatchNorm(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     scale_init: Callable = nn.initializers.ones
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if self.bn_stats_rows > 0:
+            norm = _SubsetBN(
+                stats_rows=self.bn_stats_rows,
+                use_scale=self.use_scale,
+                use_bias=self.use_bias,
+                momentum=self.momentum,
+                epsilon=self.epsilon,
+                scale_init=self.scale_init,
+                name="bn",
+            )
+            return norm(x.astype(jnp.float32), use_running_average=not train).astype(self.dtype)
         norm = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,

@@ -44,6 +44,7 @@ class ConvBlock(nn.Module):
     linear: bool = False
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -56,7 +57,8 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name, name="bn")(x, train)
+        x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+              bn_stats_rows=self.bn_stats_rows, name="bn")(x, train)
         if not self.linear:
             x = PReLU(self.out_ch, dtype=self.dtype, name="prelu")(x)
         return x
@@ -75,11 +77,12 @@ class Bottleneck(nn.Module):
     expansion: int
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
         mid = self.in_ch * self.expansion
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         y = ConvBlock(self.in_ch, mid, 1, 1, 0, name="expand", **kw)(x, train)
         y = ConvBlock(mid, mid, 3, self.stride, 1, dw=True, name="depthwise", **kw)(y, train)
         y = ConvBlock(mid, self.out_ch, 1, 1, 0, linear=True, name="project", **kw)(y, train)
@@ -94,11 +97,12 @@ class MobileFaceNet(nn.Module):
     feat_dim: int = 128
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
     setting: Sequence[tuple] = BOTTLENECK_SETTING
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         x = x.astype(self.dtype)
         x = ConvBlock(3, 64, 3, 2, 1, name="conv1", **kw)(x, train)
         x = ConvBlock(64, 64, 3, 1, 1, dw=True, name="dw_conv1", **kw)(x, train)

@@ -40,10 +40,11 @@ class BasicBlock(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         y = Conv(self.planes, 3, self.stride, 1, kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
         y = BatchNorm(name="bn1", **kw)(y, train)
         y = nn.relu(y)
@@ -69,11 +70,12 @@ class Bottleneck(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
         out_ch = self.planes * self.expansion
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         y = Conv(self.planes, 1, 1, 0, kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
         y = BatchNorm(name="bn1", **kw)(y, train)
         y = nn.relu(y)
@@ -100,12 +102,13 @@ class ResNet(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = block_cls.expansion
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         x = x.astype(self.dtype)
         x = Conv(64, 7, 2, 3, kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(name="bn1", **kw)(x, train)

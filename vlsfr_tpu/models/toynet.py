@@ -19,10 +19,11 @@ class ToyNet(nn.Module):
     feat_dim: int = 64
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    bn_stats_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, bn_stats_rows=self.bn_stats_rows)
         x = x.astype(self.dtype)
         x = Conv(16, 3, 2, 1, dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(name="bn1", **kw)(x, train)

@@ -261,8 +261,10 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
                ce_ref, neg_ref, logz_ref, topk_ref,
                *stats_and_scratch):
         if with_stats:
-            maxz_ref, maxcos_ref = stats_and_scratch[:2]
-            m_scr, s_scr, topk_scr = stats_and_scratch[2:]
+            # packed per-tile stats [1, 8, B] (row 0 = max z, row 1 = max cos;
+            # rows 2-7 pad the block to Mosaic's (8, 128) tiling minimum)
+            stats_ref = stats_and_scratch[0]
+            m_scr, s_scr, topk_scr = stats_and_scratch[1:]
         else:
             m_scr, s_scr, topk_scr = stats_and_scratch
         t = pl.program_id(0)
@@ -294,8 +296,10 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
             # per-(tile, row) maxima consumed by select_relevant_tiles: the
             # sparse backward keeps only tiles whose softmax mass, top-k
             # membership, or target column can produce a non-negligible grad
-            maxz_ref[:] = jnp.max(z, axis=-1)[None, :]
-            maxcos_ref[:] = jnp.max(cos, axis=-1)[None, :]
+            buf = jnp.zeros((8, b), jnp.float32)
+            buf = buf.at[0].set(jnp.max(z, axis=-1))
+            buf = buf.at[1].set(jnp.max(cos, axis=-1))
+            stats_ref[0] = buf
 
         m_old = m_scr[:]  # [B, 1]
         m_new = jnp.maximum(m_old, jnp.max(z, axis=-1, keepdims=True))
@@ -369,12 +373,10 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
     ]
     if with_stats:
         out_specs += [
-            pl.BlockSpec((1, b), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, b), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((n_tiles, b), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, b), jnp.float32),
         ]
     out = pl.pallas_call(
         kernel,
@@ -397,7 +399,8 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
       emb, wp)
     ce, neg, logz, topk = out[:4]
     if with_stats:
-        return ce[:, 0], neg[:, 0], logz[:, 0], topk, out[4], out[5]
+        stats = out[4]
+        return ce[:, 0], neg[:, 0], logz[:, 0], topk, stats[:, 0, :], stats[:, 1, :]
     return ce[:, 0], neg[:, 0], logz[:, 0], topk
 
 

@@ -66,6 +66,7 @@ class Trainer:
             feat_dim=cfg.model.feat_dim,
             dtype=cfg.model.dtype,
             dropout=cfg.model.dropout,
+            bn_stats_rows=cfg.model.bn_stats_rows,
         )
         self.optimizer = make_optimizer(cfg.optim)
         self.plateau = PlateauController(
@@ -75,6 +76,13 @@ class Trainer:
         self.ckpt = CheckpointManager(cfg.train.saved_dir, cfg.train.keep_checkpoints)
         self.num_chips = self.mesh.devices.size
 
+        # multi-host: decode only this host's rows (labels stay global — the
+        # replicated DCP planners need every host to see the full label plan)
+        host_slice = None
+        if jax.process_count() > 1:
+            from vlsfr_tpu.parallel.distributed import local_batch_slice
+
+            host_slice = local_batch_slice(cfg.data.batch_size)
         self.is_ffc = cfg.pool.head == "ffc"
         if self.is_ffc:
             self.pipeline = FFCPipeline(
@@ -84,6 +92,7 @@ class Trainer:
                 seed=cfg.data.seed,
                 num_workers=cfg.data.num_workers,
                 prefetch=cfg.data.prefetch,
+                host_slice=host_slice,
             )
             self.dcp = create_dcp_manager(cfg.pool.queue_size)
         else:
@@ -94,6 +103,7 @@ class Trainer:
                 seed=cfg.data.seed,
                 num_workers=cfg.data.num_workers,
                 prefetch=cfg.data.prefetch,
+                host_slice=host_slice,
             )
             self.dcp = None
             if cfg.pool.num_classes <= 0:
@@ -184,16 +194,19 @@ class Trainer:
     def _device_batch(self, *arrays):
         if jax.process_count() == 1:
             return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
-        # multi-host: every host assembles the same deterministic global batch
-        # (stateless samplers), feeds only its slice; jax glues the global
-        # array view. (Round-2: restrict decode to the local slice too.)
+        # multi-host: the pipeline already decoded ONLY this host's image
+        # rows (host_slice); global-sized arrays (labels — every host builds
+        # the same deterministic plan) are sliced here. jax glues the
+        # per-process shards into one global array view.
         from vlsfr_tpu.parallel.distributed import local_batch_slice
 
-        sl = local_batch_slice(arrays[0].shape[0])
-        return tuple(
-            jax.make_array_from_process_local_data(self._batch_sharding, a[sl])
-            for a in arrays
-        )
+        g = self.cfg.data.batch_size
+        sl = local_batch_slice(g)
+        out = []
+        for a in arrays:
+            local = a[sl] if a.shape[0] == g else a
+            out.append(jax.make_array_from_process_local_data(self._batch_sharding, local))
+        return tuple(out)
 
     def install_signal_handlers(self):
         """Preemption tolerance: SIGTERM/SIGINT triggers a final checkpoint
