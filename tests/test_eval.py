@@ -168,3 +168,67 @@ def test_insightface_bin_roundtrip(tmp_path, rng):
     assert res["num_pairs"] == 6
     # identical-image pairs score cosine 1.0 -> perfect separability here
     assert res["verification_acc"] >= 0.8
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    from vlsfr_tpu.data.synthetic import generate_synthetic_store
+
+    d = tmp_path_factory.mktemp("eval_store")
+    generate_synthetic_store(str(d), num_ids=6, images_per_id=4, image_size=64, seed=0)
+    return str(d)
+
+
+def test_bin_write_load_roundtrip(tmp_path, store):
+    """save_insightface_bin -> load_insightface_bin round-trip, plus the
+    store->bin export path used to generate standard verification sets."""
+    import numpy as np
+
+    from vlsfr_tpu.data.pipeline import decode_image, normalize
+    from vlsfr_tpu.data.records import MultiSourceReader
+    from vlsfr_tpu.eval.verification import (
+        load_insightface_bin,
+        make_bin_from_store,
+        save_insightface_bin,
+    )
+
+    r = MultiSourceReader([store])
+    payloads = [r.payload(i) for i in range(6)]
+    issame = np.asarray([1, 0, 1], np.int32)
+    path = str(tmp_path / "tiny.bin")
+    save_insightface_bin(path, payloads, issame)
+    imgs, same = load_insightface_bin(path, 64)
+    assert imgs.shape == (6, 64, 64, 3)
+    np.testing.assert_array_equal(same, issame)
+    want0 = normalize(decode_image(r.payload(0), 64), False)
+    np.testing.assert_allclose(imgs[0], want0)
+    r.close()
+
+    out = str(tmp_path / "export.bin")
+    n = make_bin_from_store([store], out, num_pairs=20, seed=0)
+    imgs2, same2 = load_insightface_bin(out, 64)
+    assert imgs2.shape[0] == 2 * n and len(same2) == n
+    assert same2.sum() == n // 2  # balanced
+
+
+def test_holdout_split_excludes_eval_records(store):
+    """record_limit keeps held-out records out of BOTH training streams."""
+    import numpy as np
+
+    from vlsfr_tpu.data.pipeline import InstanceStream, PairStream
+    from vlsfr_tpu.data.records import MultiSourceReader
+
+    r = MultiSourceReader([store])
+    n = len(r)
+    limit = n - 8
+    ins = InstanceStream(r, batch_size=4, seed=0, record_limit=limit)
+    for step in range(ins.steps_per_epoch()):
+        assert (ins.batch_indices(0, step) < limit).all()
+    pairs = PairStream(r, batch_size=2, seed=0, record_limit=limit)
+    for step in range(4):
+        _, rec1, rec2 = pairs.batch(0, step)
+        assert (rec1 < limit).all() and (rec2 < limit).all()
+    r.close()

@@ -179,3 +179,47 @@ def test_sampled_partial_fc(rng):
     # sampled CE lower-bounds the full CE (smaller denominator)
     loss_full, _ = margin_softmax_loss(jnp.asarray(emb), jnp.asarray(w), jnp.asarray(labels))
     assert float(loss_s) <= float(loss_full) + 1e-4
+
+
+def test_queue_scatter_stays_local_no_collectives():
+    """FFC queue write path at a model-sharded queue: GSPMD must lower
+    ``queue.at[rows, cols].set(g)`` + the parity blend to per-shard local
+    ops — NO all-gather/all-reduce of the queue (VERDICT round-1 #9: at
+    Q=10M an all-gather would be 20 GB/step)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlsfr_tpu.core.ffc import scatter_mask
+    from vlsfr_tpu.parallel.mesh import make_mesh, queue_sharding
+
+    mesh = make_mesh(4, 2)
+    Q, D, B = 2048, 32, 16
+    q = jax.device_put(jnp.zeros((2, Q, D), jnp.float32), queue_sharding(mesh))
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.integers(0, 2, B), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, Q, B), jnp.int32)
+    seen = jnp.asarray(rng.random(B) < 0.5, jnp.float32)
+    g = jnp.ones((B, D), jnp.float32)
+
+    @jax.jit
+    def queue_write_and_blend(q, rows, cols, seen, g):
+        new_q = q.at[rows, cols].set(g)
+        mask = scatter_mask(seen, cols, Q)[:, None]
+        weight = mask * new_q[1] + (1.0 - mask) * new_q[0]
+        return new_q, weight
+
+    hlo = queue_write_and_blend.lower(q, rows, cols, seen, g).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all",
+                 "reduce-scatter"):
+        assert not re.search(coll, hlo), f"queue write lowered a {coll}"
+    new_q, weight = queue_write_and_blend(q, rows, cols, seen, g)
+    assert new_q.sharding.spec == queue_sharding(mesh).spec
+    # the blended view keeps the class axis sharded too
+    assert "model" in str(weight.sharding.spec)
+    # semantics: written slots hold g
+    got = np.asarray(new_q)
+    for r, c in zip(np.asarray(rows), np.asarray(cols)):
+        np.testing.assert_array_equal(got[r, c], 1.0)

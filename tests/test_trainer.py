@@ -102,7 +102,7 @@ def test_in_training_eval(store, tmp_path):
     t = Trainer(cfg)
     t.train()
     ev = t.evaluate()
-    assert 0.0 <= ev["verification_acc"] <= 1.0
+    assert 0.0 <= ev["verification_acc_train"] <= 1.0
     t.close()
 
 
@@ -190,9 +190,9 @@ def test_ffc_actually_learns(tmp_path):
     cfg.train.print_freq = 1000
     cfg.train.save_freq = 10**9
     t = Trainer(cfg)
-    acc0 = t.evaluate()["verification_acc"]
+    acc0 = t.evaluate()["verification_acc_train"]
     t.train()
-    acc1 = t.evaluate()["verification_acc"]
+    acc1 = t.evaluate()["verification_acc_train"]
     t.close()
     assert acc1 > 0.85, f"did not learn: {acc0:.3f} -> {acc1:.3f}"
     assert acc1 > acc0 + 0.1

@@ -196,6 +196,12 @@ class TrainConfig:
     eval_freq: int = 0  # steps between in-training verification evals (0 = off)
     eval_records: int = 512  # max records sampled for in-training eval
     eval_pairs: int = 500  # verification pairs per eval
+    # reserve the LAST N store records as a held-out eval split (excluded
+    # from both training streams); 0 = eval samples from the train set
+    # (smoke signal only)
+    holdout_records: int = 0
+    # insightface-style verification .bin evaluated at eval_freq (lfw.bin…)
+    eval_bin: str = ""
 
 
 @dataclass

@@ -106,21 +106,26 @@ def normalize(img: np.ndarray, flip: bool) -> np.ndarray:
 
 
 class InstanceStream:
-    """Uniformly shuffled single-image index stream, one permutation per epoch."""
+    """Uniformly shuffled single-image index stream, one permutation per epoch.
 
-    def __init__(self, reader: MultiSourceReader, batch_size: int, seed: int):
+    ``record_limit``: train only on records [0, limit) — the tail of the
+    store is a HELD-OUT split for in-training verification eval."""
+
+    def __init__(self, reader: MultiSourceReader, batch_size: int, seed: int,
+                 record_limit: int | None = None):
         self.reader = reader
         self.batch_size = batch_size
         self.seed = seed
+        self.n_records = record_limit if record_limit else len(reader)
         self._perm_cache: tuple[int, np.ndarray] | None = None
 
     def steps_per_epoch(self) -> int:
-        return len(self.reader) // self.batch_size
+        return self.n_records // self.batch_size
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         # cache: one O(N) permutation per epoch, not per batch
         if self._perm_cache is None or self._perm_cache[0] != epoch:
-            self._perm_cache = (epoch, _rng(self.seed, epoch, 0x1157).permutation(len(self.reader)))
+            self._perm_cache = (epoch, _rng(self.seed, epoch, 0x1157).permutation(self.n_records))
         return self._perm_cache[1]
 
     def batch_indices(self, epoch: int, step: int) -> np.ndarray:
@@ -134,11 +139,19 @@ class PairStream:
     are sampled (with duplication when it has only one,
     util/lmdb_loader.py:196-199)."""
 
-    def __init__(self, reader: MultiSourceReader, batch_size: int, seed: int):
+    def __init__(self, reader: MultiSourceReader, batch_size: int, seed: int,
+                 record_limit: int | None = None):
         self.reader = reader
         self.batch_size = batch_size
         self.seed = seed
         by_id = reader.labels_by_identity()
+        if record_limit:
+            # held-out split: drop records past the limit; identities left
+            # with no training image disappear from the pair stream
+            by_id = {
+                i: [r for r in recs if r < record_limit] for i, recs in by_id.items()
+            }
+            by_id = {i: recs for i, recs in by_id.items() if recs}
         self.identities = np.asarray(list(by_id.keys()))
         self.id_records = [by_id[int(i)] for i in self.identities]
         self._perm_cache: tuple[tuple, np.ndarray] | None = None
@@ -210,6 +223,7 @@ class FFCPipeline:
         num_workers: int = 8,
         prefetch: int = 2,
         host_slice: slice | None = None,
+        record_limit: int | None = None,
     ):
         assert batch_size % 2 == 0, "FFC batch composition needs an even batch"
         self.reader = reader
@@ -217,8 +231,8 @@ class FFCPipeline:
         self.image_size = image_size
         self.seed = seed
         self.host_slice = host_slice if host_slice is not None else slice(None)
-        self.instance = InstanceStream(reader, batch_size, seed)
-        self.pairs = PairStream(reader, batch_size // 2, seed)
+        self.instance = InstanceStream(reader, batch_size, seed, record_limit=record_limit)
+        self.pairs = PairStream(reader, batch_size // 2, seed, record_limit=record_limit)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
         self.reduce = probe_decode_reduce(reader, image_size)
@@ -327,6 +341,7 @@ class InstancePipeline:
         prefetch: int = 2,
         augment: bool = True,
         host_slice: slice | None = None,
+        record_limit: int | None = None,
     ):
         self.reader = reader
         self.batch_size = batch_size
@@ -334,7 +349,7 @@ class InstancePipeline:
         self.seed = seed
         self.augment = augment
         self.host_slice = host_slice if host_slice is not None else slice(None)
-        self.instance = InstanceStream(reader, batch_size, seed)
+        self.instance = InstanceStream(reader, batch_size, seed, record_limit=record_limit)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
         self.reduce = probe_decode_reduce(reader, image_size)

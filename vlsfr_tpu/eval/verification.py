@@ -95,6 +95,38 @@ def load_insightface_bin(path: str, image_size: int) -> tuple[np.ndarray, np.nda
     return imgs, np.asarray(issame, dtype=np.int32)
 
 
+def save_insightface_bin(path: str, payloads: list[bytes], issame: np.ndarray) -> None:
+    """Write an insightface-style verification ``.bin``: a pickle of
+    (encoded_image_bins, issame_list). ``payloads`` are encoded (JPEG/PNG)
+    image bytes, pair-interleaved: images 2i and 2i+1 form pair i with flag
+    ``issame[i]``. Round-trips through :func:`load_insightface_bin` —
+    lets any record store be exported as a standard verification set."""
+    import pickle
+
+    assert len(payloads) == 2 * len(issame), (len(payloads), len(issame))
+    with open(path, "wb") as f:
+        pickle.dump((list(payloads), [bool(s) for s in issame]), f)
+
+
+def make_bin_from_store(
+    store_dirs: list[str], out_path: str, num_pairs: int, seed: int = 0
+) -> int:
+    """Export balanced verification pairs from record store(s) into a ``.bin``
+    (the ecosystem-standard eval format). Returns the number of pairs."""
+    from vlsfr_tpu.data.records import MultiSourceReader
+
+    reader = MultiSourceReader(store_dirs)
+    labels = np.asarray(reader.labels)
+    i1, i2, issame = make_verification_pairs(labels, num_pairs, seed=seed)
+    payloads = []
+    for a, b in zip(i1, i2):
+        payloads.append(reader.payload(int(a)))
+        payloads.append(reader.payload(int(b)))
+    save_insightface_bin(out_path, payloads, issame)
+    reader.close()
+    return len(issame)
+
+
 def evaluate_bin(embedder, path: str, image_size: int) -> dict:
     """Run the full verification protocol on a .bin file with the given
     Embedder (flip-TTA included). Returns accuracy/TAR metrics."""

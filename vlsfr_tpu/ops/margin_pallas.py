@@ -296,10 +296,10 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
             # per-(tile, row) maxima consumed by select_relevant_tiles: the
             # sparse backward keeps only tiles whose softmax mass, top-k
             # membership, or target column can produce a non-negligible grad
-            buf = jnp.zeros((8, b), jnp.float32)
-            buf = buf.at[0].set(jnp.max(z, axis=-1))
-            buf = buf.at[1].set(jnp.max(cos, axis=-1))
-            stats_ref[0] = buf
+            stats_ref[0] = jnp.concatenate(
+                [jnp.max(z, axis=-1)[None, :], jnp.max(cos, axis=-1)[None, :],
+                 jnp.zeros((6, b), jnp.float32)], axis=0,
+            )
 
         m_old = m_scr[:]  # [B, 1]
         m_new = jnp.maximum(m_old, jnp.max(z, axis=-1, keepdims=True))

@@ -84,6 +84,12 @@ class Trainer:
 
             host_slice = local_batch_slice(cfg.data.batch_size)
         self.is_ffc = cfg.pool.head == "ffc"
+        # held-out split: the LAST holdout_records of the store never enter
+        # the training streams; evaluate() samples verification pairs there
+        self.record_limit = None
+        if cfg.train.holdout_records > 0:
+            self.record_limit = max(len(reader) - cfg.train.holdout_records,
+                                    cfg.data.batch_size)
         if self.is_ffc:
             self.pipeline = FFCPipeline(
                 reader,
@@ -93,6 +99,7 @@ class Trainer:
                 num_workers=cfg.data.num_workers,
                 prefetch=cfg.data.prefetch,
                 host_slice=host_slice,
+                record_limit=self.record_limit,
             )
             self.dcp = create_dcp_manager(cfg.pool.queue_size)
         else:
@@ -104,6 +111,7 @@ class Trainer:
                 num_workers=cfg.data.num_workers,
                 prefetch=cfg.data.prefetch,
                 host_slice=host_slice,
+                record_limit=self.record_limit,
             )
             self.dcp = None
             if cfg.pool.num_classes <= 0:
@@ -265,9 +273,20 @@ class Trainer:
         self.ckpt.wait()
         return dict(last_metrics, final_step=final_step)
 
+    def _eval_variables(self):
+        if self.is_ffc:
+            return {"params": self.state.probe_params, "batch_stats": self.state.probe_stats}
+        return {
+            "params": self.state.params["backbone"],
+            "batch_stats": self.state.batch_stats,
+        }
+
     def evaluate(self) -> dict:
-        """In-training verification eval on a capped sample of the store
-        (the reference has no eval at all; SURVEY.md §3.5)."""
+        """In-training verification eval (the reference has no eval at all;
+        SURVEY.md §3.5). With ``train.holdout_records`` the pairs come from
+        the held-out tail of the store (a real accuracy metric); otherwise
+        from the train set (smoke signal only). ``train.eval_bin``
+        additionally evaluates an insightface-style .bin file."""
         import numpy as _np
 
         from vlsfr_tpu.eval.extract import Embedder
@@ -278,16 +297,16 @@ class Trainer:
         )
 
         cfg = self.cfg
-        n = min(len(self.reader), cfg.train.eval_records)
-        idx = _np.random.default_rng(cfg.data.seed).choice(len(self.reader), n, replace=False)
-        labels = _np.asarray([self.reader.label(int(i)) for i in idx])
-        if self.is_ffc:
-            variables = {"params": self.state.probe_params, "batch_stats": self.state.probe_stats}
+        variables = self._eval_variables()
+        if self.record_limit is not None and self.record_limit < len(self.reader):
+            pool = _np.arange(self.record_limit, len(self.reader))
+            src = "holdout"
         else:
-            variables = {
-                "params": self.state.params["backbone"],
-                "batch_stats": self.state.batch_stats,
-            }
+            pool = _np.arange(len(self.reader))
+            src = "train"
+        n = min(len(pool), cfg.train.eval_records)
+        idx = _np.random.default_rng(cfg.data.seed).choice(pool, n, replace=False)
+        labels = _np.asarray([self.reader.label(int(i)) for i in idx])
         emb = Embedder(self.model, variables, batch_size=min(64, n))
         embeddings = emb.from_reader(self.reader, self.image_size, indices=idx)
         try:
@@ -297,7 +316,13 @@ class Trainer:
             return {"verification_acc": float("nan")}
         scores = cosine_scores(embeddings[i1], embeddings[i2])
         acc, std = kfold_verification_accuracy(scores, issame)
-        return {"verification_acc": acc, "verification_std": std}
+        out = {f"verification_acc_{src}": acc, "verification_std": std}
+        if cfg.train.eval_bin:
+            from vlsfr_tpu.eval.verification import evaluate_bin
+
+            res = evaluate_bin(emb, cfg.train.eval_bin, self.image_size)
+            out.update({f"bin_{k}": v for k, v in res.items()})
+        return out
 
     def close(self):
         self.ckpt.wait()
