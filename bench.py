@@ -124,6 +124,7 @@ def main():
         cfg.pool.use_fused = os.environ.get("BENCH_FUSED", "auto")
         cfg.pool.sparse_update = os.environ.get("BENCH_SPARSE", "0") == "1"
         cfg.pool.sparse_grad_rate = float(os.environ.get("BENCH_SPARSE_RATE", 0.05))
+        cfg.pool.classifier_dtype = os.environ.get("BENCH_CLS_DTYPE", "float32")
         model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
                              bn_stats_rows=cfg.model.bn_stats_rows)
         optimizer_s = make_optimizer(cfg.optim)

@@ -1,0 +1,154 @@
+"""Twin-view fused FFC head tests.
+
+Ladder: unfused composition (XLA scatter → blend → two fused_add_margin
+calls, itself equivalence-tested against the dense reference) ==
+twin scan implementation == twin Pallas kernels (interpreter mode), for
+values AND d_emb gradients, across margin families and write patterns.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlsfr_tpu.core.ffc import scatter_mask
+from vlsfr_tpu.ops.margin_pallas import fused_add_margin
+from vlsfr_tpu.ops.twin_margin import (
+    _twin_stream_bwd,
+    _twin_stream_fwd,
+    compute_twin_gt,
+    fused_twin_margin,
+    pallas_twin_bwd,
+    pallas_twin_fwd,
+    twin_add_margin,
+)
+
+
+def make_case(rng, b=8, q=96, d=16, frac_outlier=0.3, dup_slot=False):
+    p = rng.standard_normal((b, d)).astype(np.float32)
+    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+    g = rng.standard_normal((b, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    queue = rng.standard_normal((2, q, d)).astype(np.float32)
+    queue /= np.linalg.norm(queue, axis=-1, keepdims=True)
+    rows = rng.integers(0, 2, b).astype(np.int32)
+    cols = rng.integers(0, q, b).astype(np.int32)
+    if dup_slot:  # two samples write the same (row, col) — last-write-wins
+        rows[1] = rows[0]
+        cols[1] = cols[0]
+    seen = (rng.random(b) < 0.5).astype(np.float32)
+    labels = cols.copy()  # pool-local labels are the written slots
+    labels[rng.random(b) < frac_outlier] = -1
+    return (jnp.asarray(p), jnp.asarray(g), jnp.asarray(queue),
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(seen),
+            jnp.asarray(labels))
+
+
+def unfused_loss(p, g, queue, rows, cols, seen, labels, **kw):
+    """The reference composition from core/ffc.directional_loss (pre-twin).
+
+    NOTE on duplicates: jnp scatter-set duplicate order is 'last wins' on
+    CPU/TPU in practice, matching the kernel's highest-index rule."""
+    g = jax.lax.stop_gradient(g)
+    new_queue = queue.at[rows, cols].set(g)
+    mask = scatter_mask(seen, cols, queue.shape[1])[:, None]
+    weight = jax.lax.stop_gradient(mask * new_queue[1] + (1.0 - mask) * new_queue[0])
+    loss = fused_add_margin(p, new_queue[0], labels, normalize_w=False,
+                            use_pallas=False, tile=16, **kw)
+    loss = loss + fused_add_margin(p, weight, labels, normalize_w=False,
+                                   use_pallas=False, tile=16, **kw)
+    return loss
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+@pytest.mark.parametrize("dup_slot", [False, True])
+def test_twin_matches_unfused(loss_type, dup_slot, rng):
+    p, g, queue, rows, cols, seen, labels = make_case(rng, dup_slot=dup_slot)
+    kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=3)
+    want = float(unfused_loss(p, g, queue, rows, cols, seen, labels, **kw))
+    got = float(twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
+                                labels, tile=16, use_pallas=False, **kw))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "SV"])
+def test_twin_grads_match_unfused(loss_type, rng):
+    p, g, queue, rows, cols, seen, labels = make_case(rng)
+    kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=3)
+
+    gu = jax.grad(lambda e: unfused_loss(e, g, queue, rows, cols, seen, labels, **kw))(p)
+    gt_ = jax.grad(lambda e: twin_add_margin(e, queue[0], queue[1], g, rows, cols,
+                                             seen, labels, tile=16,
+                                             use_pallas=False, **kw))(p)
+    np.testing.assert_allclose(np.asarray(gt_), np.asarray(gu), atol=3e-5)
+
+
+def test_twin_pallas_fwd_matches_scan(rng):
+    p, g, queue, rows, cols, seen, labels = make_case(rng, b=8, q=70, d=128)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=4, mask_svfc=1.2, tile=32)
+    gt1, gt2 = compute_twin_gt(p, queue[0], queue[1], g, rows, cols, seen, labels)
+    out_s, res_s = _twin_stream_fwd(p, queue[0], queue[1], g, rows, cols, seen,
+                                    labels, gt1, gt2, **kw)
+    out_p, res_p = pallas_twin_fwd(p, queue[0], queue[1], g, rows, cols, seen,
+                                   labels, gt1, gt2, interpret=True, **kw)
+    for s, pp in zip(out_s + res_s[:2], out_p + res_p[:2]):
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(s), atol=2e-5)
+    for s, pp in zip(res_s[2:], res_p[2:]):  # topk
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(s), atol=2e-5)
+
+
+def test_twin_pallas_bwd_matches_scan(rng):
+    b = 8
+    p, g, queue, rows, cols, seen, labels = make_case(rng, b=b, q=70, d=128)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=4, mask_svfc=1.2, tile=32)
+    gt1, gt2 = compute_twin_gt(p, queue[0], queue[1], g, rows, cols, seen, labels)
+    _, (logz1, logz2, topk1, topk2) = _twin_stream_fwd(
+        p, queue[0], queue[1], g, rows, cols, seen, labels, gt1, gt2, **kw)
+    d1 = (jnp.asarray(rng.standard_normal(b), jnp.float32),
+          jnp.asarray(rng.standard_normal(b), jnp.float32))
+    d2 = (jnp.asarray(rng.standard_normal(b), jnp.float32),
+          jnp.asarray(rng.standard_normal(b), jnp.float32))
+    ge_s = _twin_stream_bwd(p, queue[0], queue[1], g, rows, cols, seen, labels,
+                            gt1, gt2, logz1, logz2, topk1, topk2, d1, d2, **kw)
+    ge_p = pallas_twin_bwd(p, queue[0], queue[1], g, rows, cols, seen, labels,
+                           gt1, gt2, logz1, logz2, topk1, topk2, d1, d2,
+                           interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=3e-5)
+
+
+def test_ffc_directional_loss_twin_matches_dense(rng):
+    """core.ffc.directional_loss fused (twin) path == its dense path."""
+    from vlsfr_tpu.core.ffc import directional_loss
+
+    b, d, q = 6, 16, 64
+    p = rng.standard_normal((b, d)).astype(np.float32)
+    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+    g = rng.standard_normal((b, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    from vlsfr_tpu.core.ffc import init_queue
+
+    queue = init_queue(jax.random.PRNGKey(0), q, d)
+    rows = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, q, b), jnp.int32)
+    seen = jnp.asarray((rng.random(b) < 0.5), jnp.float32)
+    fake = jnp.asarray(rng.integers(-1, q, b), jnp.int32)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, hard_neg=3)
+    l_dense, q_dense = directional_loss(jnp.asarray(p), jnp.asarray(g), queue,
+                                        rows, cols, seen, fake, use_fused=False, **kw)
+    l_twin, q_twin = directional_loss(jnp.asarray(p), jnp.asarray(g), queue,
+                                      rows, cols, seen, fake, use_fused=True, **kw)
+    assert float(l_twin) == pytest.approx(float(l_dense), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(q_twin), np.asarray(q_dense), atol=1e-7)
+
+
+def test_twin_no_queue_grad_leak(rng):
+    """Grads w.r.t. the queue must be exactly zero (stop-gradient contract)."""
+    p, g, queue, rows, cols, seen, labels = make_case(rng)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, hard_neg=3)
+
+    def f(q):
+        return twin_add_margin(p, q[0], q[1], g, rows, cols, seen, labels,
+                               tile=16, use_pallas=False, **kw)
+
+    gq = jax.grad(f)(queue)
+    np.testing.assert_array_equal(np.asarray(gq), 0.0)

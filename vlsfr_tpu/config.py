@@ -129,6 +129,12 @@ class PoolConfig:
     # fraction of class tiles kept by the sparse streaming backward
     # (targets + top-k tiles are always kept); the loss itself stays exact
     sparse_grad_rate: float = 0.05
+    # classifier (+ bare momentum buffer) storage dtype for the
+    # full_softmax head. bfloat16 halves the 4 GB/1M-ids footprint and the
+    # streaming forward's HBM read — the single-chip 4M-identity enabler
+    # (insightface partial_fc ships fp16 classifiers; rows are
+    # re-normalized every forward so only direction matters).
+    classifier_dtype: str = "float32"  # float32 | bfloat16
     # batch the two probe (and two gallery) passes into one 2B forward —
     # faster on TPU; BN batch stats then span 2B samples (perf mode, not
     # bit-equivalent to the reference's per-pass statistics)

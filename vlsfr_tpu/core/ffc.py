@@ -26,6 +26,7 @@ device→host ``.tolist()`` syncs per step (ffc.py:160,190).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -54,9 +55,17 @@ def init_queue(
 ) -> jnp.ndarray:
     """Random init + L2 normalization over features (ffc.py:29-30).
 
-    Uses uniform[0,1) like the reference's ``torch.rand``."""
-    q = jax.random.uniform(rng, (2, queue_size, feat_dim), jnp.float32)
-    return (q / jnp.linalg.norm(q, axis=-1, keepdims=True)).astype(dtype)
+    Uses uniform[0,1) like the reference's ``torch.rand``. Built under jit
+    so XLA fuses generate→normalize→cast: eager evaluation would
+    materialize two fp32 copies — 16 GB of transient HBM at a 2M-slot
+    bf16 queue, an instant OOM on a 16 GB chip."""
+
+    @partial(jax.jit, static_argnums=(1, 2, 3))
+    def build(key, q, d, dt):
+        x = jax.random.uniform(key, (2, q, d), jnp.float32)
+        return (x / jnp.linalg.norm(x, axis=-1, keepdims=True)).astype(dt)
+
+    return build(rng, queue_size, feat_dim, jnp.dtype(dtype))
 
 
 def scatter_mask(seen: jnp.ndarray, cols: jnp.ndarray, queue_size: int) -> jnp.ndarray:
@@ -95,31 +104,33 @@ def directional_loss(
     the path for very large pools.
     """
     g = jax.lax.stop_gradient(g)
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
+              mask_svfc=mask_svfc)
+    if use_fused and sharded_loss_fn is None:
+        # single-shard fused path: BOTH views in one twin streaming kernel
+        # (ops/twin_margin.py) with this step's queue writes applied
+        # IN-REGISTER — no scattered copy, no blended [Q, D] copy, no queue
+        # gradient. The only queue materialization left is the persistence
+        # scatter below (B rows, in-place under donation) — at Q=1M f32 the
+        # unfused composition cost a measured ~114 ms/step in copies+blend.
+        from vlsfr_tpu.ops.twin_margin import twin_add_margin
+
+        loss = twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
+                               fake_labels, **kw)
+        new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
+        return loss, new_queue
+
     new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
     q = queue.shape[1]
     # view 2 weights: parity blend — slots hit this step read row 1
     # (ffc.py:197-201); view 1 is row 0 (ffc.py:195)
     mask = scatter_mask(seen, cols, q)[:, None]
     weight = jax.lax.stop_gradient(mask * new_queue[1] + (1.0 - mask) * new_queue[0])
-    kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
-              mask_svfc=mask_svfc)
     if sharded_loss_fn is not None:
         # mesh path: queue class-axis sharded over "model", streamed per
         # shard (parallel/sharded_margin.py); queue rows already normalized
         loss = sharded_loss_fn(p, new_queue[0], fake_labels)[0]
         loss = loss + sharded_loss_fn(p, weight, fake_labels)[0]
-    elif use_fused:
-        from vlsfr_tpu.ops.margin_pallas import fused_add_margin
-
-        # queue rows are L2-normalized by construction (init + writes).
-        # grad_w=False: the queue is a stop-gradient constant — the backward
-        # kernel then skips the dense [Q, D] d_w write entirely (XLA cannot
-        # DCE one output of an opaque fused kernel), which at 1M-10M slots
-        # is the dominant HBM cost of the step.
-        loss = fused_add_margin(p, new_queue[0], fake_labels, normalize_w=False,
-                                grad_w=False, **kw)
-        loss = loss + fused_add_margin(p, weight, fake_labels, normalize_w=False,
-                                       grad_w=False, **kw)
     else:
         cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
         cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)

@@ -1,0 +1,545 @@
+"""Twin-view fused margin loss for the FFC head.
+
+The FFC directional loss (reference ffc.py:180-202; core/ffc.py
+``directional_loss``) scores the probe embeddings against TWO views of the
+post-write queue: row 0, and the parity blend (slots hit this step read
+row 1). The naive composition at a multi-million-slot queue is
+HBM-catastrophic — at Q=1M f32 the measured head cost is ~114 ms/step:
+
+    scatter A:  copy the whole [2, Q, D] queue to write B rows (discarded!)
+    scatter B:  another full copy (persisted)
+    blend:      read q0 + q1 + WRITE a [Q, D] blended copy  (per direction)
+    views:      the streaming kernels read q0 and the blend  (per direction)
+    backward:   re-reads everything
+
+This kernel fuses one DIRECTION's entire head into two passes over
+(q0_tile, q1_tile): the step's queue writes are applied IN-VMEM — for each
+tile column the last (highest batch index) matching write wins, exactly the
+reference's sequential mutation semantics (ffc.py:160-176) — and the blend
+mask is rebuilt per column from (cols, seen). No scatter, no blended copy,
+no queue gradient (the queue is a stop-gradient constant):
+
+    forward:  read q0 + q1 once
+    backward: read q0 + q1 once, d_emb accumulated in VMEM
+
+Equivalence to the unfused composition (scatter → blend → two
+``fused_add_margin`` calls) is tested in tests/test_twin_margin.py, and
+core/ffc.py routes through here for the single-shard fused path, with the
+direction-B persistence scatter done once outside the loss.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlsfr_tpu.ops.margin_pallas import (
+    KTH_TIE_TOL,
+    NEG_INF,
+    _pad_classes,
+    _phi_prime,
+    _phi_target,
+    _tile_modified,
+)
+
+
+def _effective_views(w0, w1, col_ids, g, rows, cols, seen):
+    """Apply this step's queue writes + parity blend to one tile, in
+    registers. Plain jnp ops — shared verbatim by the scan implementation
+    and the Pallas kernel bodies.
+
+    w0/w1 [T, D] (fp32), col_ids [T] global slot ids, g [B, D] gallery
+    embeddings (fp32), rows [B] parity, cols [B] slots, seen [B].
+    Returns (w0_eff [T, D], wb_eff [T, D]): view-1 (row 0 after writes) and
+    view-2 (parity blend after writes). Duplicate writes to one slot
+    resolve to the HIGHEST batch index — the reference's last-write-wins
+    sequential semantics (ffc.py:160-176).
+    """
+    b = g.shape[0]
+    t = w0.shape[0]
+    match = cols[:, None] == col_ids[None, :]  # [B, T]
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 0)
+
+    def override(base, parity):
+        hit = match & (rows[:, None] == parity)
+        last = jnp.max(jnp.where(hit, i_iota, -1), axis=0)  # [T]
+        onehot = (hit & (i_iota == last[None, :])).astype(jnp.float32)
+        ov = jnp.dot(onehot.T, g, preferred_element_type=jnp.float32)  # [T, D]
+        return jnp.where((last >= 0)[:, None], ov, base)
+
+    w0_eff = override(w0, 0)
+    w1_eff = override(w1, 1)
+    mask = jnp.any(match & (seen[:, None] > 0), axis=0)  # [T]
+    wb_eff = jnp.where(mask[:, None], w1_eff, w0_eff)
+    return w0_eff, wb_eff
+
+
+def compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels):
+    """(gt1, gt2): target cosines against both effective views — one B-row
+    gather per queue row plus the in-register write/blend on those rows."""
+    emb32 = emb.astype(jnp.float32)
+    safe = jnp.maximum(labels, 0)
+    r0 = q0[safe].astype(jnp.float32)
+    r1 = q1[safe].astype(jnp.float32)
+    r0_eff, rb_eff = _effective_views(r0, r1, safe.astype(jnp.int32),
+                                      g.astype(jnp.float32),
+                                      rows.astype(jnp.int32),
+                                      cols.astype(jnp.int32), seen)
+    gt1 = jnp.sum(emb32 * r0_eff, axis=-1)
+    gt2 = jnp.sum(emb32 * rb_eff, axis=-1)
+    return gt1, gt2
+
+
+# ======================================================================
+# scan reference implementation
+# ======================================================================
+
+
+def _twin_inputs(emb, q0, q1, g, rows, cols, seen, tile):
+    b, d = emb.shape
+    c = q0.shape[0]
+    emb32 = emb.astype(jnp.float32)
+    q0p, n_tiles = _pad_classes(q0, c, tile)
+    q1p, _ = _pad_classes(q1, c, tile)
+    return (b, d, c, emb32, q0p.reshape(n_tiles, tile, d),
+            q1p.reshape(n_tiles, tile, d), n_tiles,
+            g.astype(jnp.float32), rows.astype(jnp.int32),
+            cols.astype(jnp.int32), seen.astype(jnp.float32))
+
+
+def _twin_stream_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
+                     loss_type, margin, scale, k, mask_svfc, tile):
+    (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f) = _twin_inputs(
+        emb, q0, q1, g, rows, cols, seen, tile)
+
+    def one_view(carry, cos, col, valid, gt_col):
+        m_run, s_run, topk = carry
+        cos = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels[:, None]
+        mod = _tile_modified(cos, is_target, gt_col, valid, loss_type, margin, mask_svfc)
+        z = scale * mod
+        m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
+        s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
+        topk, _ = jax.lax.top_k(jnp.concatenate([topk, cos], axis=-1), k)
+        return (m_new, s_run, topk)
+
+    def body(carry, wt):
+        c1, c2 = carry
+        w0_t, w1_t, t = wt
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        w0e, wbe = _effective_views(w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
+                                    col[0], g32, rows_i, cols_i, seen_f)
+        c1 = one_view(c1, emb32 @ w0e.T, col, valid, gt1[:, None])
+        c2 = one_view(c2, emb32 @ wbe.T, col, valid, gt2[:, None])
+        return (c1, c2), None
+
+    init = lambda: (jnp.full((b,), NEG_INF, jnp.float32), jnp.zeros((b,), jnp.float32),  # noqa: E731
+                    jnp.full((b, k), NEG_INF, jnp.float32))
+    ((m1, s1, t1), (m2, s2, t2)), _ = jax.lax.scan(
+        body, (init(), init()), (w0s, w1s, jnp.arange(n_tiles))
+    )
+    pos = labels >= 0
+
+    def finish(m_run, s_run, topk, gt):
+        logz = m_run + jnp.log(s_run)
+        phi = _phi_target(gt, loss_type, margin, mask_svfc)
+        ce = jnp.where(pos, logz - scale * phi, 0.0)
+        neg = jnp.where(pos, 0.0, jnp.mean(jnp.maximum(topk, 0.0), axis=-1))
+        return ce, neg, logz, topk
+
+    ce1, neg1, logz1, topk1 = finish(m1, s1, t1, gt1)
+    ce2, neg2, logz2, topk2 = finish(m2, s2, t2, gt2)
+    return (ce1, neg1, ce2, neg2), (logz1, logz2, topk1, topk2)
+
+
+def _view_dcos(cos, col, valid, labels, pos, gt, logz, kth, d_ce, d_neg, *,
+               loss_type, margin, scale, k, mask_svfc):
+    """One view's d_cos tile + its d_gt partial (shared scan/Pallas math)."""
+    cos_v = jnp.where(valid, cos, NEG_INF)
+    is_target = col == labels
+    mod = _tile_modified(cos_v, is_target, gt, valid, loss_type, margin, mask_svfc)
+    p = jnp.exp(scale * mod - logz)
+    dz = (p - is_target.astype(jnp.float32)) * d_ce * scale
+    if loss_type == "SV":
+        hard = cos_v > (gt - margin)
+        col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+    else:
+        col_fac = 1.0
+    d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+    d_gt_part = jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1, keepdims=True)
+    in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos)
+    d_cos = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
+    return jnp.where(valid, d_cos, 0.0), d_gt_part
+
+
+def _twin_stream_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+                     logz1, logz2, topk1, topk2, d1, d2, *, loss_type, margin,
+                     scale, k, mask_svfc, tile):
+    """d_emb only — the queue is a stop-gradient constant in FFC."""
+    (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f) = _twin_inputs(
+        emb, q0, q1, g, rows, cols, seen, tile)
+    pos2 = (labels >= 0)[:, None]
+    d_ce1, d_neg1 = d1
+    d_ce2, d_neg2 = d2
+    d_ce1 = jnp.where(labels >= 0, d_ce1, 0.0)[:, None]
+    d_ce2 = jnp.where(labels >= 0, d_ce2, 0.0)[:, None]
+    d_neg1 = jnp.where(labels >= 0, 0.0, d_neg1)[:, None]
+    d_neg2 = jnp.where(labels >= 0, 0.0, d_neg2)[:, None]
+    kth1 = topk1[:, -1][:, None]
+    kth2 = topk2[:, -1][:, None]
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k, mask_svfc=mask_svfc)
+    lab2 = labels[:, None]
+
+    def body(carry, wt):
+        d_emb, dgt1, dgt2 = carry
+        w0_t, w1_t, t = wt
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        w0e, wbe = _effective_views(w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
+                                    col[0], g32, rows_i, cols_i, seen_f)
+        dc1, dg1 = _view_dcos(emb32 @ w0e.T, col, valid, lab2, pos2, gt1[:, None],
+                              logz1[:, None], kth1, d_ce1, d_neg1, **kw)
+        dc2, dg2 = _view_dcos(emb32 @ wbe.T, col, valid, lab2, pos2, gt2[:, None],
+                              logz2[:, None], kth2, d_ce2, d_neg2, **kw)
+        d_emb = d_emb + dc1 @ w0e + dc2 @ wbe
+        return (d_emb, dgt1 + dg1[:, 0], dgt2 + dg2[:, 0]), None
+
+    (d_emb, dgt1, dgt2), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
+         jnp.zeros((b,), jnp.float32)),
+        (w0s, w1s, jnp.arange(n_tiles)),
+    )
+    return _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+                         dgt1, dgt2, d_emb, loss_type, margin)
+
+
+def _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, dgt1,
+                  dgt2, d_emb, loss_type, margin):
+    """Route the φ'(gt) paths into d_emb via the effective label rows."""
+    safe = jnp.maximum(labels, 0)
+    r0 = q0[safe].astype(jnp.float32)
+    r1 = q1[safe].astype(jnp.float32)
+    r0_eff, rb_eff = _effective_views(r0, r1, safe.astype(jnp.int32),
+                                      g.astype(jnp.float32),
+                                      rows.astype(jnp.int32),
+                                      cols.astype(jnp.int32),
+                                      seen.astype(jnp.float32))
+    pos1 = (labels >= 0).astype(jnp.float32)[:, None]
+    d_emb = d_emb + (dgt1 * _phi_prime(gt1, loss_type, margin))[:, None] * r0_eff * pos1
+    d_emb = d_emb + (dgt2 * _phi_prime(gt2, loss_type, margin))[:, None] * rb_eff * pos1
+    return d_emb.astype(emb.dtype)
+
+
+# ======================================================================
+# Pallas kernels
+# ======================================================================
+
+
+def _twin_tile(b, d, tile):
+    """VMEM clamp: two double-buffered queue tiles, g [B, D], and ~10
+    [B, tile] working buffers."""
+    max_tile = max(256, int((10 * 2**20 - 8 * b * d) // (16 * d + 48 * b)) // 128 * 128)
+    return min(tile, max_tile)
+
+
+def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc):
+    def kernel(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, seen_ref,
+               emb_ref, g_ref, w0_ref, w1_ref,
+               ce1_ref, neg1_ref, ce2_ref, neg2_ref,
+               logz1_ref, logz2_ref, topk1_ref, topk2_ref,
+               m1_scr, s1_scr, t1_scr, m2_scr, s2_scr, t2_scr):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            for m_scr, s_scr, t_scr in ((m1_scr, s1_scr, t1_scr), (m2_scr, s2_scr, t2_scr)):
+                m_scr[:] = jnp.full((b, 1), NEG_INF, jnp.float32)
+                s_scr[:] = jnp.zeros((b, 1), jnp.float32)
+                t_scr[:] = jnp.full((b, k), NEG_INF, jnp.float32)
+
+        labels = labels_ref[:]
+        emb = emb_ref[:].astype(jnp.float32)
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        w0e, wbe = _effective_views(
+            w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
+            col[0], g_ref[:].astype(jnp.float32),
+            rows_ref[:][:, 0], cols_ref[:][:, 0], seen_ref[:][:, 0],
+        )
+        cos1 = jnp.dot(emb, w0e.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(emb, wbe.T, preferred_element_type=jnp.float32)
+
+        def view(cos, gt, m_scr, s_scr, topk_scr, ce_ref, neg_ref, logz_ref, topk_ref):
+            cos = jnp.where(valid, cos, NEG_INF)
+            is_target = col == labels
+            mod = _tile_modified(cos, is_target, gt, valid, loss_type, margin, mask_svfc)
+            z = scale * mod
+            m_old = m_scr[:]
+            m_new = jnp.maximum(m_old, jnp.max(z, axis=-1, keepdims=True))
+            s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+                jnp.exp(z - m_new), axis=-1, keepdims=True
+            )
+            m_scr[:] = m_new
+            kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)
+            needs_merge = jnp.any(jnp.max(cos, axis=-1, keepdims=True) > kth_cur)
+
+            @pl.when(needs_merge)
+            def _merge():
+                buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+                buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
+                new_topk = []
+                for _ in range(k):
+                    vmax = jnp.max(buf, axis=-1, keepdims=True)
+                    amax = jnp.argmax(buf, axis=-1)[:, None]
+                    new_topk.append(vmax)
+                    buf = jnp.where(buf_col == amax, NEG_INF, buf)
+                topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
+
+            @pl.when(t == n_t - 1)
+            def _finalize():
+                logz = m_scr[:] + jnp.log(s_scr[:])
+                phi = _phi_target(gt, loss_type, margin, mask_svfc)
+                pos = labels >= 0
+                ce_ref[:] = jnp.where(pos, logz - scale * phi, 0.0)
+                neg_ref[:] = jnp.where(
+                    pos, 0.0, jnp.mean(jnp.maximum(topk_scr[:], 0.0), axis=-1, keepdims=True)
+                )
+                logz_ref[:] = logz
+                topk_ref[:] = topk_scr[:]
+
+        view(cos1, gt1_ref[:], m1_scr, s1_scr, t1_scr, ce1_ref, neg1_ref, logz1_ref, topk1_ref)
+        view(cos2, gt2_ref[:], m2_scr, s2_scr, t2_scr, ce2_ref, neg2_ref, logz2_ref, topk2_ref)
+
+    return kernel
+
+
+def pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
+                    loss_type, margin, scale, k, mask_svfc, tile=512,
+                    interpret=False):
+    b, d = emb.shape
+    c = q0.shape[0]
+    tile = _twin_tile(b, d, tile)
+    q0p, n_tiles = _pad_classes(q0, c, tile)
+    q1p, _ = _pad_classes(q1, c, tile)
+    kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc)
+    vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[bspec] * 6 + [
+            full((b, d)),
+            full((b, d)),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[bspec] * 6 + [full((b, k)), full((b, k))],
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels.astype(jnp.int32)[:, None], vec(gt1), vec(gt2),
+      rows.astype(jnp.int32)[:, None], cols.astype(jnp.int32)[:, None], vec(seen),
+      emb.astype(jnp.float32), g.astype(jnp.float32), q0p, q1p)
+    ce1, neg1, ce2, neg2, logz1, logz2, topk1, topk2 = out
+    return ((ce1[:, 0], neg1[:, 0], ce2[:, 0], neg2[:, 0]),
+            (logz1[:, 0], logz2[:, 0], topk1, topk2))
+
+
+def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc):
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k, mask_svfc=mask_svfc)
+
+    def kernel(labels_ref, rows_ref, cols_ref, seen_ref,
+               gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref, kth2_ref,
+               dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
+               emb_ref, g_ref, w0_ref, w1_ref,
+               demb_ref, dgt1_ref, dgt2_ref,
+               demb_scr, dgt1_scr, dgt2_scr):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            demb_scr[:] = jnp.zeros((b, d), jnp.float32)
+            dgt1_scr[:] = jnp.zeros((b, 1), jnp.float32)
+            dgt2_scr[:] = jnp.zeros((b, 1), jnp.float32)
+
+        labels = labels_ref[:]
+        pos = labels >= 0
+        emb = emb_ref[:].astype(jnp.float32)
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        w0e, wbe = _effective_views(
+            w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
+            col[0], g_ref[:].astype(jnp.float32),
+            rows_ref[:][:, 0], cols_ref[:][:, 0], seen_ref[:][:, 0],
+        )
+        cos1 = jnp.dot(emb, w0e.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(emb, wbe.T, preferred_element_type=jnp.float32)
+        dc1, dg1 = _view_dcos(cos1, col, valid, labels, pos, gt1_ref[:],
+                              logz1_ref[:], kth1_ref[:], dce1_ref[:], dneg1_ref[:], **kw)
+        dc2, dg2 = _view_dcos(cos2, col, valid, labels, pos, gt2_ref[:],
+                              logz2_ref[:], kth2_ref[:], dce2_ref[:], dneg2_ref[:], **kw)
+        demb_scr[:] = demb_scr[:] + jnp.dot(dc1, w0e, preferred_element_type=jnp.float32) \
+            + jnp.dot(dc2, wbe, preferred_element_type=jnp.float32)
+        dgt1_scr[:] = dgt1_scr[:] + dg1
+        dgt2_scr[:] = dgt2_scr[:] + dg2
+
+        @pl.when(t == n_t - 1)
+        def _finalize():
+            demb_ref[:] = demb_scr[:]
+            dgt1_ref[:] = dgt1_scr[:]
+            dgt2_ref[:] = dgt2_scr[:]
+
+    return kernel
+
+
+def pallas_twin_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+                    logz1, logz2, topk1, topk2, d1, d2, *, loss_type, margin,
+                    scale, k, mask_svfc, tile=512, interpret=False):
+    b, d = emb.shape
+    c = q0.shape[0]
+    tile = _twin_tile(b, d, tile)
+    q0p, n_tiles = _pad_classes(q0, c, tile)
+    q1p, _ = _pad_classes(q1, c, tile)
+    kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc)
+    d_ce1, d_neg1 = d1
+    d_ce2, d_neg2 = d2
+    pos = labels >= 0
+    d_ce1 = jnp.where(pos, d_ce1, 0.0)
+    d_ce2 = jnp.where(pos, d_ce2, 0.0)
+    d_neg1 = jnp.where(pos, 0.0, d_neg1)
+    d_neg2 = jnp.where(pos, 0.0, d_neg2)
+    vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    d_emb, dgt1, dgt2 = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[bspec] * 14 + [
+            full((b, d)),
+            full((b, d)),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[full((b, d)), bspec, bspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels.astype(jnp.int32)[:, None], rows.astype(jnp.int32)[:, None],
+      cols.astype(jnp.int32)[:, None], vec(seen),
+      vec(gt1), vec(gt2), vec(logz1), vec(logz2),
+      vec(topk1[:, -1]), vec(topk2[:, -1]),
+      vec(d_ce1), vec(d_neg1), vec(d_ce2), vec(d_neg2),
+      emb.astype(jnp.float32), g.astype(jnp.float32), q0p, q1p)
+    return _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+                         dgt1[:, 0], dgt2[:, 0], d_emb, loss_type, margin)
+
+
+# ======================================================================
+# public custom-VJP op
+# ======================================================================
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def fused_twin_margin(emb, q0, q1, g, rows, cols, seen, labels, loss_type="Arc",
+                      margin=0.5, scale=32.0, hard_neg=10, mask_svfc=1.2,
+                      tile=512, use_pallas="auto"):
+    """Per-row (ce1, neg1, ce2, neg2) over the two FFC queue views in one
+    streaming pass, with the step's writes applied in-register.
+    Differentiable w.r.t. ``emb`` only (queue and gallery embeddings are
+    stop-gradient constants in FFC)."""
+    out, _ = _twin_fwd_impl(emb, q0, q1, g, rows, cols, seen, labels, loss_type,
+                            margin, scale, hard_neg, mask_svfc, tile, use_pallas)
+    return out
+
+
+def _twin_fwd_impl(emb, q0, q1, g, rows, cols, seen, labels, loss_type, margin,
+                   scale, hard_neg, mask_svfc, tile, use_pallas, gts=None):
+    if gts is None:
+        gts = compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels)
+    gt1, gt2 = gts
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+              mask_svfc=mask_svfc, tile=tile)
+    if use_pallas:
+        return pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, **kw)
+    return _twin_stream_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, **kw)
+
+
+def _twin_vjp_fwd(emb, q0, q1, g, rows, cols, seen, labels, loss_type, margin,
+                  scale, hard_neg, mask_svfc, tile, use_pallas):
+    gts = compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels)
+    out, res = _twin_fwd_impl(emb, q0, q1, g, rows, cols, seen, labels, loss_type,
+                              margin, scale, hard_neg, mask_svfc, tile, use_pallas,
+                              gts=gts)
+    logz1, logz2, topk1, topk2 = res
+    return out, (emb, q0, q1, g, rows, cols, seen, labels,
+                 gts[0], gts[1], logz1, logz2, topk1, topk2)
+
+
+def _twin_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile, use_pallas,
+                  res, cots):
+    (emb, q0, q1, g, rows, cols, seen, labels,
+     gt1, gt2, logz1, logz2, topk1, topk2) = res
+    d_ce1, d_neg1, d_ce2, d_neg2 = cots
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+              mask_svfc=mask_svfc, tile=tile)
+    fn = pallas_twin_bwd if use_pallas else _twin_stream_bwd
+    d_emb = fn(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+               logz1, logz2, topk1, topk2, (d_ce1, d_neg1), (d_ce2, d_neg2), **kw)
+    # queue/gallery are non-trained constants: broadcast-zero cotangents are
+    # dropped by JAX's partial eval (never materialized)
+    return (d_emb, jnp.zeros_like(q0), jnp.zeros_like(q1), jnp.zeros_like(g),
+            None, None, None, None)
+
+
+fused_twin_margin.defvjp(_twin_vjp_fwd, _twin_vjp_bwd)
+
+
+def twin_add_margin(emb, q0, q1, g, rows, cols, seen, labels, *, loss_type="Arc",
+                    margin=0.5, scale=32.0, hard_neg=10, mask_svfc=1.2,
+                    tile=512, use_pallas="auto"):
+    """Scalar loss = add_margin(view1) + add_margin(view2) — the exact
+    reduction of the FFC directional loss (core/ffc.py directional_loss),
+    both views streamed in one fused pass with in-register queue writes."""
+    ce1, neg1, ce2, neg2 = fused_twin_margin(
+        emb, q0, q1, g, rows, cols, seen, labels, loss_type, margin, scale,
+        hard_neg, mask_svfc, tile, use_pallas,
+    )
+    pos = (labels >= 0).astype(jnp.float32)
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
+    any_pos = jnp.sum(pos) > 0
+    any_out = jnp.sum(1.0 - pos) > 0
+
+    def reduce(ce, neg):
+        cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
+        ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
+        return cls + ngl
+
+    return reduce(ce1, neg1) + reduce(ce2, neg2)

@@ -53,12 +53,14 @@ def create_softmax_state(
     k_model, k_w = jax.random.split(rng)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(k_model, dummy, train=False)
+    cls_dtype = jnp.dtype(cfg.pool.classifier_dtype)
     params = {
         "backbone": variables["params"],
         # ArcFace-style classifier init: small normal; rows are re-normalized
         # every forward so only direction matters
-        "classifier": jax.random.normal(k_w, (num_classes, cfg.model.feat_dim), jnp.float32)
-        * 0.01,
+        "classifier": (
+            jax.random.normal(k_w, (num_classes, cfg.model.feat_dim), jnp.float32) * 0.01
+        ).astype(cls_dtype),
     }
     if _sparse_classifier_mode(cfg, mesh):
         # sparse-classifier mode: optax only owns the backbone; the

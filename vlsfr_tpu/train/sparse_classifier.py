@@ -39,11 +39,12 @@ def sparse_sgd_rows(
     the dense-parity semantics). ``idx`` entries must be unique; entries
     ≥ len(w) are dropped. Returns (new_w, new_momentum_buf)."""
     safe = jnp.minimum(idx, w.shape[0] - 1)  # gather-safe; OOB rows dropped below
-    w_sub = w[safe]
-    m_sub = momentum_buf[safe]
-    g = grad_rows + weight_decay * w_sub
+    # math in f32 regardless of storage dtype (bf16 classifiers supported)
+    w_sub = w[safe].astype(jnp.float32)
+    m_sub = momentum_buf[safe].astype(jnp.float32)
+    g = grad_rows.astype(jnp.float32) + weight_decay * w_sub
     m_new = momentum * m_sub + g
     update = g + momentum * m_new if nesterov else m_new
-    new_w = w.at[idx].add(-lr * update, mode="drop")
-    new_m = momentum_buf.at[idx].set(m_new, mode="drop")
+    new_w = w.at[idx].add((-lr * update).astype(w.dtype), mode="drop")
+    new_m = momentum_buf.at[idx].set(m_new.astype(momentum_buf.dtype), mode="drop")
     return new_w, new_m
