@@ -64,17 +64,21 @@ def _effective_views(w0, w1, col_ids, g, rows, cols, seen):
     match = cols[:, None] == col_ids[None, :]  # [B, T]
     i_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 0)
 
+    # NOTE on shapes: Mosaic only supports adding a minor dim to 32-bit
+    # vectors — reshape int32 first, compare after (never bool[:, None])
     def override(base, parity):
         hit = match & (rows[:, None] == parity)
-        last = jnp.max(jnp.where(hit, i_iota, -1), axis=0)  # [T]
+        last = jnp.max(jnp.where(hit, i_iota, -1), axis=0)  # [T] int32
         onehot = (hit & (i_iota == last[None, :])).astype(jnp.float32)
         ov = jnp.dot(onehot.T, g, preferred_element_type=jnp.float32)  # [T, D]
-        return jnp.where((last >= 0)[:, None], ov, base)
+        return jnp.where(last[:, None] >= 0, ov, base)
 
     w0_eff = override(w0, 0)
     w1_eff = override(w1, 1)
-    mask = jnp.any(match & (seen[:, None] > 0), axis=0)  # [T]
-    wb_eff = jnp.where(mask[:, None], w1_eff, w0_eff)
+    hit_mask = jnp.max(
+        jnp.where(match & (seen[:, None] > 0), 1, 0), axis=0
+    )  # [T] int32
+    wb_eff = jnp.where(hit_mask[:, None] > 0, w1_eff, w0_eff)
     return w0_eff, wb_eff
 
 
