@@ -174,6 +174,9 @@ class DataConfig:
     num_workers: int = 8  # host decode threads
     seed: int = 0
     synthetic: bool = False  # use generated data (tests/benchmarks)
+    # hard mode: identities are perturbations of a shared manifold, so
+    # verification accuracy measures learned discrimination (synthetic.py)
+    synthetic_hard: bool = False
     synthetic_ids: int = 100
     synthetic_images_per_id: int = 10
 

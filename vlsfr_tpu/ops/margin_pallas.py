@@ -718,12 +718,24 @@ def fused_add_margin(cos_weights_emb, w, labels, *, loss_type="Arc", margin=0.5,
 # is strictly more accurate than sampling the loss itself.
 
 
-def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: int):
+def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: int,
+                          key=None, random_frac: float = 0.5):
     """Pick the ``m_tiles`` class tiles whose d_w can matter this step.
 
     ``maxz``/``maxcos`` [n_tiles, B] come from the stats-emitting forward;
     returns distinct tile indices [m_tiles] int32 (top-k of a score, so no
-    duplicates). Target tiles are force-included via a scatter-max."""
+    duplicates). Target tiles are force-included via a scatter-max; tiles
+    holding top-k outlier columns get the next-highest boost.
+
+    ``key`` enables RANDOM tile fill: ~``random_frac`` of the budget goes to
+    uniformly random tiles each step. Without it, selection in the diffuse
+    (early-training) regime is quasi-deterministic — relevance scores all
+    tie, top_k breaks ties by index, and most classes never receive
+    negative-push gradient. Measured on the hard-synthetic study
+    (tools/sparse_grad_study.py): truncation without random fill fails to
+    learn at all; with it, the selection is a superset of Partial-FC
+    sampling (random coverage early, mass-directed once concentrated)."""
+    n_tiles = maxz.shape[0]
     pos = labels >= 0
     kth = topk[:, -1]
     # per-tile upper bound on log softmax mass: max_row (max_col z − logz)
@@ -732,6 +744,12 @@ def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: 
         (maxcos >= kth[None, :] - KTH_TIE_TOL) & (maxcos > 0.0) & (~pos)[None, :], axis=1
     )
     score = rel + jnp.where(topk_hit, jnp.float32(1e6), jnp.float32(0.0))
+    if key is not None and random_frac > 0.0:
+        # expected random_frac·m boosted tiles; boosted > any mass score but
+        # < topk/target boosts, so guarantees still hold
+        p = jnp.float32(random_frac * m_tiles / max(n_tiles, 1))
+        boost = jax.random.uniform(key, (n_tiles,)) < p
+        score = jnp.where(boost, score + jnp.float32(1e4), score)
     tgt_tiles = jnp.where(pos, labels.astype(jnp.int32) // tile, 0)
     score = score.at[tgt_tiles].max(
         jnp.where(pos, jnp.float32(1e9), jnp.float32(-jnp.inf))
@@ -950,7 +968,7 @@ def pallas_margin_ce_bwd_sparse(emb, w, labels, gt, logz, topk, d_ce, d_neg,
 def streaming_sparse_margin_grads(
     emb, w, labels, d_ce, d_neg, *, m_tiles, loss_type="Arc", margin=0.5,
     scale=32.0, hard_neg=1, mask_svfc=1.2, normalize_w=True, tile=512,
-    use_pallas="auto",
+    use_pallas="auto", key=None, random_frac: float = 0.5,
 ):
     """One explicit fwd+bwd with a SPARSE classifier gradient.
 
@@ -985,7 +1003,8 @@ def streaming_sparse_margin_grads(
         ce, neg, logz, topk, maxz, maxcos = _stream_fwd(
             emb, w, labels, gt, with_stats=True, **kw
         )
-    tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles, tile)
+    tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles, tile,
+                                     key=key, random_frac=random_frac)
     if use_pallas:
         d_emb, d_w_rows = pallas_margin_ce_bwd_sparse(
             emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw

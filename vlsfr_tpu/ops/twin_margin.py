@@ -61,24 +61,28 @@ def _effective_views(w0, w1, col_ids, g, rows, cols, seen):
     """
     b = g.shape[0]
     t = w0.shape[0]
-    match = cols[:, None] == col_ids[None, :]  # [B, T]
-    i_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 0)
+    # Everything in [T, B] layout: reductions run over the LANE axis (fast on
+    # the VPU) and the one-hot feeds the MXU untransposed — an in-kernel
+    # [B, T] -> [T, B] transpose was a per-tile Mosaic relayout that made the
+    # first version of this kernel compute-bound (3x slower than unfused).
+    # Mosaic also only supports adding a minor dim to 32-bit vectors, so
+    # reshape the int32 carriers first and compare after (never bool[:, None]).
+    match = col_ids[:, None] == cols[None, :]  # [T, B]
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (t, b), 1)
 
-    # NOTE on shapes: Mosaic only supports adding a minor dim to 32-bit
-    # vectors — reshape int32 first, compare after (never bool[:, None])
     def override(base, parity):
-        hit = match & (rows[:, None] == parity)
-        last = jnp.max(jnp.where(hit, i_iota, -1), axis=0)  # [T] int32
-        onehot = (hit & (i_iota == last[None, :])).astype(jnp.float32)
-        ov = jnp.dot(onehot.T, g, preferred_element_type=jnp.float32)  # [T, D]
-        return jnp.where(last[:, None] >= 0, ov, base)
+        hit = match & (rows[None, :] == parity)
+        last = jnp.max(jnp.where(hit, i_iota, -1), axis=1, keepdims=True)  # [T, 1]
+        onehot = (hit & (i_iota == last)).astype(jnp.float32)  # [T, B]
+        ov = jnp.dot(onehot, g, preferred_element_type=jnp.float32)  # [T, D]
+        return jnp.where(last >= 0, ov, base)
 
     w0_eff = override(w0, 0)
     w1_eff = override(w1, 1)
     hit_mask = jnp.max(
-        jnp.where(match & (seen[:, None] > 0), 1, 0), axis=0
-    )  # [T] int32
-    wb_eff = jnp.where(hit_mask[:, None] > 0, w1_eff, w0_eff)
+        jnp.where(match & (seen[None, :] > 0), 1, 0), axis=1, keepdims=True
+    )  # [T, 1] int32
+    wb_eff = jnp.where(hit_mask > 0, w1_eff, w0_eff)
     return w0_eff, wb_eff
 
 

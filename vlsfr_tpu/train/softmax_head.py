@@ -285,9 +285,13 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
         # loss = mean(ce): analytic output cotangents (no outlier rows here)
         d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
         d_neg = jnp.zeros((b,), jnp.float32)
+        # per-step key: random tile fill keeps negative-push coverage
+        # unbiased in the diffuse regime (see select_relevant_tiles)
+        key = jax.random.fold_in(jax.random.PRNGKey(23), state.step)
         ce, _neg, topk, gt, d_emb, row_idx, d_w_rows = streaming_sparse_margin_grads(
             emb, state.params["classifier"], labels, d_ce, d_neg,
-            m_tiles=m_tiles, hard_neg=1, normalize_w=True, tile=tile, **loss_kw,
+            m_tiles=m_tiles, hard_neg=1, normalize_w=True, tile=tile, key=key,
+            **loss_kw,
         )
         loss = jnp.mean(ce)
         (g_backbone,) = backbone_vjp(d_emb)

@@ -56,6 +56,7 @@ class Trainer:
                     images_per_id=cfg.data.synthetic_images_per_id,
                     image_size=self.image_size,
                     seed=cfg.data.seed,
+                    hard=cfg.data.synthetic_hard,
                 )
                 cfg.data.sources = [d]
             reader = MultiSourceReader(cfg.data.sources)
@@ -146,7 +147,8 @@ class Trainer:
                                       mesh=self.mesh)
         else:
             state = create_softmax_state(
-                rng, self.model, cfg, self.optimizer, self.image_size, cfg.pool.num_classes
+                rng, self.model, cfg, self.optimizer, self.image_size,
+                cfg.pool.num_classes, mesh=self.mesh,
             )
             step_fn = make_softmax_train_step(
                 self.model, cfg, self.optimizer, self.schedule, mesh=self.mesh
