@@ -968,7 +968,7 @@ def pallas_margin_ce_bwd_sparse(emb, w, labels, gt, logz, topk, d_ce, d_neg,
 def streaming_sparse_margin_grads(
     emb, w, labels, d_ce, d_neg, *, m_tiles, loss_type="Arc", margin=0.5,
     scale=32.0, hard_neg=1, mask_svfc=1.2, normalize_w=True, tile=512,
-    use_pallas="auto", key=None, random_frac: float = 0.5,
+    use_pallas="auto", key=None, random_frac: float = 0.5, exact_demb=True,
 ):
     """One explicit fwd+bwd with a SPARSE classifier gradient.
 
@@ -982,9 +982,18 @@ def streaming_sparse_margin_grads(
     Returns (ce, neg, topk, gt, d_emb, row_idx [M·tile], d_w_rows [M·tile, D]).
     ``row_idx`` entries are unique; entries ≥ C are padding — scatter with
     ``mode='drop'`` (train/sparse_classifier.py does). The forward/loss is
-    EXACT; only the gradient is truncated to the selected tiles (see module
-    comment above). ``gt`` (target cosines) is returned for free so callers
-    can derive top-1 accuracy against ``topk[:, 0]``.
+    EXACT. With ``exact_demb`` (the default), ``d_emb`` is ALSO exact — only
+    the CLASSIFIER gradient is truncated to the selected rows, i.e. exactly
+    Partial-FC's update semantics with mass-directed instead of purely
+    random row choice. This matters: the accuracy study
+    (tools/sparse_grad_study.py, docs/PERF.md) showed that truncating
+    d_emb too drops most of the negative-push signal early in training and
+    the embeddings collapse (loss falls, verification accuracy doesn't).
+    The extra cost is one more streaming read of ``w`` (no [C, D] write —
+    the expensive part stays dead); ``exact_demb=False`` keeps the fully
+    truncated backward for the converged/fine-tuning regime.
+    ``gt`` (target cosines) is returned for free so callers can derive
+    top-1 accuracy against ``topk[:, 0]``.
     """
     c = w.shape[0]
     b, d = emb.shape
@@ -995,24 +1004,22 @@ def streaming_sparse_margin_grads(
     gt = compute_gt(emb, w, labels, normalize_w)
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile)
-    if use_pallas:
-        ce, neg, logz, topk, maxz, maxcos = pallas_margin_ce_fwd(
-            emb, w, labels, gt, with_stats=True, **kw
-        )
-    else:
-        ce, neg, logz, topk, maxz, maxcos = _stream_fwd(
-            emb, w, labels, gt, with_stats=True, **kw
-        )
+    fwd = pallas_margin_ce_fwd if use_pallas else _stream_fwd
+    ce, neg, logz, topk, maxz, maxcos = fwd(
+        emb, w, labels, gt, with_stats=True, **kw
+    )
     tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles, tile,
                                      key=key, random_frac=random_frac)
-    if use_pallas:
-        d_emb, d_w_rows = pallas_margin_ce_bwd_sparse(
-            emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw
-        )
+    bwd_sparse = pallas_margin_ce_bwd_sparse if use_pallas else _sparse_bwd_gather
+    d_emb_trunc, d_w_rows = bwd_sparse(
+        emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw
+    )
+    if exact_demb:
+        bwd_full = pallas_margin_ce_bwd if use_pallas else _stream_bwd
+        d_emb, _ = bwd_full(emb, w, labels, gt, logz, topk, d_ce, d_neg,
+                            grad_w=False, **kw)
     else:
-        d_emb, d_w_rows = _sparse_bwd_gather(
-            emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw
-        )
+        d_emb = d_emb_trunc
     row_idx = (
         tile_idx[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]
     ).reshape(-1)
