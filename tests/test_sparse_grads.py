@@ -314,3 +314,51 @@ def test_streaming_sparse_train_step_runs_and_learns():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert 0.0 <= float(m["train_acc"]) <= 1.0
+
+
+@pytest.mark.parametrize("nesterov", [False, True])
+def test_sparse_momentum_catchup_matches_dense(nesterov):
+    """Visit-age catch-up: a row receiving gradients only at sparse visit
+    steps (zero gradient between) must follow the EXACT dense SGD-momentum
+    trajectory (wd=0 isolates the documented weight-decay-gap approximation)."""
+    from vlsfr_tpu.train.sparse_classifier import sparse_sgd_rows
+
+    rng = np.random.default_rng(0)
+    T, D = 30, 4
+    mu, lr = 0.9, 0.1
+    visits = [0, 1, 5, 6, 13, 29]
+    grads = {t: rng.standard_normal(D).astype(np.float32) for t in visits}
+
+    # dense reference: update every step, zero gradient off-visit
+    w_d = np.ones(D, np.float32)
+    m_d = np.zeros(D, np.float32)
+    for t in range(T):
+        g = grads.get(t, np.zeros(D, np.float32))
+        m_d = mu * m_d + g
+        upd = g + mu * m_d if nesterov else m_d
+        w_d = w_d - lr * upd
+
+    # sparse with catch-up: touch the row only at visit steps
+    w_s = jnp.ones((1, D), jnp.float32)
+    m_s = jnp.zeros((1, D), jnp.float32)
+    last = jnp.zeros((1,), jnp.int32)
+    idx = jnp.asarray([0], jnp.int32)
+    for t in visits:
+        w_s, m_s, last = sparse_sgd_rows(
+            w_s, m_s, idx, jnp.asarray(grads[t])[None, :],
+            lr=lr, momentum=mu, weight_decay=0.0, nesterov=nesterov,
+            last_visit=last, step=t,
+        )
+    # replay the tail after the final visit (dense keeps coasting; emulate
+    # by a zero-grad visit at step T)
+    w_s, m_s, last = sparse_sgd_rows(
+        w_s, m_s, idx, jnp.zeros((1, D), jnp.float32),
+        lr=lr, momentum=mu, weight_decay=0.0, nesterov=nesterov,
+        last_visit=last, step=T,
+    )
+    # dense one more step with zero grad at step T
+    g = np.zeros(D, np.float32)
+    m_d = mu * m_d + g
+    upd = g + mu * m_d if nesterov else m_d
+    w_d = w_d - lr * upd
+    np.testing.assert_allclose(np.asarray(w_s)[0], w_d, rtol=1e-5, atol=1e-6)

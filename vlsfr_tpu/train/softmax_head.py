@@ -9,6 +9,7 @@ parallel/partial_fc.py), margin-softmax CE from the shared ops.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -54,13 +55,18 @@ def create_softmax_state(
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(k_model, dummy, train=False)
     cls_dtype = jnp.dtype(cfg.pool.classifier_dtype)
+
+    # under jit so generate→scale→cast fuses: the eager fp32 intermediate is
+    # 8 GB at 4M×512 — an init-time OOM on a 16 GB chip
+    @partial(jax.jit, static_argnums=(1, 2, 3))
+    def _init_classifier(key, c, d, dt):
+        return (jax.random.normal(key, (c, d), jnp.float32) * 0.01).astype(dt)
+
     params = {
         "backbone": variables["params"],
         # ArcFace-style classifier init: small normal; rows are re-normalized
         # every forward so only direction matters
-        "classifier": (
-            jax.random.normal(k_w, (num_classes, cfg.model.feat_dim), jnp.float32) * 0.01
-        ).astype(cls_dtype),
+        "classifier": _init_classifier(k_w, num_classes, cfg.model.feat_dim, cls_dtype),
     }
     if _sparse_classifier_mode(cfg, mesh):
         # sparse-classifier mode: optax only owns the backbone; the
@@ -68,6 +74,9 @@ def create_softmax_state(
         opt_state = {
             "backbone": optimizer.init(params["backbone"]),
             "classifier_mom": jnp.zeros_like(params["classifier"]),
+            # last-visit step per row: visit-age momentum catch-up
+            # (train/sparse_classifier.py)
+            "classifier_last": jnp.zeros((num_classes,), jnp.int32),
         }
     else:
         opt_state = optimizer.init(params)
@@ -210,14 +219,16 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
             # out-of-bounds sentinel so the scatter drops them; the remaining
             # indices are UNIQUE, so the momentum update is unambiguous
             upd_idx = jnp.where(valid, sampled, jnp.int32(c))
-            new_w, new_mom = sparse_sgd_rows(
+            new_w, new_mom, new_last = sparse_sgd_rows(
                 state.params["classifier"], state.opt_state["classifier_mom"],
                 upd_idx, g_wsub,
                 lr=lr, momentum=cfg.optim.momentum,
                 weight_decay=cfg.optim.weight_decay, nesterov=cfg.optim.nesterov,
+                last_visit=state.opt_state["classifier_last"], step=state.step,
             )
             new_params = {"backbone": new_backbone, "classifier": new_w}
-            new_opt = {"backbone": new_bopt, "classifier_mom": new_mom}
+            new_opt = {"backbone": new_bopt, "classifier_mom": new_mom,
+                       "classifier_last": new_last}
         else:
             # dense optimizer: scatter the sampled grads into a full [C, D]
             # gradient (rows not sampled get exact zeros)
@@ -305,11 +316,12 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
         new_backbone = jax.tree.map(lambda p, u: p + u, state.params["backbone"], upd_b)
         # row_idx entries >= C (padding-tile columns) are dropped by the
         # scatter; all remaining indices are unique by construction
-        new_w, new_mom = sparse_sgd_rows(
+        new_w, new_mom, new_last = sparse_sgd_rows(
             state.params["classifier"], state.opt_state["classifier_mom"],
             row_idx, d_w_rows,
             lr=lr, momentum=cfg.optim.momentum,
             weight_decay=cfg.optim.weight_decay, nesterov=cfg.optim.nesterov,
+            last_visit=state.opt_state["classifier_last"], step=state.step,
         )
         metrics = {"loss": loss, "ce": loss, "train_acc": acc, "lr": lr,
                    "grad_tiles": jnp.int32(m_tiles)}
@@ -318,7 +330,8 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
                 step=state.step + 1,
                 params={"backbone": new_backbone, "classifier": new_w},
                 batch_stats=new_stats,
-                opt_state={"backbone": new_bopt, "classifier_mom": new_mom},
+                opt_state={"backbone": new_bopt, "classifier_mom": new_mom,
+                           "classifier_last": new_last},
             ),
             metrics,
         )
