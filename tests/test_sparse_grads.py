@@ -118,7 +118,8 @@ def test_select_relevant_tiles_targets_and_topk(rng):
               normalize_w=True, tile=tile)
     ce, neg, logz, topk, maxz, maxcos = _stream_fwd(emb, w, labels, gt,
                                                     with_stats=True, **kw)
-    idx = np.asarray(select_relevant_tiles(maxz, maxcos, logz, topk, labels, 6, tile))
+    idx_w = select_relevant_tiles(maxz, maxcos, logz, topk, labels, 6, tile)
+    idx = np.asarray(idx_w[0])
     assert len(set(idx.tolist())) == len(idx)  # distinct
     for lab in np.asarray(labels):
         if lab >= 0:
@@ -136,7 +137,7 @@ def test_pallas_sparse_bwd_interpret_matches_gather(loss_type, rng):
                                                     with_stats=True, **kw)
     d_ce = jnp.asarray(rng.standard_normal(8), jnp.float32)
     d_neg = jnp.asarray(rng.standard_normal(8), jnp.float32)
-    tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, 2, tile)
+    tile_idx, _w = select_relevant_tiles(maxz, maxcos, logz, topk, labels, 2, tile)
     ge_g, gw_g = _sparse_bwd_gather(emb, w, labels, gt, logz, topk, d_ce, d_neg,
                                     tile_idx, **kw)
     ge_p, gw_p = pallas_margin_ce_bwd_sparse(emb, w, labels, gt, logz, topk,

@@ -731,10 +731,21 @@ def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: 
     uniformly random tiles each step. Without it, selection in the diffuse
     (early-training) regime is quasi-deterministic — relevance scores all
     tie, top_k breaks ties by index, and most classes never receive
-    negative-push gradient. Measured on the hard-synthetic study
-    (tools/sparse_grad_study.py): truncation without random fill fails to
-    learn at all; with it, the selection is a superset of Partial-FC
-    sampling (random coverage early, mass-directed once concentrated)."""
+    negative-push gradient.
+
+    Returns (idx [M] int32 distinct, weight [M] f32): the IMPORTANCE weight
+    each selected tile's d_w must be scaled by. Tiles with provable gradient
+    mass (targets, top-k holders, rel > the dense backward's −20 gate) are
+    deterministic picks — weight 1. The rest are a random/arbitrary SAMPLE
+    of the below-threshold tiles, whose individually-tiny gradients sum to
+    the force that spreads classifier rows apart; they get weight
+    (#below-threshold tiles)/(#sampled ones) so the EXPECTED update matches
+    dense. This mirrors what Partial-FC does implicitly (its sampled
+    denominator inflates p by ~C/S); without it the study
+    (tools/sparse_grad_study.py, docs/PERF.md) measured the classifier's
+    negative dynamics starving — any truncation collapsed verification
+    accuracy to chance while rate 1.0 matched dense exactly.
+    """
     n_tiles = maxz.shape[0]
     pos = labels >= 0
     kth = topk[:, -1]
@@ -755,7 +766,17 @@ def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: 
         jnp.where(pos, jnp.float32(1e9), jnp.float32(-jnp.inf))
     )
     _, idx = jax.lax.top_k(score, m_tiles)
-    return idx.astype(jnp.int32)
+    idx = idx.astype(jnp.int32)
+    # deterministic picks: forced targets (1e9), top-k holders (≥1e6), and
+    # tiles above the dense backward's relevance gate. Everything else in
+    # the selection is a sample of the below-gate population.
+    deterministic = (score >= jnp.float32(1e6)) | (rel > jnp.float32(-20.0))
+    n_below = jnp.sum(~deterministic)  # population of sampled-coverage tiles
+    sel_det = deterministic[idx]
+    m_below = jnp.maximum(jnp.sum(~sel_det), 1)
+    w_sample = n_below.astype(jnp.float32) / m_below.astype(jnp.float32)
+    weight = jnp.where(sel_det, 1.0, w_sample)
+    return idx, weight
 
 
 def _sparse_tail(emb32, w, labels, gt, tile_idx, d_gt_col, d_w_rows, *, tile,
@@ -1008,12 +1029,17 @@ def streaming_sparse_margin_grads(
     ce, neg, logz, topk, maxz, maxcos = fwd(
         emb, w, labels, gt, with_stats=True, **kw
     )
-    tile_idx = select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles, tile,
-                                     key=key, random_frac=random_frac)
+    tile_idx, tile_weight = select_relevant_tiles(
+        maxz, maxcos, logz, topk, labels, m_tiles, tile,
+        key=key, random_frac=random_frac,
+    )
     bwd_sparse = pallas_margin_ce_bwd_sparse if use_pallas else _sparse_bwd_gather
     d_emb_trunc, d_w_rows = bwd_sparse(
         emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, **kw
     )
+    # importance weights: sampled-coverage tiles scaled so E[update] matches
+    # dense (see select_relevant_tiles); deterministic tiles unchanged
+    d_w_rows = d_w_rows * jnp.repeat(tile_weight, tile)[:, None]
     if exact_demb:
         bwd_full = pallas_margin_ce_bwd if use_pallas else _stream_bwd
         d_emb, _ = bwd_full(emb, w, labels, gt, logz, topk, d_ce, d_neg,
