@@ -767,15 +767,30 @@ def select_relevant_tiles(maxz, maxcos, logz, topk, labels, m_tiles: int, tile: 
     )
     _, idx = jax.lax.top_k(score, m_tiles)
     idx = idx.astype(jnp.int32)
-    # deterministic picks: forced targets (1e9), top-k holders (≥1e6), and
-    # tiles above the dense backward's relevance gate. Everything else in
-    # the selection is a sample of the below-gate population.
-    deterministic = (score >= jnp.float32(1e6)) | (rel > jnp.float32(-20.0))
-    n_below = jnp.sum(~deterministic)  # population of sampled-coverage tiles
-    sel_det = deterministic[idx]
-    m_below = jnp.maximum(jnp.sum(~sel_det), 1)
-    w_sample = n_below.astype(jnp.float32) / m_below.astype(jnp.float32)
-    weight = jnp.where(sel_det, 1.0, w_sample)
+    # STRATIFIED importance weights. Forced picks (targets 1e9, top-k
+    # holders ≥1e6) get weight 1. The rest of the population splits into
+    # above-gate (rel > −20: provable softmax mass — in the diffuse phase
+    # this is EVERY tile) and below-gate strata; each selected tile is
+    # weighted by its stratum's population/selected ratio so the EXPECTED
+    # total d_w matches dense. The random boost doubles as the randomizer
+    # that makes the within-stratum selection ~uniform. (A first version
+    # classified all above-gate tiles as deterministic weight-1 picks —
+    # which silently disabled compensation in the diffuse phase, where all
+    # tiles pass the gate; the accuracy study caught it.)
+    forced = score >= jnp.float32(1e6)
+    above = (rel > jnp.float32(-20.0)) & ~forced
+    below = ~above & ~forced
+    sel_forced = forced[idx]
+    sel_above = above[idx]
+    sel_below = below[idx]
+    f32 = jnp.float32
+    w_above = jnp.sum(above).astype(f32) / jnp.maximum(jnp.sum(sel_above), 1).astype(f32)
+    w_below = jnp.sum(below).astype(f32) / jnp.maximum(jnp.sum(sel_below), 1).astype(f32)
+    # a stratum that fits entirely inside the selection has ratio ≤ 1 by
+    # construction (never inflate deterministic coverage)
+    weight = jnp.where(sel_forced, 1.0,
+                       jnp.where(sel_above, jnp.maximum(w_above, 1.0),
+                                 jnp.maximum(w_below, 1.0)))
     return idx, weight
 
 
