@@ -205,3 +205,40 @@ def test_pallas_bwd_tile_skip_concentrated(rng):
                                       interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=3e-5)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=3e-5)
+
+
+def test_bf16_weights_mxu_path_close_to_f32(rng):
+    """bf16-stored weights switch the kernels to bf16 MXU dots (_mxu_pair).
+    With IDENTICAL storage (bf16 rounded w upcast for the f32 reference),
+    the only difference is the dot-operand rounding — bounded by ~2^-9 per
+    cosine on unit rows. Checks forward values and d_emb stay within that
+    budget, and that every f32-path test above is untouched (f32 inputs
+    never take this path)."""
+    emb, w, labels = make_case(rng, b=8, c=96, d=128)
+    w_bf = w.astype(jnp.bfloat16)
+    w_up = w_bf.astype(jnp.float32)  # identical values, f32-typed
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=3, mask_svfc=1.2,
+              normalize_w=True, tile=32)
+    gt_bf = compute_gt(emb, w_bf, labels, True)
+    gt_up = compute_gt(emb, w_up, labels, True)
+    np.testing.assert_allclose(np.asarray(gt_bf), np.asarray(gt_up), atol=1e-6)
+    out_bf = pallas_margin_ce_fwd(emb, w_bf, labels, gt_bf, interpret=True, **kw)
+    out_up = _stream_fwd(emb, w_up, labels, gt_up, **kw)
+    # ce / neg / logz: |Δz| ≤ scale·|Δcos| ≈ 24·2e-3
+    for got, want in zip(out_bf[:3], out_up[:3]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.08)
+
+    from vlsfr_tpu.ops.margin_pallas import _stream_bwd, pallas_margin_ce_bwd
+
+    ce, neg, logz, topk = out_up
+    d_ce = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    d_neg = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    ge_bf, gw_bf = pallas_margin_ce_bwd(emb, w_bf, labels, gt_up, logz, topk,
+                                        d_ce, d_neg, interpret=True, **kw)
+    ge_up, gw_up = _stream_bwd(emb, w_up, labels, gt_up, logz, topk, d_ce, d_neg, **kw)
+    scale_e = np.abs(np.asarray(ge_up)).max()
+    np.testing.assert_allclose(np.asarray(ge_bf), np.asarray(ge_up),
+                               atol=0.02 * scale_e)
+    scale_w = np.abs(np.asarray(gw_up)).max()
+    np.testing.assert_allclose(np.asarray(gw_bf).astype(np.float32),
+                               np.asarray(gw_up), atol=0.05 * scale_w)

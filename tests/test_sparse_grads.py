@@ -76,13 +76,20 @@ def test_sparse_exact_when_all_tiles(loss_type, rng):
     assert got == pytest.approx(want, rel=1e-5)
 
 
-def test_sparse_selected_rows_exact(rng):
-    """Truncated selection: grads of SELECTED rows match dense exactly
-    (per-column d_w depends only on that column + exact logz); unselected
-    rows are zero; every target row is selected. Uses a concentrated
+def test_sparse_selected_rows_weighted_exact(rng):
+    """Truncated selection: each selected tile's d_w rows equal its stratum
+    IMPORTANCE WEIGHT × the dense gradient (weight 1 on forced target tiles,
+    population/selected ≥ 1 on sampled-coverage tiles — so the EXPECTED
+    update matches dense; see select_relevant_tiles); unselected rows are
+    zero; every target row is selected. Uses a concentrated
     (converged-model) distribution — the regime the truncation targets;
     in the diffuse early-training regime the dropped tiles carry real
     softmax mass (the Partial-FC approximation, by design)."""
+    from vlsfr_tpu.ops.margin_pallas import (
+        compute_gt as _cgt,
+        select_relevant_tiles as _sel,
+    )
+
     b, c, d, tile = 6, 256, 16, 16
     w = rng.standard_normal((c, d)).astype(np.float32)
     w /= np.linalg.norm(w, axis=-1, keepdims=True)
@@ -92,17 +99,28 @@ def test_sparse_selected_rows_exact(rng):
     emb2, w2 = jnp.asarray(emb), jnp.asarray(w)
     d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
     d_neg = jnp.zeros((b,), jnp.float32)
+    kw = dict(loss_type="Arc", margin=0.5, scale=48.0, k=3, mask_svfc=1.2,
+              normalize_w=True, tile=tile)
     ce, neg, topk, gt, d_emb, row_idx, d_w_rows = streaming_sparse_margin_grads(
         emb2, w2, labels2, d_ce, d_neg, m_tiles=8, loss_type="Arc",
         margin=0.5, scale=48.0, hard_neg=3, tile=tile, use_pallas=False,
     )
     gd_e, gd_w = dense_grads(emb2, w2, labels2, d_ce, d_neg, tile=tile, scale=48.0)
-    dw = np.zeros_like(np.asarray(w2))
     ri = np.asarray(row_idx)
     keep = ri < w2.shape[0]
-    dw[ri[keep]] = np.asarray(d_w_rows)[keep]
-    # selected rows: exact
-    np.testing.assert_allclose(dw[ri[keep]], np.asarray(gd_w)[ri[keep]], atol=3e-5)
+    # replay the (deterministic, no-key) tile selection to get the weights
+    gt2 = _cgt(emb2, w2, labels2, True)
+    _, _, logz, topk2, maxz, maxcos = _stream_fwd(emb2, w2, labels2, gt2,
+                                                  with_stats=True, **kw)
+    idx, weight = _sel(maxz, maxcos, logz, topk2, labels2, 8, tile)
+    np.testing.assert_array_equal(ri.reshape(-1, tile)[:, 0] // tile,
+                                  np.asarray(idx))
+    want = np.asarray(gd_w)[ri[keep]] * np.repeat(np.asarray(weight), tile)[keep, None]
+    np.testing.assert_allclose(np.asarray(d_w_rows)[keep], want, atol=3e-5)
+    # target tiles are forced deterministic picks: weight exactly 1
+    wts = dict(zip(np.asarray(idx).tolist(), np.asarray(weight).tolist()))
+    for lab in np.asarray(labels2):
+        assert wts[lab // tile] == 1.0
     # every target row must be among the selected rows
     for lab in np.asarray(labels2):
         assert lab in ri

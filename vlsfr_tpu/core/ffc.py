@@ -260,7 +260,7 @@ def make_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Calla
         lr = schedule(state.step) * lr_scale
         state.opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.probe_params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.probe_params, updates)
+        new_params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.probe_params, updates)
         metrics = dict(metrics, lr=lr, grad_norm=optax_global_norm(grads))
         new_state = state.replace(
             step=state.step + 1,

@@ -55,6 +55,19 @@ def _normalize_rows(w, eps=1e-12):
     return w * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
 
 
+def _mxu_pair(a, b, mxu_bf16: bool):
+    """Operand pair for an in-kernel matmul. With ``mxu_bf16`` both operands
+    are rounded to bf16 so the dot runs at the MXU's native bf16 rate (f32
+    accumulate) instead of the ~4-6× slower multi-pass f32 path. Selected
+    when the STORED weights are bf16 (cfg.pool.classifier_dtype /
+    queue_dtype): the extra rounding is then the same order as the storage
+    rounding already accepted, and the kernels turn from f32-MXU-bound to
+    HBM-bound (docs/PERF.md round-2 measurements)."""
+    if mxu_bf16:
+        return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return a, b
+
+
 def _phi_target(gt, loss_type: str, margin: float, mask_svfc: float):
     """Modified target logit value φ(gt) (pre-scale).
 
@@ -256,7 +269,7 @@ def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margi
 
 
 def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
-                     with_stats=False):
+                     with_stats=False, mxu_bf16=False):
     def kernel(labels_ref, gt_ref, emb_ref, w_ref,
                ce_ref, neg_ref, logz_ref, topk_ref,
                *stats_and_scratch):
@@ -280,7 +293,8 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         if normalize_w:
             n2 = jnp.maximum(jnp.sum(w_tile * w_tile, axis=-1, keepdims=True), 1e-24)
             w_tile = w_tile * jax.lax.rsqrt(n2)
-        cos = jnp.dot(emb_ref[:].astype(jnp.float32), w_tile.T,
+        e_op, w_op = _mxu_pair(emb_ref[:].astype(jnp.float32), w_tile, mxu_bf16)
+        cos = jnp.dot(e_op, w_op.T,
                       preferred_element_type=jnp.float32)  # [B, T] on the MXU
 
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
@@ -349,7 +363,10 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
     """Forward pass on TPU: returns (ce [B], neg [B], logz [B], topk [B,k]).
 
     With ``with_stats`` also returns (maxz [n_tiles, B], maxcos [n_tiles, B]),
-    the per-tile row maxima that feed :func:`select_relevant_tiles`."""
+    the per-tile row maxima that feed :func:`select_relevant_tiles`.
+
+    bf16-stored ``w`` selects the bf16 MXU path for the cosine block (see
+    :func:`_mxu_pair`); f32 weights keep exact f32 math."""
     b, d = emb.shape
     c = w.shape[0]
     # clamp tile so the double-buffered w_tile + the [B, tile] working set
@@ -358,7 +375,8 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
     tile = min(tile, max_tile)
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                              mask_svfc, normalize_w, with_stats=with_stats)
+                              mask_svfc, normalize_w, with_stats=with_stats,
+                              mxu_bf16=w.dtype == jnp.bfloat16)
     out_specs = [
         pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -410,7 +428,7 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
 
 
 def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
-                     emit_dw=True):
+                     emit_dw=True, mxu_bf16=False):
     def kernel(labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
                emb_ref, w_ref,
                *outs_and_scratch):
@@ -446,7 +464,8 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         else:
             inv = None
             wn = w_tile
-        cos = jnp.dot(emb, wn.T, preferred_element_type=jnp.float32)  # [B, T]
+        e_op, wn_op = _mxu_pair(emb, wn, mxu_bf16)
+        cos = jnp.dot(e_op, wn_op.T, preferred_element_type=jnp.float32)  # [B, T]
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
         cos_v = jnp.where(valid, cos, NEG_INF)
@@ -479,9 +498,14 @@ def _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
             in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos)
             d_cos2 = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
             d_cos2 = jnp.where(valid, d_cos2, 0.0)
-            demb_scr[:] = demb_scr[:] + jnp.dot(d_cos2, wn, preferred_element_type=jnp.float32)
+            dc_op, _ = _mxu_pair(d_cos2, d_cos2, mxu_bf16)
+            demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, wn_op, preferred_element_type=jnp.float32)
             if emit_dw:
-                d_wn = jnp.dot(d_cos2.T, emb, preferred_element_type=jnp.float32)  # [T, D]
+                d_wn = jnp.dot(dc_op.T, e_op, preferred_element_type=jnp.float32)  # [T, D]
+                # NOTE: storing d_w in the classifier dtype (bf16) was
+                # measured SLOWER than this f32 store + XLA-side cast
+                # (61.6 vs 60.1 ms/step at C=1M bf16) — keep the f32 store;
+                # it also keeps the gradient itself exact.
                 if normalize_w:
                     dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
                 else:
@@ -521,7 +545,8 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
     tile = min(tile, max_tile)
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                              mask_svfc, normalize_w, emit_dw=grad_w)
+                              mask_svfc, normalize_w, emit_dw=grad_w,
+                              mxu_bf16=w.dtype == jnp.bfloat16)
     pos = labels >= 0
     d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
     d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)
@@ -876,7 +901,7 @@ def _sparse_bwd_gather(emb, w, labels, gt, logz, topk, d_ce, d_neg, tile_idx, *,
 
 
 def _make_sparse_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                            normalize_w):
+                            normalize_w, mxu_bf16=False):
     def kernel(idx_ref, labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
                emb_ref, w_ref,
                dw_ref, demb_ref, dgt_ref,
@@ -907,7 +932,8 @@ def _make_sparse_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svf
         else:
             inv = None
             wn = w_tile
-        cos = jnp.dot(emb, wn.T, preferred_element_type=jnp.float32)
+        e_op, wn_op = _mxu_pair(emb, wn, mxu_bf16)
+        cos = jnp.dot(e_op, wn_op.T, preferred_element_type=jnp.float32)
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
         cos_v = jnp.where(valid, cos, NEG_INF)
@@ -927,8 +953,9 @@ def _make_sparse_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svf
         in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos)
         d_cos2 = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
         d_cos2 = jnp.where(valid, d_cos2, 0.0)
-        demb_scr[:] = demb_scr[:] + jnp.dot(d_cos2, wn, preferred_element_type=jnp.float32)
-        d_wn = jnp.dot(d_cos2.T, emb, preferred_element_type=jnp.float32)
+        dc_op, _ = _mxu_pair(d_cos2, d_cos2, mxu_bf16)
+        demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, wn_op, preferred_element_type=jnp.float32)
+        d_wn = jnp.dot(dc_op.T, e_op, preferred_element_type=jnp.float32)
         if normalize_w:
             dw_ref[:] = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
         else:
@@ -953,7 +980,8 @@ def pallas_margin_ce_bwd_sparse(emb, w, labels, gt, logz, topk, d_ce, d_neg,
     m = tile_idx.shape[0]
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_sparse_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                                     mask_svfc, normalize_w)
+                                     mask_svfc, normalize_w,
+                                     mxu_bf16=w.dtype == jnp.bfloat16)
     pos = labels >= 0
     d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
     d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)

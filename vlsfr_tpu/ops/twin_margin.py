@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vlsfr_tpu.ops.margin_pallas import (
     KTH_TIE_TOL,
     NEG_INF,
+    _mxu_pair,
     _pad_classes,
     _phi_prime,
     _phi_target,
@@ -47,7 +48,7 @@ from vlsfr_tpu.ops.margin_pallas import (
 )
 
 
-def _effective_views(w0, w1, col_ids, g, rows, cols, seen):
+def _effective_views(w0, w1, col_ids, g, rows, cols, seen, mxu_bf16=False):
     """Apply this step's queue writes + parity blend to one tile, in
     registers. Plain jnp ops — shared verbatim by the scan implementation
     and the Pallas kernel bodies.
@@ -74,7 +75,9 @@ def _effective_views(w0, w1, col_ids, g, rows, cols, seen):
         hit = match & (rows[None, :] == parity)
         last = jnp.max(jnp.where(hit, i_iota, -1), axis=1, keepdims=True)  # [T, 1]
         onehot = (hit & (i_iota == last)).astype(jnp.float32)  # [T, B]
-        ov = jnp.dot(onehot, g, preferred_element_type=jnp.float32)  # [T, D]
+        # one-hot operands are exact in bf16; only g picks up bf16 rounding
+        oh_op, g_op = _mxu_pair(onehot, g, mxu_bf16)
+        ov = jnp.dot(oh_op, g_op, preferred_element_type=jnp.float32)  # [T, D]
         return jnp.where(last >= 0, ov, base)
 
     w0_eff = override(w0, 0)
@@ -256,7 +259,8 @@ def _twin_tile(b, d, tile):
     return min(tile, max_tile)
 
 
-def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc):
+def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                          mxu_bf16=False):
     def kernel(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, seen_ref,
                emb_ref, g_ref, w0_ref, w1_ref,
                ce1_ref, neg1_ref, ce2_ref, neg2_ref,
@@ -280,9 +284,12 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc)
             w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
             col[0], g_ref[:].astype(jnp.float32),
             rows_ref[:][:, 0], cols_ref[:][:, 0], seen_ref[:][:, 0],
+            mxu_bf16=mxu_bf16,
         )
-        cos1 = jnp.dot(emb, w0e.T, preferred_element_type=jnp.float32)
-        cos2 = jnp.dot(emb, wbe.T, preferred_element_type=jnp.float32)
+        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
 
         def view(cos, gt, m_scr, s_scr, topk_scr, ce_ref, neg_ref, logz_ref, topk_ref):
             cos = jnp.where(valid, cos, NEG_INF)
@@ -336,7 +343,8 @@ def pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
     tile = _twin_tile(b, d, tile)
     q0p, n_tiles = _pad_classes(q0, c, tile)
     q1p, _ = _pad_classes(q1, c, tile)
-    kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc)
+    kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                                   mxu_bf16=q0.dtype == jnp.bfloat16)
     vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
     bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
@@ -367,7 +375,8 @@ def pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
             (logz1[:, 0], logz2[:, 0], topk1, topk2))
 
 
-def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc):
+def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                          mxu_bf16=False):
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k, mask_svfc=mask_svfc)
 
     def kernel(labels_ref, rows_ref, cols_ref, seen_ref,
@@ -394,15 +403,20 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc)
             w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
             col[0], g_ref[:].astype(jnp.float32),
             rows_ref[:][:, 0], cols_ref[:][:, 0], seen_ref[:][:, 0],
+            mxu_bf16=mxu_bf16,
         )
-        cos1 = jnp.dot(emb, w0e.T, preferred_element_type=jnp.float32)
-        cos2 = jnp.dot(emb, wbe.T, preferred_element_type=jnp.float32)
+        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
         dc1, dg1 = _view_dcos(cos1, col, valid, labels, pos, gt1_ref[:],
                               logz1_ref[:], kth1_ref[:], dce1_ref[:], dneg1_ref[:], **kw)
         dc2, dg2 = _view_dcos(cos2, col, valid, labels, pos, gt2_ref[:],
                               logz2_ref[:], kth2_ref[:], dce2_ref[:], dneg2_ref[:], **kw)
-        demb_scr[:] = demb_scr[:] + jnp.dot(dc1, w0e, preferred_element_type=jnp.float32) \
-            + jnp.dot(dc2, wbe, preferred_element_type=jnp.float32)
+        dc1_op, _ = _mxu_pair(dc1, dc1, mxu_bf16)
+        dc2_op, _ = _mxu_pair(dc2, dc2, mxu_bf16)
+        demb_scr[:] = demb_scr[:] + jnp.dot(dc1_op, w0_op, preferred_element_type=jnp.float32) \
+            + jnp.dot(dc2_op, wb_op, preferred_element_type=jnp.float32)
         dgt1_scr[:] = dgt1_scr[:] + dg1
         dgt2_scr[:] = dgt2_scr[:] + dg2
 
@@ -423,7 +437,8 @@ def pallas_twin_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
     tile = _twin_tile(b, d, tile)
     q0p, n_tiles = _pad_classes(q0, c, tile)
     q1p, _ = _pad_classes(q1, c, tile)
-    kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc)
+    kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                                   mxu_bf16=q0.dtype == jnp.bfloat16)
     d_ce1, d_neg1 = d1
     d_ce2, d_neg2 = d2
     pos = labels >= 0

@@ -154,7 +154,7 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
         lr = schedule(state.step) * lr_scale
         state.opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.params, updates)
         metrics = dict(metrics, loss=loss, lr=lr)
         return (
             state.replace(
@@ -213,7 +213,7 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
             upd_b, new_bopt = optimizer.update(
                 g_backbone, state.opt_state["backbone"], state.params["backbone"]
             )
-            new_backbone = jax.tree.map(lambda p, u: p + u, state.params["backbone"], upd_b)
+            new_backbone = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.params["backbone"], upd_b)
             # invalid (duplicate/collision) positions carry exact-zero grads
             # but would still receive weight decay — route them to the
             # out-of-bounds sentinel so the scatter drops them; the remaining
@@ -236,7 +236,7 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
             grads = {"backbone": g_backbone, "classifier": g_full}
             state.opt_state.hyperparams["learning_rate"] = lr
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.params, updates)
 
         return (
             state.replace(step=state.step + 1, params=new_params,
@@ -315,7 +315,7 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
         upd_b, new_bopt = optimizer.update(
             g_backbone, state.opt_state["backbone"], state.params["backbone"]
         )
-        new_backbone = jax.tree.map(lambda p, u: p + u, state.params["backbone"], upd_b)
+        new_backbone = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.params["backbone"], upd_b)
         # row_idx entries >= C (padding-tile columns) are dropped by the
         # scatter; all remaining indices are unique by construction
         new_w, new_mom, new_last = sparse_sgd_rows(
