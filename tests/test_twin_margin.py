@@ -152,3 +152,35 @@ def test_twin_no_queue_grad_leak(rng):
 
     gq = jax.grad(f)(queue)
     np.testing.assert_array_equal(np.asarray(gq), 0.0)
+
+
+def test_twin_pallas_bf16_queue_close_to_f32(rng):
+    """bf16-stored queue flips the twin kernels to bf16 MXU dots
+    (margin_pallas._mxu_pair). With identical storage (the bf16-rounded
+    queue upcast for the f32 reference) the only delta is dot-operand
+    rounding — bounded by ~2^-9 per cosine on unit rows."""
+    p, g, queue, rows, cols, seen, labels = make_case(rng, b=8, q=64, d=128)
+    q_bf = queue.astype(jnp.bfloat16)
+    q_up = q_bf.astype(jnp.float32)
+    g_bf = g  # gallery embeddings stay f32 inputs either way
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=3, mask_svfc=1.2, tile=32)
+    gt1, gt2 = compute_twin_gt(p, q_up[0], q_up[1], g_bf, rows, cols, seen, labels)
+    out_up, aux_up = _twin_stream_fwd(p, q_up[0], q_up[1], g_bf, rows, cols, seen,
+                                      labels, gt1, gt2, **kw)
+    out_bf, aux_bf = pallas_twin_fwd(p, q_bf[0], q_bf[1], g_bf, rows, cols, seen,
+                                     labels, gt1, gt2, interpret=True, **kw)
+    for got, want in zip(out_bf, out_up):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.08)
+    logz1, logz2, topk1, topk2 = aux_up
+    d1 = (jnp.asarray(rng.standard_normal(8), jnp.float32),
+          jnp.asarray(rng.standard_normal(8), jnp.float32))
+    d2 = (jnp.asarray(rng.standard_normal(8), jnp.float32),
+          jnp.asarray(rng.standard_normal(8), jnp.float32))
+    ge_up = _twin_stream_bwd(p, q_up[0], q_up[1], g_bf, rows, cols, seen, labels,
+                             gt1, gt2, logz1, logz2, topk1, topk2, d1, d2, **kw)
+    ge_bf = pallas_twin_bwd(p, q_bf[0], q_bf[1], g_bf, rows, cols, seen, labels,
+                            gt1, gt2, logz1, logz2, topk1, topk2, d1, d2,
+                            interpret=True, **kw)
+    scale_e = np.abs(np.asarray(ge_up)).max()
+    np.testing.assert_allclose(np.asarray(ge_bf), np.asarray(ge_up),
+                               atol=0.03 * scale_e)

@@ -94,6 +94,7 @@ def directional_loss(
     mask_svfc: float = 1.2,
     use_fused: bool = False,
     sharded_loss_fn=None,
+    defer_scatter: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One direction: write gallery embeddings, score probe against both
     queue views, sum the two margin losses (reference ffc.py:180-202).
@@ -101,8 +102,14 @@ def directional_loss(
     Returns (loss, updated_queue). Pure — the caller decides persistence.
     With ``use_fused``, the cosine×margin×CE runs through the streaming
     kernel (ops/margin_pallas.py) and never materializes [B, Q] logits —
-    the path for very large pools.
-    """
+    the path for very large pools. With ``defer_scatter`` (fused
+    single-shard only — the other paths must materialize the written queue
+    for the blend view), the persistence scatter is NOT built here; the
+    second element is the write plan ``(g, rows, cols)`` for the caller to
+    apply OUTSIDE the autodiff region (see make_train_step): a scatter
+    inside the grad region forces XLA to copy the whole queue, because the
+    twin kernels' backward still reads the pre-write value (a measured
+    6.5 ms/step full [2, Q, D] copy at Q=1M bf16)."""
     g = jax.lax.stop_gradient(g)
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
               mask_svfc=mask_svfc)
@@ -111,12 +118,14 @@ def directional_loss(
         # (ops/twin_margin.py) with this step's queue writes applied
         # IN-REGISTER — no scattered copy, no blended [Q, D] copy, no queue
         # gradient. The only queue materialization left is the persistence
-        # scatter below (B rows, in-place under donation) — at Q=1M f32 the
-        # unfused composition cost a measured ~114 ms/step in copies+blend.
+        # scatter (B rows) — deferred to after the backward when
+        # ``defer_scatter`` so it runs in place under donation.
         from vlsfr_tpu.ops.twin_margin import twin_add_margin
 
         loss = twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
                                fake_labels, **kw)
+        if defer_scatter:
+            return loss, (g, rows, cols)
         new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
         return loss, new_queue
 
@@ -167,6 +176,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             normalize_w=False,
             grad_w=False,  # queue is a stop-gradient constant
         )
+    fused_single = use_fused and sharded_loss_fn is None
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -224,11 +234,15 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         # direction A (the reference's rollback pass): functional, discarded
         loss_a, _ = directional_loss(
             p_x, g_y, state.queue, idx.a.rows, idx.a.cols, idx.a.seen, idx.a.fake_labels,
+            defer_scatter=fused_single,
             **loss_kw,
         )
-        # direction B: persists
+        # direction B: persists. On the fused single-shard path
+        # ``new_queue`` is the (g, rows, cols) write plan, applied by
+        # make_train_step AFTER the backward (in-place under donation)
         loss_b, new_queue = directional_loss(
             p_y, g_x, state.queue, idx.b.rows, idx.b.cols, idx.b.seen, idx.b.fake_labels,
+            defer_scatter=fused_single,
             **loss_kw,
         )
         loss = loss_a + loss_b
@@ -257,6 +271,17 @@ def make_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Calla
         (loss, (new_queue, probe_stats, gallery_stats, gallery_params, metrics)), grads = grad_fn(
             state.probe_params, state, x, y, idx
         )
+        if isinstance(new_queue, tuple):
+            # deferred persistence scatter (fused single-shard path): the
+            # optimization_barrier orders the write after the backward — at
+            # that point the pre-write queue is dead, so under donation the
+            # B-row scatter is an in-place dynamic-update-slice instead of a
+            # full [2, Q, D] copy (measured 6.5 ms/step at Q=1M bf16).
+            g_b, rows_b, cols_b = new_queue
+            queue_dead, _ = jax.lax.optimization_barrier(
+                (state.queue, jax.tree.leaves(grads)[0])
+            )
+            new_queue = queue_dead.at[rows_b, cols_b].set(g_b.astype(queue_dead.dtype))
         lr = schedule(state.step) * lr_scale
         state.opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.probe_params)
