@@ -259,13 +259,28 @@ def _twin_tile(b, d, tile):
     return min(tile, max_tile)
 
 
+def _q1_fetch_indices(cols, tile, n_tiles):
+    """Per-grid-step block index for the q1 operand: tile t's own block when
+    one of this step's written slots lands in it, else REPEAT the previous
+    step's index. Mosaic's pipeline skips the DMA when consecutive block
+    indices are equal, so q1 HBM traffic drops from O(Q·D) to
+    O(min(B, n_tiles)·tile·D) per pass — clean tiles (the ~all of them at
+    Q ≫ B) never read q1 at all. Clean tiles must not READ the q1 ref
+    (contents are a stale block); the kernels' ``tile_hit`` branch
+    guarantees that."""
+    t_arr = jnp.arange(n_tiles, dtype=jnp.int32)
+    hit = jnp.zeros((n_tiles,), jnp.int32).at[cols.astype(jnp.int32) // tile].set(1)
+    return jax.lax.cummax(jnp.where(hit > 0, t_arr, 0))
+
+
 def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False):
-    def kernel(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, seen_ref,
+    def kernel(fetch_ref, labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, seen_ref,
                emb_ref, g_ref, w0_ref, w1_ref,
                ce1_ref, neg1_ref, ce2_ref, neg2_ref,
                logz1_ref, logz2_ref, topk1_ref, topk2_ref,
                m1_scr, s1_scr, t1_scr, m2_scr, s2_scr, t2_scr):
+        del fetch_ref  # drives the q1 BlockSpec only (see _q1_fetch_indices)
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -280,16 +295,7 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         emb = emb_ref[:].astype(jnp.float32)
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
-        w0e, wbe = _effective_views(
-            w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
-            col[0], g_ref[:].astype(jnp.float32),
-            rows_ref[:][:, 0], cols_ref[:][:, 0], seen_ref[:][:, 0],
-            mxu_bf16=mxu_bf16,
-        )
-        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
-        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
-        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
-        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+        cols_v = cols_ref[:][:, 0]
 
         def view(cos, gt, m_scr, s_scr, topk_scr, ce_ref, neg_ref, logz_ref, topk_ref):
             cos = jnp.where(valid, cos, NEG_INF)
@@ -329,8 +335,42 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                 logz_ref[:] = logz
                 topk_ref[:] = topk_scr[:]
 
-        view(cos1, gt1_ref[:], m1_scr, s1_scr, t1_scr, ce1_ref, neg1_ref, logz1_ref, topk1_ref)
-        view(cos2, gt2_ref[:], m2_scr, s2_scr, t2_scr, ce2_ref, neg2_ref, logz2_ref, topk2_ref)
+        def both_views(cos1, cos2):
+            view(cos1, gt1_ref[:], m1_scr, s1_scr, t1_scr, ce1_ref, neg1_ref,
+                 logz1_ref, topk1_ref)
+            view(cos2, gt2_ref[:], m2_scr, s2_scr, t2_scr, ce2_ref, neg2_ref,
+                 logz2_ref, topk2_ref)
+
+        # Per-tile write predication: only tiles holding one of this step's
+        # B written slots need the override/blend machinery. For every other
+        # tile (~all of them at Q ≫ B) both effective views ARE q0 —
+        # cos2 == cos1, so 3 of the 4 MXU dots and the whole one-hot build
+        # are skipped (the views still differ at the target column via
+        # φ(gt1)/φ(gt2), which _tile_modified applies per view) — AND the
+        # q1 tile is never even DMA'd (its BlockSpec repeats the previous
+        # block index on clean tiles; w1_ref is stale there and must only be
+        # read inside this branch).
+        tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+        @pl.when(tile_hit)
+        def _written_tile():
+            w0e, wbe = _effective_views(
+                w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
+                col[0], g_ref[:].astype(jnp.float32),
+                rows_ref[:][:, 0], cols_v, seen_ref[:][:, 0],
+                mxu_bf16=mxu_bf16,
+            )
+            e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+            _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+            cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+            cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+            both_views(cos1, cos2)
+
+        @pl.when(jnp.logical_not(tile_hit))
+        def _clean_tile():
+            e_op, w0_op = _mxu_pair(emb, w0_ref[:].astype(jnp.float32), mxu_bf16)
+            cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+            both_views(cos, cos)
 
     return kernel
 
@@ -346,28 +386,33 @@ def pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
     kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                    mxu_bf16=q0.dtype == jnp.bfloat16)
     vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
-    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
-    out = pl.pallas_call(
-        kernel,
+    bspec = pl.BlockSpec((b, 1), lambda t, f: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t, f: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[bspec] * 6 + [
             full((b, d)),
             full((b, d)),
-            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t, f: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t, f: (f[t], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[bspec] * 6 + [full((b, k)), full((b, k))],
-        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 6
-        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 2,
         scratch_shapes=[
             pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, k), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 2,
         interpret=interpret,
-    )(labels.astype(jnp.int32)[:, None], vec(gt1), vec(gt2),
+    )(_q1_fetch_indices(cols, tile, n_tiles),
+      labels.astype(jnp.int32)[:, None], vec(gt1), vec(gt2),
       rows.astype(jnp.int32)[:, None], cols.astype(jnp.int32)[:, None], vec(seen),
       emb.astype(jnp.float32), g.astype(jnp.float32), q0p, q1p)
     ce1, neg1, ce2, neg2, logz1, logz2, topk1, topk2 = out
@@ -379,12 +424,13 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False):
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k, mask_svfc=mask_svfc)
 
-    def kernel(labels_ref, rows_ref, cols_ref, seen_ref,
+    def kernel(fetch_ref, labels_ref, rows_ref, cols_ref, seen_ref,
                gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref, kth2_ref,
                dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
                emb_ref, g_ref, w0_ref, w1_ref,
                demb_ref, dgt1_ref, dgt2_ref,
                demb_scr, dgt1_scr, dgt2_scr):
+        del fetch_ref  # drives the q1 BlockSpec only (see _q1_fetch_indices)
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -399,26 +445,48 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         emb = emb_ref[:].astype(jnp.float32)
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
-        w0e, wbe = _effective_views(
-            w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
-            col[0], g_ref[:].astype(jnp.float32),
-            rows_ref[:][:, 0], cols_ref[:][:, 0], seen_ref[:][:, 0],
-            mxu_bf16=mxu_bf16,
-        )
-        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
-        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
-        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
-        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
-        dc1, dg1 = _view_dcos(cos1, col, valid, labels, pos, gt1_ref[:],
-                              logz1_ref[:], kth1_ref[:], dce1_ref[:], dneg1_ref[:], **kw)
-        dc2, dg2 = _view_dcos(cos2, col, valid, labels, pos, gt2_ref[:],
-                              logz2_ref[:], kth2_ref[:], dce2_ref[:], dneg2_ref[:], **kw)
-        dc1_op, _ = _mxu_pair(dc1, dc1, mxu_bf16)
-        dc2_op, _ = _mxu_pair(dc2, dc2, mxu_bf16)
-        demb_scr[:] = demb_scr[:] + jnp.dot(dc1_op, w0_op, preferred_element_type=jnp.float32) \
-            + jnp.dot(dc2_op, wb_op, preferred_element_type=jnp.float32)
-        dgt1_scr[:] = dgt1_scr[:] + dg1
-        dgt2_scr[:] = dgt2_scr[:] + dg2
+        cols_v = cols_ref[:][:, 0]
+
+        def view_dcs(cos1, cos2):
+            dc1, dg1 = _view_dcos(cos1, col, valid, labels, pos, gt1_ref[:],
+                                  logz1_ref[:], kth1_ref[:], dce1_ref[:], dneg1_ref[:], **kw)
+            dc2, dg2 = _view_dcos(cos2, col, valid, labels, pos, gt2_ref[:],
+                                  logz2_ref[:], kth2_ref[:], dce2_ref[:], dneg2_ref[:], **kw)
+            dgt1_scr[:] = dgt1_scr[:] + dg1
+            dgt2_scr[:] = dgt2_scr[:] + dg2
+            return dc1, dc2
+
+        # same per-tile write predication as the forward kernel: clean tiles
+        # (no written slot in range) have identical views, so one cosine dot
+        # and ONE combined d_emb dot replace the 6-dot full path, and the q1
+        # tile DMA is elided (w1_ref is stale outside the hit branch)
+        tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+        @pl.when(tile_hit)
+        def _written_tile():
+            w0e, wbe = _effective_views(
+                w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
+                col[0], g_ref[:].astype(jnp.float32),
+                rows_ref[:][:, 0], cols_v, seen_ref[:][:, 0],
+                mxu_bf16=mxu_bf16,
+            )
+            e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+            _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+            cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+            cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+            dc1, dc2 = view_dcs(cos1, cos2)
+            dc1_op, _ = _mxu_pair(dc1, dc1, mxu_bf16)
+            dc2_op, _ = _mxu_pair(dc2, dc2, mxu_bf16)
+            demb_scr[:] = demb_scr[:] + jnp.dot(dc1_op, w0_op, preferred_element_type=jnp.float32) \
+                + jnp.dot(dc2_op, wb_op, preferred_element_type=jnp.float32)
+
+        @pl.when(jnp.logical_not(tile_hit))
+        def _clean_tile():
+            e_op, w0_op = _mxu_pair(emb, w0_ref[:].astype(jnp.float32), mxu_bf16)
+            cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+            dc1, dc2 = view_dcs(cos, cos)
+            dc_op, _ = _mxu_pair(dc1 + dc2, dc1, mxu_bf16)
+            demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, w0_op, preferred_element_type=jnp.float32)
 
         @pl.when(t == n_t - 1)
         def _finalize():
@@ -447,30 +515,35 @@ def pallas_twin_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
     d_neg1 = jnp.where(pos, 0.0, d_neg1)
     d_neg2 = jnp.where(pos, 0.0, d_neg2)
     vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
-    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
-    d_emb, dgt1, dgt2 = pl.pallas_call(
-        kernel,
+    bspec = pl.BlockSpec((b, 1), lambda t, f: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t, f: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[bspec] * 14 + [
             full((b, d)),
             full((b, d)),
-            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t, f: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t, f: (f[t], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[full((b, d)), bspec, bspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((b, d), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
         ],
+    )
+    d_emb, dgt1, dgt2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
         interpret=interpret,
-    )(labels.astype(jnp.int32)[:, None], rows.astype(jnp.int32)[:, None],
+    )(_q1_fetch_indices(cols, tile, n_tiles),
+      labels.astype(jnp.int32)[:, None], rows.astype(jnp.int32)[:, None],
       cols.astype(jnp.int32)[:, None], vec(seen),
       vec(gt1), vec(gt2), vec(logz1), vec(logz2),
       vec(topk1[:, -1]), vec(topk2[:, -1]),
