@@ -100,50 +100,56 @@ def directional_loss(
     queue views, sum the two margin losses (reference ffc.py:180-202).
 
     Returns (loss, updated_queue). Pure — the caller decides persistence.
-    With ``use_fused``, the cosine×margin×CE runs through the streaming
-    kernel (ops/margin_pallas.py) and never materializes [B, Q] logits —
-    the path for very large pools. With ``defer_scatter`` (fused
-    single-shard only — the other paths must materialize the written queue
-    for the blend view), the persistence scatter is NOT built here; the
-    second element is the write plan ``(g, rows, cols)`` for the caller to
-    apply OUTSIDE the autodiff region (see make_train_step): a scatter
-    inside the grad region forces XLA to copy the whole queue, because the
-    twin kernels' backward still reads the pre-write value (a measured
-    6.5 ms/step full [2, Q, D] copy at Q=1M bf16)."""
+    With ``use_fused``, the cosine×margin×CE runs through the twin
+    streaming composition and never materializes [B, Q] logits or a
+    blended [Q, D] view: single-shard via the twin Pallas kernels
+    (ops/twin_margin.py), model-sharded via ``sharded_loss_fn``
+    (parallel/sharded_twin.py — signature (p, q0, q1, g, rows, cols, seen,
+    labels)). With ``defer_scatter`` (any fused path — the dense path must
+    materialize the written queue for the blend view), the persistence
+    scatter is NOT built here; the second element is the write plan
+    ``(g, rows, cols)`` for the caller to apply OUTSIDE the autodiff
+    region (see make_train_step): a scatter inside the grad region forces
+    XLA to copy the whole queue, because the twin backward still reads the
+    pre-write value (a measured 6.5 ms/step full [2, Q, D] copy at Q=1M
+    bf16)."""
     g = jax.lax.stop_gradient(g)
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, hard_neg=hard_neg,
               mask_svfc=mask_svfc)
-    if use_fused and sharded_loss_fn is None:
-        # single-shard fused path: BOTH views in one twin streaming kernel
-        # (ops/twin_margin.py) with this step's queue writes applied
-        # IN-REGISTER — no scattered copy, no blended [Q, D] copy, no queue
-        # gradient. The only queue materialization left is the persistence
-        # scatter (B rows) — deferred to after the backward when
-        # ``defer_scatter`` so it runs in place under donation.
-        from vlsfr_tpu.ops.twin_margin import twin_add_margin
+    if use_fused:
+        # fused path: BOTH views in one twin streaming composition with this
+        # step's queue writes applied IN-REGISTER — no scattered copy, no
+        # blended [Q, D] copy, no queue gradient. Single shard runs the twin
+        # Pallas kernels (ops/twin_margin.py); with a model axis > 1 the
+        # queue stays row-sharded and the same composition runs per shard
+        # with collective logsumexp/top-k merges (parallel/sharded_twin.py).
+        # The only queue materialization left is the persistence scatter
+        # (B rows) — deferred to after the backward when ``defer_scatter``
+        # so it runs in place under donation.
+        if sharded_loss_fn is not None:
+            loss = sharded_loss_fn(p, queue[0], queue[1], g, rows, cols, seen,
+                                   fake_labels)
+        else:
+            from vlsfr_tpu.ops.twin_margin import twin_add_margin
 
-        loss = twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
-                               fake_labels, **kw)
+            loss = twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
+                                   fake_labels, **kw)
         if defer_scatter:
             return loss, (g, rows, cols)
         new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
         return loss, new_queue
 
+    # dense path (small queues): materialized scatter + blend + [B, Q]
+    # logits; under a mesh GSPMD shards the einsum (queue columns local)
     new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
     q = queue.shape[1]
     # view 2 weights: parity blend — slots hit this step read row 1
     # (ffc.py:197-201); view 1 is row 0 (ffc.py:195)
     mask = scatter_mask(seen, cols, q)[:, None]
     weight = jax.lax.stop_gradient(mask * new_queue[1] + (1.0 - mask) * new_queue[0])
-    if sharded_loss_fn is not None:
-        # mesh path: queue class-axis sharded over "model", streamed per
-        # shard (parallel/sharded_margin.py); queue rows already normalized
-        loss = sharded_loss_fn(p, new_queue[0], fake_labels)[0]
-        loss = loss + sharded_loss_fn(p, weight, fake_labels)[0]
-    else:
-        cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
-        cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
-        loss = add_margin(cos1, fake_labels, **kw) + add_margin(cos2, fake_labels, **kw)
+    cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
+    cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
+    loss = add_margin(cos1, fake_labels, **kw) + add_margin(cos2, fake_labels, **kw)
     return loss, new_queue
 
 
@@ -154,8 +160,8 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     Returns  fn(probe_params, state, x, y, idx) ->
     (loss, (new_queue, new_probe_stats, new_gallery_stats, metrics)).
     With a mesh whose model axis > 1 and streaming enabled, the twin cosine
-    heads run through the sharded streaming loss (queue sharded on its
-    class axis; parallel/sharded_margin.py).
+    heads run through the sharded twin composition (queue sharded on its
+    class axis; parallel/sharded_twin.py).
     """
     hard_neg = cfg.pool.hard_neg if cfg.pool.hard_neg > 0 else default_hard_neg(cfg.pool.queue_size)
     if cfg.pool.use_fused == "auto":
@@ -164,19 +170,22 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         use_fused = cfg.pool.use_fused == "on"
     sharded_loss_fn = None
     if use_fused and mesh is not None and mesh.shape.get("model", 1) > 1:
-        from vlsfr_tpu.parallel.sharded_margin import make_sharded_streaming_loss
+        # sharded twin composition: queue shards stay put, writes applied
+        # in-register per shard, collective logsumexp/top-k merges — no
+        # scatter copies or blend materialization (parallel/sharded_twin.py)
+        from vlsfr_tpu.parallel.sharded_twin import make_sharded_twin_loss
 
-        sharded_loss_fn = make_sharded_streaming_loss(
+        sharded_loss_fn = make_sharded_twin_loss(
             mesh,
             loss_type=cfg.loss.loss_type,
             margin=cfg.loss.margin,
             scale=cfg.loss.scale,
             hard_neg=hard_neg,
             mask_svfc=cfg.loss.mask_svfc,
-            normalize_w=False,
-            grad_w=False,  # queue is a stop-gradient constant
         )
-    fused_single = use_fused and sharded_loss_fn is None
+    # every fused path (single-shard twin kernels AND the sharded twin
+    # composition) defers the persistence scatter to after the backward
+    fused_defer = use_fused
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -234,7 +243,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         # direction A (the reference's rollback pass): functional, discarded
         loss_a, _ = directional_loss(
             p_x, g_y, state.queue, idx.a.rows, idx.a.cols, idx.a.seen, idx.a.fake_labels,
-            defer_scatter=fused_single,
+            defer_scatter=fused_defer,
             **loss_kw,
         )
         # direction B: persists. On the fused single-shard path
@@ -242,7 +251,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         # make_train_step AFTER the backward (in-place under donation)
         loss_b, new_queue = directional_loss(
             p_y, g_x, state.queue, idx.b.rows, idx.b.cols, idx.b.seen, idx.b.fake_labels,
-            defer_scatter=fused_single,
+            defer_scatter=fused_defer,
             **loss_kw,
         )
         loss = loss_a + loss_b

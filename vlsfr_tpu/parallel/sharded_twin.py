@@ -1,0 +1,249 @@
+"""Sharded twin-view FFC head: the multi-chip multi-million-slot DCP path.
+
+The single-shard twin kernel (ops/twin_margin.py) fuses one FFC direction's
+entire head — this step's queue writes applied in-register, the parity
+blend rebuilt per column, both views' margin-CE streamed together — so the
+queue is read once per pass with no scattered copy and no blended [Q, D]
+copy. This module lifts that composition onto a device mesh
+(reference ffc.py:180-202 semantics; BASELINE config 5 scale):
+
+* queue rows [2, Q, D] split row-wise over the mesh ``model`` axis;
+* the write plan (g, rows, cols, seen) is replicated — every shard applies
+  the writes that land in its slot range in-register (global slot ids make
+  the range test implicit: a write whose ``col`` lies outside the shard
+  never matches a local column);
+* per-view online-logsumexp partials merge with ``pmax``/``psum`` over
+  "model"; the hard-negative top-k merges with ``all_gather`` + ``top_k``;
+* the backward re-streams local tiles against the global (logz, gt, kth)
+  and returns a LOCAL d_emb partial — shard_map's transpose psums it over
+  "model". The queue is a stop-gradient constant (no d_w at all).
+
+vs the previous sharded FFC composition (two scatter copies + a
+materialized [Q_local, D] blend + two streaming passes per direction,
+core/ffc.py round-1): per direction this reads each queue shard once
+forward + once backward and materializes nothing, and the direction-B
+persistence scatter is deferred to after the backward (core/ffc.py).
+
+Loss/grad parity with the single-shard twin op is tested on the 8-device
+CPU mesh in tests/test_sharded_twin.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vlsfr_tpu.ops.margin_pallas import (
+    NEG_INF,
+    _pad_classes,
+    _phi_prime,
+    _phi_target,
+    _tile_modified,
+)
+from vlsfr_tpu.ops.twin_margin import _effective_views, _view_dcos
+
+AXIS = "model"
+
+
+def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
+                           hard_neg=10, mask_svfc=1.2, tile=512,
+                           data_axis="data"):
+    """Returns loss_fn(emb, q0, q1, g, rows, cols, seen, labels) -> loss.
+
+    emb [B, D] P(data, None); q0/q1 [Q, D] P(model, None) (Q divisible by
+    the model-axis size); g [B, D], rows/cols/seen [B] replicated write
+    plan; labels [B] P(data) — global slot ids or -1 for outliers.
+    Differentiable w.r.t. ``emb`` only (queue and gallery embeddings are
+    stop-gradient constants in FFC). The scalar reduction matches
+    ops/twin_margin.twin_add_margin.
+    """
+    k = hard_neg
+
+    @jax.custom_vjp
+    def shard_loss(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
+        out, _ = _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l)
+        return out
+
+    def _carriers(g, rows, cols, seen):
+        return (g.astype(jnp.float32), rows.astype(jnp.int32),
+                cols.astype(jnp.int32), seen.astype(jnp.float32))
+
+    def _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i, seen_f, labels_l):
+        """Effective-view target cosines: the owner shard gathers its label
+        rows, applies the in-register write/blend, psum combines."""
+        c_local = q0_l.shape[0]
+        c0 = jax.lax.axis_index(AXIS) * c_local
+        ll = labels_l - c0
+        owned = (ll >= 0) & (ll < c_local)
+        safe = jnp.where(owned, ll, 0)
+        r0 = q0_l[safe].astype(jnp.float32)
+        r1 = q1_l[safe].astype(jnp.float32)
+        # global slot ids for the gathered rows → write matching stays global
+        gids = jnp.where(owned, labels_l, -1).astype(jnp.int32)
+        r0e, rbe = _effective_views(r0, r1, gids, g32, rows_i, cols_i, seen_f)
+        gt1 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * r0e, axis=-1), 0.0), AXIS)
+        gt2 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * rbe, axis=-1), 0.0), AXIS)
+        return gt1, gt2, owned, r0e, rbe
+
+    def _tiles(q0_l, q1_l):
+        c_local, d = q0_l.shape
+        q0p, n_tiles = _pad_classes(q0_l, c_local, tile)
+        q1p, _ = _pad_classes(q1_l, c_local, tile)
+        return (q0p.reshape(n_tiles, tile, d), q1p.reshape(n_tiles, tile, d),
+                n_tiles, c_local)
+
+    def _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
+        b = emb_l.shape[0]
+        emb32 = emb_l.astype(jnp.float32)
+        g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
+        gt1, gt2, _, _, _ = _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i,
+                                 seen_f, labels_l)
+        w0s, w1s, n_tiles, c_local = _tiles(q0_l, q1_l)
+        c0 = jax.lax.axis_index(AXIS) * c_local
+
+        def one_view(carry, cos, col_g, valid, gt_col):
+            m_run, s_run, topk = carry
+            cos = jnp.where(valid, cos, NEG_INF)
+            is_target = col_g == labels_l[:, None]
+            mod = _tile_modified(cos, is_target, gt_col, valid, loss_type,
+                                 margin, mask_svfc)
+            z = scale * mod
+            m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
+            s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
+                jnp.exp(z - m_new[:, None]), axis=-1)
+            topk, _ = jax.lax.top_k(jnp.concatenate([topk, cos], axis=-1), k)
+            return (m_new, s_run, topk)
+
+        def body(carry, wt):
+            c1, c2 = carry
+            w0_t, w1_t, t = wt
+            col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+            valid = col_l < c_local
+            col_g = c0 + col_l
+            w0e, wbe = _effective_views(
+                w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
+                col_g[0], g32, rows_i, cols_i, seen_f)
+            c1 = one_view(c1, emb32 @ w0e.T, col_g, valid, gt1[:, None])
+            c2 = one_view(c2, emb32 @ wbe.T, col_g, valid, gt2[:, None])
+            return (c1, c2), None
+
+        init = lambda: (jnp.full((b,), NEG_INF, jnp.float32),  # noqa: E731
+                        jnp.zeros((b,), jnp.float32),
+                        jnp.full((b, k), NEG_INF, jnp.float32))
+        ((m1, s1, t1), (m2, s2, t2)), _ = jax.lax.scan(
+            body, (init(), init()), (w0s, w1s, jnp.arange(n_tiles)))
+
+        pos = labels_l >= 0
+
+        def merge(m_l, s_l, topk_l, gt):
+            gmax = jax.lax.pmax(m_l, AXIS)
+            s = jax.lax.psum(s_l * jnp.exp(m_l - gmax), AXIS)
+            logz = gmax + jnp.log(s)
+            topk_all = jax.lax.all_gather(topk_l, AXIS)  # [m, B, k]
+            topk_all = jnp.moveaxis(topk_all, 0, 1).reshape(b, -1)
+            topk, _ = jax.lax.top_k(topk_all, k)
+            phi = _phi_target(gt, loss_type, margin, mask_svfc)
+            ce = jnp.where(pos, logz - scale * phi, 0.0)
+            neg = jnp.where(pos, 0.0, jnp.mean(jnp.maximum(topk, 0.0), axis=-1))
+            return ce, neg, logz, topk
+
+        ce1, neg1, logz1, topk1 = merge(m1, s1, t1, gt1)
+        ce2, neg2, logz2, topk2 = merge(m2, s2, t2, gt2)
+        return ((ce1, neg1, ce2, neg2),
+                (emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l,
+                 gt1, gt2, logz1, logz2, topk1, topk2))
+
+    def _shard_bwd(res, cots):
+        (emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l,
+         gt1, gt2, logz1, logz2, topk1, topk2) = res
+        d_ce1, d_neg1, d_ce2, d_neg2 = cots
+        b, d = emb_l.shape
+        emb32 = emb_l.astype(jnp.float32)
+        g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
+        pos = labels_l >= 0
+        pos2 = pos[:, None]
+        # replicated-over-model outputs: shard_map's transpose splits their
+        # cotangents across the model shards — reassemble, then return LOCAL
+        # partials and let the transpose psum d_emb over "model"
+        # (same contract as parallel/sharded_margin.py).
+        d_ce1 = jnp.where(pos, jax.lax.psum(d_ce1, AXIS), 0.0)[:, None]
+        d_ce2 = jnp.where(pos, jax.lax.psum(d_ce2, AXIS), 0.0)[:, None]
+        d_neg1 = jnp.where(pos, 0.0, jax.lax.psum(d_neg1, AXIS))[:, None]
+        d_neg2 = jnp.where(pos, 0.0, jax.lax.psum(d_neg2, AXIS))[:, None]
+        kth1 = topk1[:, -1][:, None]
+        kth2 = topk2[:, -1][:, None]
+        kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
+                  mask_svfc=mask_svfc)
+        lab2 = labels_l[:, None]
+        w0s, w1s, n_tiles, c_local = _tiles(q0_l, q1_l)
+        c0 = jax.lax.axis_index(AXIS) * c_local
+
+        def body(carry, wt):
+            d_emb, dgt1, dgt2 = carry
+            w0_t, w1_t, t = wt
+            col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+            valid = col_l < c_local
+            col_g = c0 + col_l
+            w0e, wbe = _effective_views(
+                w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
+                col_g[0], g32, rows_i, cols_i, seen_f)
+            dc1, dg1 = _view_dcos(emb32 @ w0e.T, col_g, valid, lab2, pos2,
+                                  gt1[:, None], logz1[:, None], kth1,
+                                  d_ce1, d_neg1, **kw)
+            dc2, dg2 = _view_dcos(emb32 @ wbe.T, col_g, valid, lab2, pos2,
+                                  gt2[:, None], logz2[:, None], kth2,
+                                  d_ce2, d_neg2, **kw)
+            d_emb = d_emb + dc1 @ w0e + dc2 @ wbe
+            return (d_emb, dgt1 + dg1[:, 0], dgt2 + dg2[:, 0]), None
+
+        (d_emb, dgt1, dgt2), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
+             jnp.zeros((b,), jnp.float32)),
+            (w0s, w1s, jnp.arange(n_tiles)))
+
+        # φ'(gt) routing through the effective label rows (owner shard only;
+        # d_emb's model-psum in the transpose completes it) — the sharded
+        # _twin_gt_tail (ops/twin_margin.py).
+        dgt1 = jax.lax.psum(dgt1, AXIS) * _phi_prime(gt1, loss_type, margin)
+        dgt2 = jax.lax.psum(dgt2, AXIS) * _phi_prime(gt2, loss_type, margin)
+        gt_all = _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i, seen_f, labels_l)
+        _, _, owned, r0e, rbe = gt_all
+        own1 = (owned & pos).astype(jnp.float32)[:, None]
+        d_emb = d_emb + dgt1[:, None] * r0e * own1
+        d_emb = d_emb + dgt2[:, None] * rbe * own1
+        return (d_emb.astype(emb_l.dtype), jnp.zeros_like(q0_l),
+                jnp.zeros_like(q1_l), jnp.zeros_like(g), None, None, None, None)
+
+    def _fwd_rule(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
+        return _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l)
+
+    shard_loss.defvjp(_fwd_rule, _shard_bwd)
+
+    inner = jax.shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(AXIS, None), P(AXIS, None),
+                  P(None, None), P(None), P(None), P(None), P(data_axis)),
+        out_specs=(P(data_axis),) * 4,
+        check_vma=False,
+    )
+
+    def loss_fn(emb, q0, q1, g, rows, cols, seen, labels):
+        ce1, neg1, ce2, neg2 = inner(emb, q0, q1, jax.lax.stop_gradient(g),
+                                     rows, cols, seen, labels)
+        pos = (labels >= 0).astype(jnp.float32)
+        n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+        n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
+        any_pos = jnp.sum(pos) > 0
+        any_out = jnp.sum(1.0 - pos) > 0
+
+        def reduce(ce, neg):
+            cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
+            ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
+            return cls + ngl
+
+        return reduce(ce1, neg1) + reduce(ce2, neg2)
+
+    return loss_fn
