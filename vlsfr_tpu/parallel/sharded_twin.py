@@ -16,7 +16,11 @@ copy. This module lifts that composition onto a device mesh
   "model"; the hard-negative top-k merges with ``all_gather`` + ``top_k``;
 * the backward re-streams local tiles against the global (logz, gt, kth)
   and returns a LOCAL d_emb partial — shard_map's transpose psums it over
-  "model". The queue is a stop-gradient constant (no d_w at all).
+  "model". The queue is a stop-gradient constant (no d_w at all);
+* queue row 1 is NEVER streamed: view 2 differs from view 1 only at this
+  step's ≤B written slots, so its values come from a B-row gather of q1
+  plus the write plan (``_write_values``) — per direction each shard reads
+  q0 once forward + once backward and exactly B rows of q1.
 
 vs the previous sharded FFC composition (two scatter copies + a
 materialized [Q_local, D] blend + two streaming passes per direction,
@@ -86,12 +90,51 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         gt2 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * rbe, axis=-1), 0.0), AXIS)
         return gt1, gt2, owned, r0e, rbe
 
-    def _tiles(q0_l, q1_l):
+    def _tiles(q0_l):
         c_local, d = q0_l.shape
         q0p, n_tiles = _pad_classes(q0_l, c_local, tile)
-        q1p, _ = _pad_classes(q1_l, c_local, tile)
-        return (q0p.reshape(n_tiles, tile, d), q1p.reshape(n_tiles, tile, d),
-                n_tiles, c_local)
+        return q0p.reshape(n_tiles, tile, d), n_tiles, c_local
+
+    def _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local):
+        """Per-write blended-view values: q1 is NEVER streamed — view 2
+        differs from view 1 only at this step's written slots, whose values
+        are w1_eff[col] = g[last parity-1 writer] if one exists else
+        q1[col]. Returns (v [B, D], blend_b [B] — whether the entry's slot
+        is in the blend set, i.e. any same-slot write has seen > 0).
+        Entries sharing a slot get identical (v, blend_b), so a
+        last-occurrence one-hot per tile column selects a consistent
+        value."""
+        b = cols_i.shape[0]
+        lcol = cols_i - c0
+        in_range = (lcol >= 0) & (lcol < c_local)
+        q1_rows = q1_l[jnp.where(in_range, lcol, 0)].astype(jnp.float32)
+        same = cols_i[:, None] == cols_i[None, :]  # [B, B]
+        i_iota = jnp.arange(b, dtype=jnp.int32)
+        win1 = jnp.max(jnp.where(same & (rows_i[None, :] == 1),
+                                 i_iota[None, :], -1), axis=1)
+        v = jnp.where(win1[:, None] >= 0, g32[jnp.maximum(win1, 0)], q1_rows)
+        blend_b = jnp.max(jnp.where(same & (seen_f[None, :] > 0), 1, 0), axis=1)
+        return v, blend_b
+
+    def _eff_views(w0_t, col_ids, g32, rows_i, cols_i, v, blend_b):
+        """Tile effective views from the write plan alone (no q1 tile):
+        view 1 = q0 with parity-0 overrides; view 2 = view 1 with
+        blend-set columns replaced by their precomputed values ``v``.
+        Equivalent to ops/twin_margin._effective_views on (q0_t, q1_t)."""
+        t, b = col_ids.shape[0], cols_i.shape[0]
+        match = col_ids[:, None] == cols_i[None, :]  # [T, B]
+        i_io = jax.lax.broadcasted_iota(jnp.int32, (t, b), 1)
+
+        def onehot_last(hit):
+            last = jnp.max(jnp.where(hit, i_io, -1), axis=1, keepdims=True)
+            oh = (hit & (i_io == last)).astype(jnp.float32)
+            return oh, last
+
+        oh0, last0 = onehot_last(match & (rows_i[None, :] == 0))
+        w0e = jnp.where(last0 >= 0, jnp.dot(oh0, g32), w0_t)
+        ohb, lastb = onehot_last(match & (blend_b[None, :] > 0))
+        wbe = jnp.where(lastb >= 0, jnp.dot(ohb, v), w0e)
+        return w0e, wbe
 
     def _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
         b = emb_l.shape[0]
@@ -99,8 +142,9 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
         gt1, gt2, _, _, _ = _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i,
                                  seen_f, labels_l)
-        w0s, w1s, n_tiles, c_local = _tiles(q0_l, q1_l)
+        w0s, n_tiles, c_local = _tiles(q0_l)
         c0 = jax.lax.axis_index(AXIS) * c_local
+        v, blend_b = _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local)
 
         def one_view(carry, cos, col_g, valid, gt_col):
             m_run, s_run, topk = carry
@@ -117,13 +161,12 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
 
         def body(carry, wt):
             c1, c2 = carry
-            w0_t, w1_t, t = wt
+            w0_t, t = wt
             col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
             valid = col_l < c_local
             col_g = c0 + col_l
-            w0e, wbe = _effective_views(
-                w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
-                col_g[0], g32, rows_i, cols_i, seen_f)
+            w0e, wbe = _eff_views(w0_t.astype(jnp.float32), col_g[0], g32,
+                                  rows_i, cols_i, v, blend_b)
             c1 = one_view(c1, emb32 @ w0e.T, col_g, valid, gt1[:, None])
             c2 = one_view(c2, emb32 @ wbe.T, col_g, valid, gt2[:, None])
             return (c1, c2), None
@@ -132,7 +175,7 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                         jnp.zeros((b,), jnp.float32),
                         jnp.full((b, k), NEG_INF, jnp.float32))
         ((m1, s1, t1), (m2, s2, t2)), _ = jax.lax.scan(
-            body, (init(), init()), (w0s, w1s, jnp.arange(n_tiles)))
+            body, (init(), init()), (w0s, jnp.arange(n_tiles)))
 
         pos = labels_l >= 0
 
@@ -176,18 +219,18 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
                   mask_svfc=mask_svfc)
         lab2 = labels_l[:, None]
-        w0s, w1s, n_tiles, c_local = _tiles(q0_l, q1_l)
+        w0s, n_tiles, c_local = _tiles(q0_l)
         c0 = jax.lax.axis_index(AXIS) * c_local
+        v, blend_b = _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local)
 
         def body(carry, wt):
             d_emb, dgt1, dgt2 = carry
-            w0_t, w1_t, t = wt
+            w0_t, t = wt
             col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
             valid = col_l < c_local
             col_g = c0 + col_l
-            w0e, wbe = _effective_views(
-                w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
-                col_g[0], g32, rows_i, cols_i, seen_f)
+            w0e, wbe = _eff_views(w0_t.astype(jnp.float32), col_g[0], g32,
+                                  rows_i, cols_i, v, blend_b)
             dc1, dg1 = _view_dcos(emb32 @ w0e.T, col_g, valid, lab2, pos2,
                                   gt1[:, None], logz1[:, None], kth1,
                                   d_ce1, d_neg1, **kw)
@@ -201,7 +244,7 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
             body,
             (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
              jnp.zeros((b,), jnp.float32)),
-            (w0s, w1s, jnp.arange(n_tiles)))
+            (w0s, jnp.arange(n_tiles)))
 
         # φ'(gt) routing through the effective label rows (owner shard only;
         # d_emb's model-psum in the transpose completes it) — the sharded
