@@ -42,8 +42,9 @@ def place(mesh, emb, q0, q1, g, rows, cols, seen, labels):
 
 
 def ref_loss(emb, q0, q1, g, rows, cols, seen, labels, loss_type, k):
+    queue = jnp.stack([jnp.asarray(q0), jnp.asarray(q1)])
     return twin_add_margin(
-        jnp.asarray(emb), jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(g),
+        jnp.asarray(emb), queue, jnp.asarray(g),
         jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(seen),
         jnp.asarray(labels), loss_type=loss_type, margin=0.5, scale=24.0,
         hard_neg=k, tile=16, use_pallas=False)

@@ -66,7 +66,7 @@ def test_twin_matches_unfused(loss_type, dup_slot, rng):
     p, g, queue, rows, cols, seen, labels = make_case(rng, dup_slot=dup_slot)
     kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=3)
     want = float(unfused_loss(p, g, queue, rows, cols, seen, labels, **kw))
-    got = float(twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
+    got = float(twin_add_margin(p, queue, g, rows, cols, seen,
                                 labels, tile=16, use_pallas=False, **kw))
     assert got == pytest.approx(want, rel=1e-5)
 
@@ -77,7 +77,7 @@ def test_twin_grads_match_unfused(loss_type, rng):
     kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=3)
 
     gu = jax.grad(lambda e: unfused_loss(e, g, queue, rows, cols, seen, labels, **kw))(p)
-    gt_ = jax.grad(lambda e: twin_add_margin(e, queue[0], queue[1], g, rows, cols,
+    gt_ = jax.grad(lambda e: twin_add_margin(e, queue, g, rows, cols,
                                              seen, labels, tile=16,
                                              use_pallas=False, **kw))(p)
     np.testing.assert_allclose(np.asarray(gt_), np.asarray(gu), atol=3e-5)
@@ -86,10 +86,10 @@ def test_twin_grads_match_unfused(loss_type, rng):
 def test_twin_pallas_fwd_matches_scan(rng):
     p, g, queue, rows, cols, seen, labels = make_case(rng, b=8, q=70, d=128)
     kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=4, mask_svfc=1.2, tile=32)
-    gt1, gt2 = compute_twin_gt(p, queue[0], queue[1], g, rows, cols, seen, labels)
-    out_s, res_s = _twin_stream_fwd(p, queue[0], queue[1], g, rows, cols, seen,
+    gt1, gt2 = compute_twin_gt(p, queue, g, rows, cols, seen, labels)
+    out_s, res_s = _twin_stream_fwd(p, queue, g, rows, cols, seen,
                                     labels, gt1, gt2, **kw)
-    out_p, res_p = pallas_twin_fwd(p, queue[0], queue[1], g, rows, cols, seen,
+    out_p, res_p = pallas_twin_fwd(p, queue, g, rows, cols, seen,
                                    labels, gt1, gt2, interpret=True, **kw)
     for s, pp in zip(out_s + res_s[:2], out_p + res_p[:2]):
         np.testing.assert_allclose(np.asarray(pp), np.asarray(s), atol=2e-5)
@@ -101,16 +101,16 @@ def test_twin_pallas_bwd_matches_scan(rng):
     b = 8
     p, g, queue, rows, cols, seen, labels = make_case(rng, b=b, q=70, d=128)
     kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=4, mask_svfc=1.2, tile=32)
-    gt1, gt2 = compute_twin_gt(p, queue[0], queue[1], g, rows, cols, seen, labels)
+    gt1, gt2 = compute_twin_gt(p, queue, g, rows, cols, seen, labels)
     _, (logz1, logz2, topk1, topk2) = _twin_stream_fwd(
-        p, queue[0], queue[1], g, rows, cols, seen, labels, gt1, gt2, **kw)
+        p, queue, g, rows, cols, seen, labels, gt1, gt2, **kw)
     d1 = (jnp.asarray(rng.standard_normal(b), jnp.float32),
           jnp.asarray(rng.standard_normal(b), jnp.float32))
     d2 = (jnp.asarray(rng.standard_normal(b), jnp.float32),
           jnp.asarray(rng.standard_normal(b), jnp.float32))
-    ge_s = _twin_stream_bwd(p, queue[0], queue[1], g, rows, cols, seen, labels,
+    ge_s = _twin_stream_bwd(p, queue, g, rows, cols, seen, labels,
                             gt1, gt2, logz1, logz2, topk1, topk2, d1, d2, **kw)
-    ge_p = pallas_twin_bwd(p, queue[0], queue[1], g, rows, cols, seen, labels,
+    ge_p = pallas_twin_bwd(p, queue, g, rows, cols, seen, labels,
                            gt1, gt2, logz1, logz2, topk1, topk2, d1, d2,
                            interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_s), atol=3e-5)
@@ -147,7 +147,7 @@ def test_twin_no_queue_grad_leak(rng):
     kw = dict(loss_type="Arc", margin=0.5, scale=24.0, hard_neg=3)
 
     def f(q):
-        return twin_add_margin(p, q[0], q[1], g, rows, cols, seen, labels,
+        return twin_add_margin(p, q, g, rows, cols, seen, labels,
                                tile=16, use_pallas=False, **kw)
 
     gq = jax.grad(f)(queue)
@@ -164,10 +164,10 @@ def test_twin_pallas_bf16_queue_close_to_f32(rng):
     q_up = q_bf.astype(jnp.float32)
     g_bf = g  # gallery embeddings stay f32 inputs either way
     kw = dict(loss_type="Arc", margin=0.5, scale=24.0, k=3, mask_svfc=1.2, tile=32)
-    gt1, gt2 = compute_twin_gt(p, q_up[0], q_up[1], g_bf, rows, cols, seen, labels)
-    out_up, aux_up = _twin_stream_fwd(p, q_up[0], q_up[1], g_bf, rows, cols, seen,
+    gt1, gt2 = compute_twin_gt(p, q_up, g_bf, rows, cols, seen, labels)
+    out_up, aux_up = _twin_stream_fwd(p, q_up, g_bf, rows, cols, seen,
                                       labels, gt1, gt2, **kw)
-    out_bf, aux_bf = pallas_twin_fwd(p, q_bf[0], q_bf[1], g_bf, rows, cols, seen,
+    out_bf, aux_bf = pallas_twin_fwd(p, q_bf, g_bf, rows, cols, seen,
                                      labels, gt1, gt2, interpret=True, **kw)
     for got, want in zip(out_bf, out_up):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.08)
@@ -176,9 +176,9 @@ def test_twin_pallas_bf16_queue_close_to_f32(rng):
           jnp.asarray(rng.standard_normal(8), jnp.float32))
     d2 = (jnp.asarray(rng.standard_normal(8), jnp.float32),
           jnp.asarray(rng.standard_normal(8), jnp.float32))
-    ge_up = _twin_stream_bwd(p, q_up[0], q_up[1], g_bf, rows, cols, seen, labels,
+    ge_up = _twin_stream_bwd(p, q_up, g_bf, rows, cols, seen, labels,
                              gt1, gt2, logz1, logz2, topk1, topk2, d1, d2, **kw)
-    ge_bf = pallas_twin_bwd(p, q_bf[0], q_bf[1], g_bf, rows, cols, seen, labels,
+    ge_bf = pallas_twin_bwd(p, q_bf, g_bf, rows, cols, seen, labels,
                             gt1, gt2, logz1, logz2, topk1, topk2, d1, d2,
                             interpret=True, **kw)
     scale_e = np.abs(np.asarray(ge_up)).max()

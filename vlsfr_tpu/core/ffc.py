@@ -132,7 +132,10 @@ def directional_loss(
         else:
             from vlsfr_tpu.ops.twin_margin import twin_add_margin
 
-            loss = twin_add_margin(p, queue[0], queue[1], g, rows, cols, seen,
+            # full [2, Q, D] queue — plane slices at the call site would
+            # each materialize a [Q, D] copy as custom-call operands (the
+            # measured q=4M OOM; see twin_margin._gather_plane)
+            loss = twin_add_margin(p, queue, g, rows, cols, seen,
                                    fake_labels, **kw)
         if defer_scatter:
             return loss, (g, rows, cols)

@@ -12,15 +12,21 @@ HBM-catastrophic — at Q=1M f32 the measured head cost is ~114 ms/step:
     views:      the streaming kernels read q0 and the blend  (per direction)
     backward:   re-reads everything
 
-This kernel fuses one DIRECTION's entire head into two passes over
-(q0_tile, q1_tile): the step's queue writes are applied IN-VMEM — for each
-tile column the last (highest batch index) matching write wins, exactly the
+This kernel fuses one DIRECTION's entire head into two passes over q0
+tiles: the step's queue writes are applied IN-VMEM — for each tile column
+the last (highest batch index) matching write wins, exactly the
 reference's sequential mutation semantics (ffc.py:160-176) — and the blend
-mask is rebuilt per column from (cols, seen). No scatter, no blended copy,
-no queue gradient (the queue is a stop-gradient constant):
+mask is rebuilt per column from (cols, seen). q1 is NEVER streamed: view 2
+differs from view 1 only at this step's ≤B written slots, whose values are
+a B-row gather of q1 combined with the write plan (``twin_write_values``).
+No scatter, no blended copy, no queue gradient (the queue is a
+stop-gradient constant):
 
-    forward:  read q0 + q1 once
-    backward: read q0 + q1 once, d_emb accumulated in VMEM
+    forward:  read q0 once + B rows of q1
+    backward: read q0 once + B rows of q1, d_emb accumulated in VMEM
+
+Clean tiles (no written slot in range — ~all of them at Q ≫ B) are
+additionally predicated down to a single cosine MXU dot per pass.
 
 Equivalence to the unfused composition (scatter → blend → two
 ``fused_add_margin`` calls) is tested in tests/test_twin_margin.py, and
@@ -46,6 +52,57 @@ from vlsfr_tpu.ops.margin_pallas import (
     _phi_target,
     _tile_modified,
 )
+
+
+def twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f):
+    """Per-write blended-view values — q1 is NEVER streamed through tiles:
+    view 2 differs from view 1 only at this step's ≤B written slots, whose
+    values are w1_eff[col] = g[last parity-1 writer] if one exists, else
+    q1[col]. ``q1_rows`` [B, D] is the caller's gather of q1 at ``cols``
+    (a row shard gathers only its local range; out-of-range rows may be
+    garbage — they are never selected because no local column matches).
+    Returns (v [B, D] f32, blend_b [B] int32 — whether the entry's slot is
+    in the blend set, i.e. any same-slot write has seen > 0). Entries
+    sharing a slot get identical (v, blend_b), so a last-occurrence
+    one-hot per tile column selects a consistent value."""
+    b = cols_i.shape[0]
+    same = cols_i[:, None] == cols_i[None, :]  # [B, B]
+    i_iota = jnp.arange(b, dtype=jnp.int32)
+    win1 = jnp.max(jnp.where(same & (rows_i[None, :] == 1),
+                             i_iota[None, :], -1), axis=1)
+    v = jnp.where(win1[:, None] >= 0, g32[jnp.maximum(win1, 0)],
+                  q1_rows.astype(jnp.float32))
+    blend_b = jnp.max(jnp.where(same & (seen_f[None, :] > 0), 1, 0), axis=1)
+    return v, blend_b
+
+
+def effective_tile_views(w0, col_ids, g, rows, cols, v, blend_b, mxu_bf16=False):
+    """Tile effective views from the write plan alone (no q1 tile): view 1 =
+    q0 with parity-0 overrides; view 2 = view 1 with blend-set columns
+    replaced by their precomputed ``v`` rows (twin_write_values).
+
+    Same Mosaic-safe [T, B] layout rules as ``_effective_views`` (which it
+    replaces on the streaming paths — that one needs the q1 tile and
+    remains for the B-row label gathers)."""
+    t = w0.shape[0]
+    b = cols.shape[0]
+    match = col_ids[:, None] == cols[None, :]  # [T, B]
+    i_io = jax.lax.broadcasted_iota(jnp.int32, (t, b), 1)
+
+    def onehot_last(hit):
+        last = jnp.max(jnp.where(hit, i_io, -1), axis=1, keepdims=True)
+        oh = (hit & (i_io == last)).astype(jnp.float32)
+        return oh, last
+
+    oh0, last0 = onehot_last(match & (rows[None, :] == 0))
+    oh0_op, g_op = _mxu_pair(oh0, g, mxu_bf16)
+    w0e = jnp.where(last0 >= 0,
+                    jnp.dot(oh0_op, g_op, preferred_element_type=jnp.float32), w0)
+    ohb, lastb = onehot_last(match & (blend_b[None, :] > 0))
+    ohb_op, v_op = _mxu_pair(ohb, v, mxu_bf16)
+    wbe = jnp.where(lastb >= 0,
+                    jnp.dot(ohb_op, v_op, preferred_element_type=jnp.float32), w0e)
+    return w0e, wbe
 
 
 def _effective_views(w0, w1, col_ids, g, rows, cols, seen, mxu_bf16=False):
@@ -89,13 +146,22 @@ def _effective_views(w0, w1, col_ids, g, rows, cols, seen, mxu_bf16=False):
     return w0_eff, wb_eff
 
 
-def compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels):
+def _gather_plane(queue, plane, idx):
+    """B-row gather from one queue plane WITHOUT materializing the plane:
+    ``queue[plane]`` fed to a Pallas custom call forces XLA to copy the
+    whole [Q, D] slice (4 GB at Q=4M bf16 — the q4M OOM); an advanced-index
+    gather reads only the B rows."""
+    b = idx.shape[0]
+    return queue[jnp.full((b,), plane, jnp.int32), idx]
+
+
+def compute_twin_gt(emb, queue, g, rows, cols, seen, labels):
     """(gt1, gt2): target cosines against both effective views — one B-row
     gather per queue row plus the in-register write/blend on those rows."""
     emb32 = emb.astype(jnp.float32)
     safe = jnp.maximum(labels, 0)
-    r0 = q0[safe].astype(jnp.float32)
-    r1 = q1[safe].astype(jnp.float32)
+    r0 = _gather_plane(queue, 0, safe).astype(jnp.float32)
+    r1 = _gather_plane(queue, 1, safe).astype(jnp.float32)
     r0_eff, rb_eff = _effective_views(r0, r1, safe.astype(jnp.int32),
                                       g.astype(jnp.float32),
                                       rows.astype(jnp.int32),
@@ -110,7 +176,8 @@ def compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels):
 # ======================================================================
 
 
-def _twin_inputs(emb, q0, q1, g, rows, cols, seen, tile):
+def _twin_inputs(emb, queue, g, rows, cols, seen, tile):
+    q0, q1 = queue[0], queue[1]
     b, d = emb.shape
     c = q0.shape[0]
     emb32 = emb.astype(jnp.float32)
@@ -122,10 +189,10 @@ def _twin_inputs(emb, q0, q1, g, rows, cols, seen, tile):
             cols.astype(jnp.int32), seen.astype(jnp.float32))
 
 
-def _twin_stream_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
+def _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
                      loss_type, margin, scale, k, mask_svfc, tile):
     (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f) = _twin_inputs(
-        emb, q0, q1, g, rows, cols, seen, tile)
+        emb, queue, g, rows, cols, seen, tile)
 
     def one_view(carry, cos, col, valid, gt_col):
         m_run, s_run, topk = carry
@@ -188,12 +255,12 @@ def _view_dcos(cos, col, valid, labels, pos, gt, logz, kth, d_ce, d_neg, *,
     return jnp.where(valid, d_cos, 0.0), d_gt_part
 
 
-def _twin_stream_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+def _twin_stream_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                      logz1, logz2, topk1, topk2, d1, d2, *, loss_type, margin,
                      scale, k, mask_svfc, tile):
     """d_emb only — the queue is a stop-gradient constant in FFC."""
     (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f) = _twin_inputs(
-        emb, q0, q1, g, rows, cols, seen, tile)
+        emb, queue, g, rows, cols, seen, tile)
     pos2 = (labels >= 0)[:, None]
     d_ce1, d_neg1 = d1
     d_ce2, d_neg2 = d2
@@ -226,16 +293,16 @@ def _twin_stream_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
          jnp.zeros((b,), jnp.float32)),
         (w0s, w1s, jnp.arange(n_tiles)),
     )
-    return _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+    return _twin_gt_tail(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                          dgt1, dgt2, d_emb, loss_type, margin)
 
 
-def _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, dgt1,
+def _twin_gt_tail(emb, queue, g, rows, cols, seen, labels, gt1, gt2, dgt1,
                   dgt2, d_emb, loss_type, margin):
     """Route the φ'(gt) paths into d_emb via the effective label rows."""
     safe = jnp.maximum(labels, 0)
-    r0 = q0[safe].astype(jnp.float32)
-    r1 = q1[safe].astype(jnp.float32)
+    r0 = _gather_plane(queue, 0, safe).astype(jnp.float32)
+    r1 = _gather_plane(queue, 1, safe).astype(jnp.float32)
     r0_eff, rb_eff = _effective_views(r0, r1, safe.astype(jnp.int32),
                                       g.astype(jnp.float32),
                                       rows.astype(jnp.int32),
@@ -252,35 +319,32 @@ def _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, dgt1,
 # ======================================================================
 
 
+def _pad_queue(queue, c, tile):
+    """Pad the class axis of the FULL [2, Q, D] queue to a tile multiple.
+    At the production queue sizes (powers of two ≥ tile) this is a no-op —
+    the array passes through untouched (no copy)."""
+    pad = (-c) % tile
+    if pad:
+        queue = jnp.concatenate(
+            [queue, jnp.zeros((2, pad, queue.shape[2]), queue.dtype)], axis=1)
+    return queue, (c + pad) // tile
+
+
 def _twin_tile(b, d, tile):
-    """VMEM clamp: two double-buffered queue tiles, g [B, D], and ~10
-    [B, tile] working buffers."""
-    max_tile = max(256, int((10 * 2**20 - 8 * b * d) // (16 * d + 48 * b)) // 128 * 128)
+    """VMEM clamp: ONE double-buffered queue tile (q1 is never an operand
+    — see twin_write_values), emb/g/v [B, D], and ~10 [B, tile] working
+    buffers."""
+    max_tile = max(256, int((10 * 2**20 - 12 * b * d) // (8 * d + 48 * b)) // 128 * 128)
     return min(tile, max_tile)
-
-
-def _q1_fetch_indices(cols, tile, n_tiles):
-    """Per-grid-step block index for the q1 operand: tile t's own block when
-    one of this step's written slots lands in it, else REPEAT the previous
-    step's index. Mosaic's pipeline skips the DMA when consecutive block
-    indices are equal, so q1 HBM traffic drops from O(Q·D) to
-    O(min(B, n_tiles)·tile·D) per pass — clean tiles (the ~all of them at
-    Q ≫ B) never read q1 at all. Clean tiles must not READ the q1 ref
-    (contents are a stale block); the kernels' ``tile_hit`` branch
-    guarantees that."""
-    t_arr = jnp.arange(n_tiles, dtype=jnp.int32)
-    hit = jnp.zeros((n_tiles,), jnp.int32).at[cols.astype(jnp.int32) // tile].set(1)
-    return jax.lax.cummax(jnp.where(hit > 0, t_arr, 0))
 
 
 def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False):
-    def kernel(fetch_ref, labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, seen_ref,
-               emb_ref, g_ref, w0_ref, w1_ref,
+    def kernel(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
+               emb_ref, g_ref, v_ref, w0_ref,
                ce1_ref, neg1_ref, ce2_ref, neg2_ref,
                logz1_ref, logz2_ref, topk1_ref, topk2_ref,
                m1_scr, s1_scr, t1_scr, m2_scr, s2_scr, t2_scr):
-        del fetch_ref  # drives the q1 BlockSpec only (see _q1_fetch_indices)
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -346,18 +410,17 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         # tile (~all of them at Q ≫ B) both effective views ARE q0 —
         # cos2 == cos1, so 3 of the 4 MXU dots and the whole one-hot build
         # are skipped (the views still differ at the target column via
-        # φ(gt1)/φ(gt2), which _tile_modified applies per view) — AND the
-        # q1 tile is never even DMA'd (its BlockSpec repeats the previous
-        # block index on clean tiles; w1_ref is stale there and must only be
-        # read inside this branch).
+        # φ(gt1)/φ(gt2), which _tile_modified applies per view). q1 itself
+        # is never an operand at all — view 2's values arrive precomputed
+        # as the B-row ``v`` (twin_write_values).
         tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
 
         @pl.when(tile_hit)
         def _written_tile():
-            w0e, wbe = _effective_views(
-                w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
-                col[0], g_ref[:].astype(jnp.float32),
-                rows_ref[:][:, 0], cols_v, seen_ref[:][:, 0],
+            w0e, wbe = effective_tile_views(
+                w0_ref[0].astype(jnp.float32), col[0],
+                g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+                v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
                 mxu_bf16=mxu_bf16,
             )
             e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
@@ -368,53 +431,56 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
 
         @pl.when(jnp.logical_not(tile_hit))
         def _clean_tile():
-            e_op, w0_op = _mxu_pair(emb, w0_ref[:].astype(jnp.float32), mxu_bf16)
+            e_op, w0_op = _mxu_pair(emb, w0_ref[0].astype(jnp.float32), mxu_bf16)
             cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
             both_views(cos, cos)
 
     return kernel
 
 
-def pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, *,
+def pallas_twin_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
                     loss_type, margin, scale, k, mask_svfc, tile=512,
                     interpret=False):
     b, d = emb.shape
-    c = q0.shape[0]
+    c = queue.shape[1]
     tile = _twin_tile(b, d, tile)
-    q0p, n_tiles = _pad_classes(q0, c, tile)
-    q1p, _ = _pad_classes(q1, c, tile)
+    qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                                   mxu_bf16=q0.dtype == jnp.bfloat16)
+                                   mxu_bf16=queue.dtype == jnp.bfloat16)
+    cols_i = cols.astype(jnp.int32)
+    vw, blend_b = twin_write_values(_gather_plane(queue, 1, cols_i),
+                                    g.astype(jnp.float32),
+                                    rows.astype(jnp.int32), cols_i,
+                                    seen.astype(jnp.float32))
     vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
-    bspec = pl.BlockSpec((b, 1), lambda t, f: (0, 0), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda t, f: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
         grid=(n_tiles,),
         in_specs=[bspec] * 6 + [
             full((b, d)),
             full((b, d)),
-            pl.BlockSpec((tile, d), lambda t, f: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda t, f: (f[t], 0), memory_space=pltpu.VMEM),
+            full((b, d)),
+            # plane-0 tiles of the FULL [2, Qp, D] queue: slicing queue[0]
+            # outside the call would materialize the whole plane (see
+            # _gather_plane)
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[bspec] * 6 + [full((b, k)), full((b, k))],
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 2,
         scratch_shapes=[
             pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
             pltpu.VMEM((b, k), jnp.float32),
         ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 6
-        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 2,
         interpret=interpret,
-    )(_q1_fetch_indices(cols, tile, n_tiles),
-      labels.astype(jnp.int32)[:, None], vec(gt1), vec(gt2),
-      rows.astype(jnp.int32)[:, None], cols.astype(jnp.int32)[:, None], vec(seen),
-      emb.astype(jnp.float32), g.astype(jnp.float32), q0p, q1p)
+    )(labels.astype(jnp.int32)[:, None], vec(gt1), vec(gt2),
+      rows.astype(jnp.int32)[:, None], cols.astype(jnp.int32)[:, None],
+      blend_b.astype(jnp.int32)[:, None],
+      emb.astype(jnp.float32), g.astype(jnp.float32), vw, qp)
     ce1, neg1, ce2, neg2, logz1, logz2, topk1, topk2 = out
     return ((ce1[:, 0], neg1[:, 0], ce2[:, 0], neg2[:, 0]),
             (logz1[:, 0], logz2[:, 0], topk1, topk2))
@@ -424,13 +490,12 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False):
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k, mask_svfc=mask_svfc)
 
-    def kernel(fetch_ref, labels_ref, rows_ref, cols_ref, seen_ref,
+    def kernel(labels_ref, rows_ref, cols_ref, blend_ref,
                gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref, kth2_ref,
                dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
-               emb_ref, g_ref, w0_ref, w1_ref,
+               emb_ref, g_ref, v_ref, w0_ref,
                demb_ref, dgt1_ref, dgt2_ref,
                demb_scr, dgt1_scr, dgt2_scr):
-        del fetch_ref  # drives the q1 BlockSpec only (see _q1_fetch_indices)
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -458,16 +523,16 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
 
         # same per-tile write predication as the forward kernel: clean tiles
         # (no written slot in range) have identical views, so one cosine dot
-        # and ONE combined d_emb dot replace the 6-dot full path, and the q1
-        # tile DMA is elided (w1_ref is stale outside the hit branch)
+        # and ONE combined d_emb dot replace the 6-dot full path; q1 is not
+        # an operand at all (view-2 values arrive as the B-row ``v``)
         tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
 
         @pl.when(tile_hit)
         def _written_tile():
-            w0e, wbe = _effective_views(
-                w0_ref[:].astype(jnp.float32), w1_ref[:].astype(jnp.float32),
-                col[0], g_ref[:].astype(jnp.float32),
-                rows_ref[:][:, 0], cols_v, seen_ref[:][:, 0],
+            w0e, wbe = effective_tile_views(
+                w0_ref[0].astype(jnp.float32), col[0],
+                g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+                v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
                 mxu_bf16=mxu_bf16,
             )
             e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
@@ -482,7 +547,7 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
 
         @pl.when(jnp.logical_not(tile_hit))
         def _clean_tile():
-            e_op, w0_op = _mxu_pair(emb, w0_ref[:].astype(jnp.float32), mxu_bf16)
+            e_op, w0_op = _mxu_pair(emb, w0_ref[0].astype(jnp.float32), mxu_bf16)
             cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
             dc1, dc2 = view_dcs(cos, cos)
             dc_op, _ = _mxu_pair(dc1 + dc2, dc1, mxu_bf16)
@@ -497,16 +562,20 @@ def _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
     return kernel
 
 
-def pallas_twin_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+def pallas_twin_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                     logz1, logz2, topk1, topk2, d1, d2, *, loss_type, margin,
                     scale, k, mask_svfc, tile=512, interpret=False):
     b, d = emb.shape
-    c = q0.shape[0]
+    c = queue.shape[1]
     tile = _twin_tile(b, d, tile)
-    q0p, n_tiles = _pad_classes(q0, c, tile)
-    q1p, _ = _pad_classes(q1, c, tile)
+    qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                                   mxu_bf16=q0.dtype == jnp.bfloat16)
+                                   mxu_bf16=queue.dtype == jnp.bfloat16)
+    cols_i = cols.astype(jnp.int32)
+    vw, blend_b = twin_write_values(_gather_plane(queue, 1, cols_i),
+                                    g.astype(jnp.float32),
+                                    rows.astype(jnp.int32), cols_i,
+                                    seen.astype(jnp.float32))
     d_ce1, d_neg1 = d1
     d_ce2, d_neg2 = d2
     pos = labels >= 0
@@ -515,41 +584,36 @@ def pallas_twin_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
     d_neg1 = jnp.where(pos, 0.0, d_neg1)
     d_neg2 = jnp.where(pos, 0.0, d_neg2)
     vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
-    bspec = pl.BlockSpec((b, 1), lambda t, f: (0, 0), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda t, f: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    d_emb, dgt1, dgt2 = pl.pallas_call(
+        kernel,
         grid=(n_tiles,),
         in_specs=[bspec] * 14 + [
             full((b, d)),
             full((b, d)),
-            pl.BlockSpec((tile, d), lambda t, f: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda t, f: (f[t], 0), memory_space=pltpu.VMEM),
+            full((b, d)),
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[full((b, d)), bspec, bspec],
-        scratch_shapes=[
-            pltpu.VMEM((b, d), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.float32),
-        ],
-    )
-    d_emb, dgt1, dgt2 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
         interpret=interpret,
-    )(_q1_fetch_indices(cols, tile, n_tiles),
-      labels.astype(jnp.int32)[:, None], rows.astype(jnp.int32)[:, None],
-      cols.astype(jnp.int32)[:, None], vec(seen),
+    )(labels.astype(jnp.int32)[:, None], rows.astype(jnp.int32)[:, None],
+      cols.astype(jnp.int32)[:, None], blend_b.astype(jnp.int32)[:, None],
       vec(gt1), vec(gt2), vec(logz1), vec(logz2),
       vec(topk1[:, -1]), vec(topk2[:, -1]),
       vec(d_ce1), vec(d_neg1), vec(d_ce2), vec(d_neg2),
-      emb.astype(jnp.float32), g.astype(jnp.float32), q0p, q1p)
-    return _twin_gt_tail(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+      emb.astype(jnp.float32), g.astype(jnp.float32), vw, qp)
+    return _twin_gt_tail(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                          dgt1[:, 0], dgt2[:, 0], d_emb, loss_type, margin)
 
 
@@ -558,47 +622,47 @@ def pallas_twin_bwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
 # ======================================================================
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
-def fused_twin_margin(emb, q0, q1, g, rows, cols, seen, labels, loss_type="Arc",
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def fused_twin_margin(emb, queue, g, rows, cols, seen, labels, loss_type="Arc",
                       margin=0.5, scale=32.0, hard_neg=10, mask_svfc=1.2,
                       tile=512, use_pallas="auto"):
     """Per-row (ce1, neg1, ce2, neg2) over the two FFC queue views in one
     streaming pass, with the step's writes applied in-register.
     Differentiable w.r.t. ``emb`` only (queue and gallery embeddings are
     stop-gradient constants in FFC)."""
-    out, _ = _twin_fwd_impl(emb, q0, q1, g, rows, cols, seen, labels, loss_type,
+    out, _ = _twin_fwd_impl(emb, queue, g, rows, cols, seen, labels, loss_type,
                             margin, scale, hard_neg, mask_svfc, tile, use_pallas)
     return out
 
 
-def _twin_fwd_impl(emb, q0, q1, g, rows, cols, seen, labels, loss_type, margin,
+def _twin_fwd_impl(emb, queue, g, rows, cols, seen, labels, loss_type, margin,
                    scale, hard_neg, mask_svfc, tile, use_pallas, gts=None):
     if gts is None:
-        gts = compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels)
+        gts = compute_twin_gt(emb, queue, g, rows, cols, seen, labels)
     gt1, gt2 = gts
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, tile=tile)
     if use_pallas:
-        return pallas_twin_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, **kw)
-    return _twin_stream_fwd(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2, **kw)
+        return pallas_twin_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, **kw)
+    return _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, **kw)
 
 
-def _twin_vjp_fwd(emb, q0, q1, g, rows, cols, seen, labels, loss_type, margin,
+def _twin_vjp_fwd(emb, queue, g, rows, cols, seen, labels, loss_type, margin,
                   scale, hard_neg, mask_svfc, tile, use_pallas):
-    gts = compute_twin_gt(emb, q0, q1, g, rows, cols, seen, labels)
-    out, res = _twin_fwd_impl(emb, q0, q1, g, rows, cols, seen, labels, loss_type,
+    gts = compute_twin_gt(emb, queue, g, rows, cols, seen, labels)
+    out, res = _twin_fwd_impl(emb, queue, g, rows, cols, seen, labels, loss_type,
                               margin, scale, hard_neg, mask_svfc, tile, use_pallas,
                               gts=gts)
     logz1, logz2, topk1, topk2 = res
-    return out, (emb, q0, q1, g, rows, cols, seen, labels,
+    return out, (emb, queue, g, rows, cols, seen, labels,
                  gts[0], gts[1], logz1, logz2, topk1, topk2)
 
 
 def _twin_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile, use_pallas,
                   res, cots):
-    (emb, q0, q1, g, rows, cols, seen, labels,
+    (emb, queue, g, rows, cols, seen, labels,
      gt1, gt2, logz1, logz2, topk1, topk2) = res
     d_ce1, d_neg1, d_ce2, d_neg2 = cots
     if use_pallas == "auto":
@@ -606,25 +670,27 @@ def _twin_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile, use_palla
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, tile=tile)
     fn = pallas_twin_bwd if use_pallas else _twin_stream_bwd
-    d_emb = fn(emb, q0, q1, g, rows, cols, seen, labels, gt1, gt2,
+    d_emb = fn(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                logz1, logz2, topk1, topk2, (d_ce1, d_neg1), (d_ce2, d_neg2), **kw)
     # queue/gallery are non-trained constants: broadcast-zero cotangents are
     # dropped by JAX's partial eval (never materialized)
-    return (d_emb, jnp.zeros_like(q0), jnp.zeros_like(q1), jnp.zeros_like(g),
+    return (d_emb, jnp.zeros_like(queue), jnp.zeros_like(g),
             None, None, None, None)
 
 
 fused_twin_margin.defvjp(_twin_vjp_fwd, _twin_vjp_bwd)
 
 
-def twin_add_margin(emb, q0, q1, g, rows, cols, seen, labels, *, loss_type="Arc",
+def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
                     margin=0.5, scale=32.0, hard_neg=10, mask_svfc=1.2,
                     tile=512, use_pallas="auto"):
     """Scalar loss = add_margin(view1) + add_margin(view2) — the exact
     reduction of the FFC directional loss (core/ffc.py directional_loss),
-    both views streamed in one fused pass with in-register queue writes."""
+    both views streamed in one fused pass with in-register queue writes.
+    ``queue`` is the FULL [2, Q, D] array — never slice the planes at the
+    call site (see _gather_plane)."""
     ce1, neg1, ce2, neg2 = fused_twin_margin(
-        emb, q0, q1, g, rows, cols, seen, labels, loss_type, margin, scale,
+        emb, queue, g, rows, cols, seen, labels, loss_type, margin, scale,
         hard_neg, mask_svfc, tile, use_pallas,
     )
     pos = (labels >= 0).astype(jnp.float32)

@@ -45,7 +45,12 @@ from vlsfr_tpu.ops.margin_pallas import (
     _phi_target,
     _tile_modified,
 )
-from vlsfr_tpu.ops.twin_margin import _effective_views, _view_dcos
+from vlsfr_tpu.ops.twin_margin import (
+    _effective_views,
+    _view_dcos,
+    effective_tile_views,
+    twin_write_values,
+)
 
 AXIS = "model"
 
@@ -96,45 +101,13 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         return q0p.reshape(n_tiles, tile, d), n_tiles, c_local
 
     def _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local):
-        """Per-write blended-view values: q1 is NEVER streamed — view 2
-        differs from view 1 only at this step's written slots, whose values
-        are w1_eff[col] = g[last parity-1 writer] if one exists else
-        q1[col]. Returns (v [B, D], blend_b [B] — whether the entry's slot
-        is in the blend set, i.e. any same-slot write has seen > 0).
-        Entries sharing a slot get identical (v, blend_b), so a
-        last-occurrence one-hot per tile column selects a consistent
-        value."""
-        b = cols_i.shape[0]
+        """Local-range q1 gather + shared twin_write_values
+        (ops/twin_margin.py): out-of-shard entries gather row 0 — never
+        selected, because no local column matches their slot."""
         lcol = cols_i - c0
         in_range = (lcol >= 0) & (lcol < c_local)
-        q1_rows = q1_l[jnp.where(in_range, lcol, 0)].astype(jnp.float32)
-        same = cols_i[:, None] == cols_i[None, :]  # [B, B]
-        i_iota = jnp.arange(b, dtype=jnp.int32)
-        win1 = jnp.max(jnp.where(same & (rows_i[None, :] == 1),
-                                 i_iota[None, :], -1), axis=1)
-        v = jnp.where(win1[:, None] >= 0, g32[jnp.maximum(win1, 0)], q1_rows)
-        blend_b = jnp.max(jnp.where(same & (seen_f[None, :] > 0), 1, 0), axis=1)
-        return v, blend_b
-
-    def _eff_views(w0_t, col_ids, g32, rows_i, cols_i, v, blend_b):
-        """Tile effective views from the write plan alone (no q1 tile):
-        view 1 = q0 with parity-0 overrides; view 2 = view 1 with
-        blend-set columns replaced by their precomputed values ``v``.
-        Equivalent to ops/twin_margin._effective_views on (q0_t, q1_t)."""
-        t, b = col_ids.shape[0], cols_i.shape[0]
-        match = col_ids[:, None] == cols_i[None, :]  # [T, B]
-        i_io = jax.lax.broadcasted_iota(jnp.int32, (t, b), 1)
-
-        def onehot_last(hit):
-            last = jnp.max(jnp.where(hit, i_io, -1), axis=1, keepdims=True)
-            oh = (hit & (i_io == last)).astype(jnp.float32)
-            return oh, last
-
-        oh0, last0 = onehot_last(match & (rows_i[None, :] == 0))
-        w0e = jnp.where(last0 >= 0, jnp.dot(oh0, g32), w0_t)
-        ohb, lastb = onehot_last(match & (blend_b[None, :] > 0))
-        wbe = jnp.where(lastb >= 0, jnp.dot(ohb, v), w0e)
-        return w0e, wbe
+        q1_rows = q1_l[jnp.where(in_range, lcol, 0)]
+        return twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f)
 
     def _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
         b = emb_l.shape[0]
@@ -165,8 +138,8 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
             col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
             valid = col_l < c_local
             col_g = c0 + col_l
-            w0e, wbe = _eff_views(w0_t.astype(jnp.float32), col_g[0], g32,
-                                  rows_i, cols_i, v, blend_b)
+            w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col_g[0],
+                                                 g32, rows_i, cols_i, v, blend_b)
             c1 = one_view(c1, emb32 @ w0e.T, col_g, valid, gt1[:, None])
             c2 = one_view(c2, emb32 @ wbe.T, col_g, valid, gt2[:, None])
             return (c1, c2), None
@@ -229,8 +202,8 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
             col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
             valid = col_l < c_local
             col_g = c0 + col_l
-            w0e, wbe = _eff_views(w0_t.astype(jnp.float32), col_g[0], g32,
-                                  rows_i, cols_i, v, blend_b)
+            w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col_g[0],
+                                                 g32, rows_i, cols_i, v, blend_b)
             dc1, dg1 = _view_dcos(emb32 @ w0e.T, col_g, valid, lab2, pos2,
                                   gt1[:, None], logz1[:, None], kth1,
                                   d_ce1, d_neg1, **kw)
