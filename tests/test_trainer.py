@@ -1,6 +1,7 @@
 """End-to-end trainer tests on a synthetic store (SURVEY.md §4: the smoke
 train the reference never had), including checkpoint/resume equivalence."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -101,6 +102,24 @@ def test_in_training_eval(store, tmp_path):
     cfg.train.eval_freq = 5
     t = Trainer(cfg)
     t.train()
+    ev = t.evaluate()
+    assert 0.0 <= ev["verification_acc_train"] <= 1.0
+    t.close()
+
+
+def test_eval_use_ema_selects_gallery_net(store, tmp_path):
+    """train.eval_use_ema routes in-training eval through the EMA gallery
+    params (which differ from the probe after a few steps)."""
+    cfg = tiny_cfg(store, tmp_path / "ev_ema")
+    cfg.train.eval_use_ema = True
+    t = Trainer(cfg)
+    t.train()
+    v = t._eval_variables()
+    gal = jax.tree.leaves(t.state.gallery_params)[0]
+    probe = jax.tree.leaves(t.state.probe_params)[0]
+    got = jax.tree.leaves(v["params"])[0]
+    assert np.allclose(np.asarray(got), np.asarray(gal))
+    assert not np.allclose(np.asarray(gal), np.asarray(probe))
     ev = t.evaluate()
     assert 0.0 <= ev["verification_acc_train"] <= 1.0
     t.close()

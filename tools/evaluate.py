@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--num_pairs", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--step", type=int, default=-1, help="checkpoint step (-1 = latest)")
+    ap.add_argument("--ema", action="store_true",
+                    help="FFC checkpoints: evaluate the EMA gallery net "
+                         "instead of the probe net")
     args = ap.parse_args()
 
     import jax
@@ -58,9 +61,13 @@ def main():
     step = args.step if args.step >= 0 else mngr.latest_step()
     assert step is not None, f"no checkpoints in {args.ckpt}"
     restored = mngr.restore(step)["state"]
+    which = "gallery" if args.ema else "probe"
+    assert f"{which}_params" in restored, (
+        f"checkpoint has no {which}_params (softmax-head checkpoints store "
+        "params/backbone; --ema applies to FFC checkpoints only)")
     variables = {
-        "params": restored["probe_params"],
-        "batch_stats": restored["probe_stats"],
+        "params": restored[f"{which}_params"],
+        "batch_stats": restored[f"{which}_stats"],
     }
 
     emb = Embedder(model, variables, batch_size=args.batch_size)

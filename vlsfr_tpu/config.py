@@ -211,6 +211,10 @@ class TrainConfig:
     holdout_records: int = 0
     # insightface-style verification .bin evaluated at eval_freq (lfw.bin…)
     eval_bin: str = ""
+    # FFC only: evaluate with the EMA gallery net instead of the probe net.
+    # The gallery IS a model EMA (pool.momentum-smoothed copy of the probe,
+    # core/ffc.py) — EMA weights typically verify better late in training.
+    eval_use_ema: bool = False
 
 
 @dataclass

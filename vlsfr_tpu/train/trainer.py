@@ -277,6 +277,10 @@ class Trainer:
 
     def _eval_variables(self):
         if self.is_ffc:
+            if self.cfg.train.eval_use_ema:
+                # the EMA gallery net (see TrainConfig.eval_use_ema)
+                return {"params": self.state.gallery_params,
+                        "batch_stats": self.state.gallery_stats}
             return {"params": self.state.probe_params, "batch_stats": self.state.probe_stats}
         return {
             "params": self.state.params["backbone"],
