@@ -60,6 +60,12 @@ def classifier_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("model", None))
 
 
+def class_vector_sharding(mesh: Mesh) -> NamedSharding:
+    """Per-class 1-D state [C] (e.g. sparse-row last-visit steps): sharded
+    over the model axis alongside the classifier rows."""
+    return NamedSharding(mesh, P("model"))
+
+
 def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch pytree with the batch axis sharded on data."""
     s = batch_sharding(mesh)

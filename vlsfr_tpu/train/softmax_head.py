@@ -36,15 +36,14 @@ def _streaming_on(cfg: Config) -> bool:
 def _sparse_classifier_mode(cfg: Config, mesh=None) -> bool:
     """True when the classifier is updated by hand with a bare momentum
     buffer (sparse rows) instead of living inside the optax state: either
-    partial-FC sampling + sparse_update, or the sparse-d_w streaming head.
-    The model-sharded streaming path keeps the dense optax update (its d_w
-    shards never materialize globally)."""
+    partial-FC sampling + sparse_update, or the sparse-d_w streaming head —
+    single-chip (ops/margin_pallas.streaming_sparse_margin_grads) and
+    model-sharded (parallel/sharded_sparse.py) alike."""
     if not cfg.pool.sparse_update:
         return False
     if cfg.pool.sample_rate > 0:
         return True
-    model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
-    return _streaming_on(cfg) and not model_sharded
+    return _streaming_on(cfg)
 
 
 def create_softmax_state(
@@ -102,11 +101,14 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
         )
         return _make_sampled_train_step(model, cfg, optimizer, schedule, num_sampled)
 
-    if streaming and cfg.pool.sparse_update and not model_sharded:
+    if streaming and cfg.pool.sparse_update:
         # sparse-d_w streaming: exact loss, gradient truncated to the most
-        # relevant class tiles, sparse row optimizer — the single-chip
-        # C ≥ 1M configuration (docs/PERF.md round-2 work)
-        return _make_streaming_sparse_train_step(model, cfg, optimizer, schedule)
+        # relevant class tiles, sparse row optimizer — single-chip
+        # (docs/PERF.md round-2 work) or per-shard over the mesh model axis
+        # (parallel/sharded_sparse.py)
+        return _make_streaming_sparse_train_step(
+            model, cfg, optimizer, schedule,
+            mesh=mesh if model_sharded else None)
 
     if streaming and model_sharded:
         # BASELINE config 5 path: class shards × streaming via shard_map
@@ -247,18 +249,24 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
     return train_step
 
 
-def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
+def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule,
+                                      mesh=None):
     """Streaming full-softmax with a SPARSE classifier gradient+update.
 
     The dense streaming backward's floor is the [C, D] d_w write plus the
     dense SGD-momentum traffic (~12 GB/step at C=1M, docs/PERF.md). Here the
     head runs OUTSIDE jax.grad: the backbone is differentiated via jax.vjp,
     the head computes (exact loss, d_emb, sparse d_w rows) in one explicit
-    call (ops/margin_pallas.streaming_sparse_margin_grads), and the
-    classifier update touches only the selected rows
+    call, and the classifier update touches only the selected rows
     (train/sparse_classifier.sparse_sgd_rows). The gradient truncation is
     the Partial-FC approximation applied to the backward only — the loss
     itself stays the exact full softmax.
+
+    With a mesh whose model axis > 1 the head runs per classifier shard with
+    collective logsumexp/top-k merges and per-shard tile selection
+    (parallel/sharded_sparse.py) — the d_w never densifies per shard OR
+    globally; otherwise the single-chip explicit op
+    (ops/margin_pallas.streaming_sparse_margin_grads).
     """
     from vlsfr_tpu.ops.margin_pallas import (
         sparse_bwd_geometry,
@@ -267,21 +275,43 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
     from vlsfr_tpu.train.sparse_classifier import sparse_sgd_rows
 
     c = cfg.pool.num_classes
-    # 512-wide tiles measured fastest at ir50/b128/1M on v5e (1024 halves the
-    # grid but VMEM pressure breaks double-buffering: 101 vs 72 ms/step)
-    tile, n_tiles = sparse_bwd_geometry(cfg.data.batch_size, cfg.model.feat_dim, c)
-    # targets are force-included, so m_tiles must be able to hold one tile
-    # per batch row in the worst (all-distinct-tiles) case
-    m_tiles = min(
-        n_tiles,
-        max(int(round(cfg.pool.sparse_grad_rate * n_tiles)), cfg.data.batch_size, 8),
-    )
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
         scale=cfg.loss.scale,
         mask_svfc=cfg.loss.mask_svfc,
     )
+    if mesh is not None:
+        from vlsfr_tpu.parallel.sharded_sparse import (
+            make_sharded_sparse_streaming_grads,
+        )
+
+        sharded_head = make_sharded_sparse_streaming_grads(
+            mesh, batch=cfg.data.batch_size, feat_dim=cfg.model.feat_dim,
+            num_classes=c, sparse_grad_rate=cfg.pool.sparse_grad_rate,
+            hard_neg=1, normalize_w=True, **loss_kw,
+        )
+
+        def head_grads(emb, w, labels, d_ce, d_neg, key):
+            return sharded_head(emb, w, labels, d_ce, d_neg, key)
+    else:
+        # 512-wide tiles measured fastest at ir50/b128/1M on v5e (1024
+        # halves the grid but VMEM pressure breaks double-buffering:
+        # 101 vs 72 ms/step)
+        tile, n_tiles = sparse_bwd_geometry(cfg.data.batch_size, cfg.model.feat_dim, c)
+        # targets are force-included, so m_tiles must be able to hold one
+        # tile per batch row in the worst (all-distinct-tiles) case
+        m_tiles = min(
+            n_tiles,
+            max(int(round(cfg.pool.sparse_grad_rate * n_tiles)), cfg.data.batch_size, 8),
+        )
+
+        def head_grads(emb, w, labels, d_ce, d_neg, key):
+            return streaming_sparse_margin_grads(
+                emb, w, labels, d_ce, d_neg,
+                m_tiles=m_tiles, hard_neg=1, normalize_w=True, tile=tile,
+                key=key, **loss_kw,
+            )
 
     def train_step(state: SoftmaxState, images, labels, lr_scale):
         def backbone_fn(backbone_params):
@@ -301,10 +331,8 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
         # per-step key: random tile fill keeps negative-push coverage
         # unbiased in the diffuse regime (see select_relevant_tiles)
         key = jax.random.fold_in(jax.random.PRNGKey(23), state.step)
-        ce, _neg, topk, gt, d_emb, row_idx, d_w_rows = streaming_sparse_margin_grads(
-            emb, state.params["classifier"], labels, d_ce, d_neg,
-            m_tiles=m_tiles, hard_neg=1, normalize_w=True, tile=tile, key=key,
-            **loss_kw,
+        ce, _neg, topk, gt, d_emb, row_idx, d_w_rows = head_grads(
+            emb, state.params["classifier"], labels, d_ce, d_neg, key
         )
         loss = jnp.mean(ce)
         (g_backbone,) = backbone_vjp(d_emb)
@@ -326,7 +354,8 @@ def _make_streaming_sparse_train_step(model, cfg: Config, optimizer, schedule):
             last_visit=state.opt_state["classifier_last"], step=state.step,
         )
         metrics = {"loss": loss, "ce": loss, "train_acc": acc, "lr": lr,
-                   "grad_tiles": jnp.int32(m_tiles)}
+                   # selected-row budget (per shard when mesh-sharded)
+                   "grad_rows": jnp.int32(row_idx.shape[0])}
         return (
             state.replace(
                 step=state.step + 1,

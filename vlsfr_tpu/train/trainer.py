@@ -167,10 +167,18 @@ class Trainer:
         if self.is_ffc:
             state = state.replace(queue=jax.device_put(state.queue, queue_sharding(self.mesh)))
         elif cfg.mesh.model > 1:
-            from vlsfr_tpu.parallel.mesh import classifier_sharding
+            from vlsfr_tpu.parallel.mesh import class_vector_sharding, classifier_sharding
 
-            cls = jax.device_put(state.params["classifier"], classifier_sharding(self.mesh))
+            cls_sh = classifier_sharding(self.mesh)
+            cls = jax.device_put(state.params["classifier"], cls_sh)
             state = state.replace(params=dict(state.params, classifier=cls))
+            if isinstance(state.opt_state, dict) and "classifier_mom" in state.opt_state:
+                # sparse-row classifier state rides with its rows
+                opt = dict(state.opt_state)
+                opt["classifier_mom"] = jax.device_put(opt["classifier_mom"], cls_sh)
+                opt["classifier_last"] = jax.device_put(
+                    opt["classifier_last"], class_vector_sharding(self.mesh))
+                state = state.replace(opt_state=opt)
         self.state = state
         self._step = jax.jit(step_fn, donate_argnums=0)
         self._batch_sharding = batch_sharding(self.mesh)
