@@ -72,7 +72,12 @@ def create_softmax_state(
         # classifier gets a bare momentum buffer (train/sparse_classifier.py)
         opt_state = {
             "backbone": optimizer.init(params["backbone"]),
-            "classifier_mom": jnp.zeros_like(params["classifier"]),
+            # momentum storage stays f32 even for a bf16 classifier —
+            # sparse_sgd_rows computes in f32, and bf16 STORAGE would round
+            # away small accumulated updates at every visit (the weights'
+            # own bf16 rounding is the accepted tradeoff; the momentum's is
+            # not, it compounds geometrically)
+            "classifier_mom": jnp.zeros(params["classifier"].shape, jnp.float32),
             # last-visit step per row: visit-age momentum catch-up
             # (train/sparse_classifier.py)
             "classifier_last": jnp.zeros((num_classes,), jnp.int32),
