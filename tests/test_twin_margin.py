@@ -184,3 +184,56 @@ def test_twin_pallas_bf16_queue_close_to_f32(rng):
     scale_e = np.abs(np.asarray(ge_up)).max()
     np.testing.assert_allclose(np.asarray(ge_bf), np.asarray(ge_up),
                                atol=0.03 * scale_e)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_quad_matches_two_twins(use_pallas, rng):
+    """quad (both directions, one pass) == two independent twin calls:
+    losses AND d_emb grads, scan and interpret-Pallas paths."""
+    from vlsfr_tpu.ops.twin_margin import quad_add_margin
+
+    p_x, g_a, queue, rows_a, cols_a, seen_a, labels_a = make_case(rng)
+    p_y, g_b, _, rows_b, cols_b, seen_b, labels_b = make_case(rng)
+    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, hard_neg=3,
+              tile=16)
+    interp = dict(use_pallas="auto") if not use_pallas else dict(use_pallas=True)
+    if use_pallas:
+        # interpret-mode pallas on CPU: route through the pallas fns directly
+        import vlsfr_tpu.ops.twin_margin as tm
+        orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
+        tm_fwd = lambda *a, **k: orig_fwd(*a, **dict(k, interpret=True))  # noqa: E731
+        tm_bwd = lambda *a, **k: orig_bwd(*a, **dict(k, interpret=True))  # noqa: E731
+        tm.pallas_quad_fwd, tm.pallas_quad_bwd = tm_fwd, tm_bwd
+        tw_fwd, tw_bwd = tm.pallas_twin_fwd, tm.pallas_twin_bwd
+        tm.pallas_twin_fwd = lambda *a, **k: tw_fwd(*a, **dict(k, interpret=True))
+        tm.pallas_twin_bwd = lambda *a, **k: tw_bwd(*a, **dict(k, interpret=True))
+        interp = dict(use_pallas=True)
+    try:
+        def quad_losses(px, py):
+            la, lb = quad_add_margin(
+                px, py, queue, g_a, g_b, (rows_a, cols_a, seen_a),
+                (rows_b, cols_b, seen_b), labels_a, labels_b, **kw, **interp)
+            return la, lb
+
+        def twin_losses(px, py):
+            la = twin_add_margin(px, queue, g_a, rows_a, cols_a, seen_a,
+                                 labels_a, **kw, **interp)
+            lb = twin_add_margin(py, queue, g_b, rows_b, cols_b, seen_b,
+                                 labels_b, **kw, **interp)
+            return la, lb
+
+        la_q, lb_q = quad_losses(p_x, p_y)
+        la_t, lb_t = twin_losses(p_x, p_y)
+        np.testing.assert_allclose(float(la_q), float(la_t), rtol=1e-5)
+        np.testing.assert_allclose(float(lb_q), float(lb_t), rtol=1e-5)
+
+        gx_q, gy_q = jax.grad(lambda px, py: sum(quad_losses(px, py)),
+                              argnums=(0, 1))(p_x, p_y)
+        gx_t, gy_t = jax.grad(lambda px, py: sum(twin_losses(px, py)),
+                              argnums=(0, 1))(p_x, p_y)
+        np.testing.assert_allclose(np.asarray(gx_q), np.asarray(gx_t), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(gy_q), np.asarray(gy_t), atol=3e-6)
+    finally:
+        if use_pallas:
+            tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
+            tm.pallas_twin_fwd, tm.pallas_twin_bwd = tw_fwd, tw_bwd

@@ -189,6 +189,10 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     # every fused path (single-shard twin kernels AND the sharded twin
     # composition) defers the persistence scatter to after the backward
     fused_defer = use_fused
+    # quad (both-directions-one-pass) route: single-shard fused + f32 queue
+    # (see the measurement note at the call site)
+    use_quad = (fused_defer and sharded_loss_fn is None
+                and jnp.dtype(cfg.pool.queue_dtype) == jnp.dtype(jnp.float32))
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -243,20 +247,43 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             p_y, probe_stats = probe_fwd(y, probe_stats)
             g_x, gallery_stats = gallery_fwd(x, gallery_stats)
 
-        # direction A (the reference's rollback pass): functional, discarded
-        loss_a, _ = directional_loss(
-            p_x, g_y, state.queue, idx.a.rows, idx.a.cols, idx.a.seen, idx.a.fake_labels,
-            defer_scatter=fused_defer,
-            **loss_kw,
-        )
-        # direction B: persists. On the fused single-shard path
-        # ``new_queue`` is the (g, rows, cols) write plan, applied by
-        # make_train_step AFTER the backward (in-place under donation)
-        loss_b, new_queue = directional_loss(
-            p_y, g_x, state.queue, idx.b.rows, idx.b.cols, idx.b.seen, idx.b.fake_labels,
-            defer_scatter=fused_defer,
-            **loss_kw,
-        )
+        if use_quad:
+            # single-shard fused, f32 queue: BOTH directions in ONE
+            # streaming pass over q0 per fwd/bwd (ops/twin_margin.py quad
+            # kernels) — two twin calls read the same pre-update queue
+            # 4×/step. Measured on v5e at ir50 b128: q=1M f32 121.3 ms vs
+            # 123.5 twin (the queue DMA is the bottleneck); at bf16 queues
+            # the bytes halve and the doubled per-tile view-stream VPU work
+            # dominates instead (q=4M bf16: 159.5 quad vs 153.3 twin), so
+            # bf16 queues keep the twin route. ``new_queue`` is direction
+            # B's write plan, applied by make_train_step AFTER the backward
+            # (in-place under donation).
+            from vlsfr_tpu.ops.twin_margin import quad_add_margin
+
+            g_yd = jax.lax.stop_gradient(g_y)
+            g_xd = jax.lax.stop_gradient(g_x)
+            loss_a, loss_b = quad_add_margin(
+                p_x, p_y, state.queue, g_yd, g_xd,
+                (idx.a.rows, idx.a.cols, idx.a.seen),
+                (idx.b.rows, idx.b.cols, idx.b.seen),
+                idx.a.fake_labels, idx.b.fake_labels,
+                loss_type=loss_kw["loss_type"], margin=loss_kw["margin"],
+                scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
+                mask_svfc=loss_kw["mask_svfc"],
+            )
+            new_queue = (g_xd, idx.b.rows, idx.b.cols)
+        else:
+            # direction A (the reference's rollback pass): functional,
+            # discarded
+            loss_a, _ = directional_loss(
+                p_x, g_y, state.queue, idx.a.rows, idx.a.cols, idx.a.seen,
+                idx.a.fake_labels, defer_scatter=fused_defer, **loss_kw,
+            )
+            # direction B: persists (as the deferred write plan when fused)
+            loss_b, new_queue = directional_loss(
+                p_y, g_x, state.queue, idx.b.rows, idx.b.cols, idx.b.seen,
+                idx.b.fake_labels, defer_scatter=fused_defer, **loss_kw,
+            )
         loss = loss_a + loss_b
         metrics = {
             "loss": loss,

@@ -705,3 +705,487 @@ def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
         return cls + ngl
 
     return reduce(ce1, neg1) + reduce(ce2, neg2)
+
+
+# ======================================================================
+# quad kernels: BOTH FFC directions in one pass over q0
+# ======================================================================
+#
+# The FFC step computes two directional losses against the SAME pre-update
+# queue (core/ffc.py: rollback-free double pass). As two twin calls that is
+# 4 streaming passes over q0 per step (A fwd, B fwd, A bwd, B bwd) — and
+# the streams are HBM-bound, so the queue bytes ARE the cost. The quad
+# kernels advance all four view streams (2 directions × 2 views) per q0
+# tile: 2 passes per step over the queue instead of 4.
+
+
+def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
+                  t, n_t, col, valid, w0_raw,
+                  lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
+                  emb_ref, g_ref, v_ref,
+                  scr1, scr2, out1, out2):
+    """One direction's per-tile forward work (the twin fwd body)."""
+    labels = lab_ref[:]
+    emb = emb_ref[:].astype(jnp.float32)
+    cols_v = cols_ref[:][:, 0]
+
+    def view(cos, gt, scr, out):
+        m_scr, s_scr, topk_scr = scr
+        ce_ref, neg_ref, logz_ref, topk_ref = out
+        cos = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels
+        mod = _tile_modified(cos, is_target, gt, valid, loss_type, margin, mask_svfc)
+        z = scale * mod
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(z, axis=-1, keepdims=True))
+        s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+            jnp.exp(z - m_new), axis=-1, keepdims=True)
+        m_scr[:] = m_new
+        kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)
+        needs_merge = jnp.any(jnp.max(cos, axis=-1, keepdims=True) > kth_cur)
+
+        @pl.when(needs_merge)
+        def _merge():
+            buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+            buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
+            new_topk = []
+            for _ in range(k):
+                vmax = jnp.max(buf, axis=-1, keepdims=True)
+                amax = jnp.argmax(buf, axis=-1)[:, None]
+                new_topk.append(vmax)
+                buf = jnp.where(buf_col == amax, NEG_INF, buf)
+            topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
+
+        @pl.when(t == n_t - 1)
+        def _finalize():
+            logz = m_scr[:] + jnp.log(s_scr[:])
+            phi = _phi_target(gt, loss_type, margin, mask_svfc)
+            pos = labels >= 0
+            ce_ref[:] = jnp.where(pos, logz - scale * phi, 0.0)
+            neg_ref[:] = jnp.where(
+                pos, 0.0,
+                jnp.mean(jnp.maximum(topk_scr[:], 0.0), axis=-1, keepdims=True))
+            logz_ref[:] = logz
+            topk_ref[:] = topk_scr[:]
+
+    tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+    @pl.when(tile_hit)
+    def _written_tile():
+        w0e, wbe = effective_tile_views(
+            w0_raw.astype(jnp.float32), col[0],
+            g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+            v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
+            mxu_bf16=mxu_bf16)
+        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+        view(jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32),
+             gt1_ref[:], scr1, out1)
+        view(jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32),
+             gt2_ref[:], scr2, out2)
+
+    @pl.when(jnp.logical_not(tile_hit))
+    def _clean_tile():
+        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
+        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        view(cos, gt1_ref[:], scr1, out1)
+        view(cos, gt2_ref[:], scr2, out2)
+
+
+def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                          mxu_bf16=False):
+    def kernel(labA, gt1a, gt2a, rowsA, colsA, blendA,
+               labB, gt1b, gt2b, rowsB, colsB, blendB,
+               embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
+               ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
+               ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
+               topk1a, topk2a, topk1b, topk2b,
+               m1a, s1a, t1a, m2a, s2a, t2a,
+               m1b, s1b, t1b, m2b, s2b, t2b):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            for m_scr, s_scr, t_scr in ((m1a, s1a, t1a), (m2a, s2a, t2a),
+                                        (m1b, s1b, t1b), (m2b, s2b, t2b)):
+                m_scr[:] = jnp.full((b, 1), NEG_INF, jnp.float32)
+                s_scr[:] = jnp.zeros((b, 1), jnp.float32)
+                t_scr[:] = jnp.full((b, k), NEG_INF, jnp.float32)
+
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        w0_raw = w0_ref[0]
+        args = (b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
+                t, n_t, col, valid, w0_raw)
+        _quad_dir_fwd(*args, labA, gt1a, gt2a, rowsA, colsA, blendA,
+                      embA_ref, gA_ref, vA_ref,
+                      (m1a, s1a, t1a), (m2a, s2a, t2a),
+                      (ce1a, neg1a, logz1a, topk1a),
+                      (ce2a, neg2a, logz2a, topk2a))
+        _quad_dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
+                      embB_ref, gB_ref, vB_ref,
+                      (m1b, s1b, t1b), (m2b, s2b, t2b),
+                      (ce1b, neg1b, logz1b, topk1b),
+                      (ce2b, neg2b, logz2b, topk2b))
+
+    return kernel
+
+
+def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
+                  lab_ref, rows_ref, cols_ref, blend_ref,
+                  gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref, kth2_ref,
+                  dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
+                  emb_ref, g_ref, v_ref, demb_scr, dgt1_scr, dgt2_scr):
+    """One direction's per-tile backward work (the twin bwd body)."""
+    labels = lab_ref[:]
+    pos = labels >= 0
+    emb = emb_ref[:].astype(jnp.float32)
+    cols_v = cols_ref[:][:, 0]
+
+    def view_dcs(cos1, cos2):
+        dc1, dg1 = _view_dcos(cos1, col, valid, labels, pos, gt1_ref[:],
+                              logz1_ref[:], kth1_ref[:], dce1_ref[:],
+                              dneg1_ref[:], **kw)
+        dc2, dg2 = _view_dcos(cos2, col, valid, labels, pos, gt2_ref[:],
+                              logz2_ref[:], kth2_ref[:], dce2_ref[:],
+                              dneg2_ref[:], **kw)
+        dgt1_scr[:] = dgt1_scr[:] + dg1
+        dgt2_scr[:] = dgt2_scr[:] + dg2
+        return dc1, dc2
+
+    tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+    @pl.when(tile_hit)
+    def _written_tile():
+        w0e, wbe = effective_tile_views(
+            w0_raw.astype(jnp.float32), col[0],
+            g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+            v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
+            mxu_bf16=mxu_bf16)
+        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+        dc1, dc2 = view_dcs(cos1, cos2)
+        dc1_op, _ = _mxu_pair(dc1, dc1, mxu_bf16)
+        dc2_op, _ = _mxu_pair(dc2, dc2, mxu_bf16)
+        demb_scr[:] = demb_scr[:] \
+            + jnp.dot(dc1_op, w0_op, preferred_element_type=jnp.float32) \
+            + jnp.dot(dc2_op, wb_op, preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_not(tile_hit))
+    def _clean_tile():
+        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
+        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        dc1, dc2 = view_dcs(cos, cos)
+        dc_op, _ = _mxu_pair(dc1 + dc2, dc1, mxu_bf16)
+        demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, w0_op,
+                                            preferred_element_type=jnp.float32)
+
+
+def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
+                          mxu_bf16=False):
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
+              mask_svfc=mask_svfc)
+
+    def kernel(labA, rowsA, colsA, blendA,
+               gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
+               dce1a, dneg1a, dce2a, dneg2a,
+               labB, rowsB, colsB, blendB,
+               gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
+               dce1b, dneg1b, dce2b, dneg2b,
+               embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
+               dembA_ref, dgt1a_ref, dgt2a_ref,
+               dembB_ref, dgt1b_ref, dgt2b_ref,
+               dembA_scr, dgt1a_scr, dgt2a_scr,
+               dembB_scr, dgt1b_scr, dgt2b_scr):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            for scr in (dembA_scr, dembB_scr):
+                scr[:] = jnp.zeros((b, d), jnp.float32)
+            for scr in (dgt1a_scr, dgt2a_scr, dgt1b_scr, dgt2b_scr):
+                scr[:] = jnp.zeros((b, 1), jnp.float32)
+
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        w0_raw = w0_ref[0]
+        args = (b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw)
+        _quad_dir_bwd(*args, labA, rowsA, colsA, blendA,
+                      gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
+                      dce1a, dneg1a, dce2a, dneg2a,
+                      embA_ref, gA_ref, vA_ref, dembA_scr, dgt1a_scr, dgt2a_scr)
+        _quad_dir_bwd(*args, labB, rowsB, colsB, blendB,
+                      gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
+                      dce1b, dneg1b, dce2b, dneg2b,
+                      embB_ref, gB_ref, vB_ref, dembB_scr, dgt1b_scr, dgt2b_scr)
+
+        @pl.when(t == n_t - 1)
+        def _finalize():
+            dembA_ref[:] = dembA_scr[:]
+            dgt1a_ref[:] = dgt1a_scr[:]
+            dgt2a_ref[:] = dgt2a_scr[:]
+            dembB_ref[:] = dembB_scr[:]
+            dgt1b_ref[:] = dgt1b_scr[:]
+            dgt2b_ref[:] = dgt2b_scr[:]
+
+    return kernel
+
+
+def _dir_inputs(queue, g, rows, cols, seen):
+    """(g32, rows_i, cols_i, v, blend) carrier pack for one direction."""
+    cols_i = cols.astype(jnp.int32)
+    rows_i = rows.astype(jnp.int32)
+    g32 = g.astype(jnp.float32)
+    v, blend_b = twin_write_values(_gather_plane(queue, 1, cols_i), g32,
+                                   rows_i, cols_i, seen.astype(jnp.float32))
+    return g32, rows_i, cols_i, v, blend_b
+
+
+def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
+                    labels_a, labels_b, gts_a, gts_b, *,
+                    loss_type, margin, scale, k, mask_svfc, tile=512,
+                    interpret=False):
+    b, d = emb_x.shape
+    c = queue.shape[1]
+    tile = _twin_tile(b, d, tile)
+    qp, n_tiles = _pad_queue(queue, c, tile)
+    kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                   mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16)
+    gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a)
+    gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b)
+    gt1a, gt2a = gts_a
+    gt1b, gt2b = gts_b
+    vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[bspec] * 12 + [full((b, d))] * 6 + [
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[bspec] * 12 + [full((b, k))] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 12
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4,
+        scratch_shapes=(
+            [pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+             pltpu.VMEM((b, k), jnp.float32)] * 4
+        ),
+        interpret=interpret,
+    )(labels_a.astype(jnp.int32)[:, None], vec(gt1a), vec(gt2a),
+      rowsA[:, None], colsA[:, None], blendA.astype(jnp.int32)[:, None],
+      labels_b.astype(jnp.int32)[:, None], vec(gt1b), vec(gt2b),
+      rowsB[:, None], colsB[:, None], blendB.astype(jnp.int32)[:, None],
+      emb_x.astype(jnp.float32), gA32, vA,
+      emb_y.astype(jnp.float32), gB32, vB, qp)
+    (ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
+     ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
+     topk1a, topk2a, topk1b, topk2b) = out
+    col0 = lambda v: v[:, 0]  # noqa: E731
+    return ((col0(ce1a), col0(neg1a), col0(ce2a), col0(neg2a),
+             col0(ce1b), col0(neg1b), col0(ce2b), col0(neg2b)),
+            (col0(logz1a), col0(logz2a), col0(logz1b), col0(logz2b),
+             topk1a, topk2a, topk1b, topk2b))
+
+
+def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
+                    labels_a, labels_b, gts_a, gts_b, logzs, topks,
+                    cots_a, cots_b, *, loss_type, margin, scale, k, mask_svfc,
+                    tile=512, interpret=False):
+    b, d = emb_x.shape
+    c = queue.shape[1]
+    tile = _twin_tile(b, d, tile)
+    qp, n_tiles = _pad_queue(queue, c, tile)
+    kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                   mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16)
+    gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a)
+    gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b)
+    gt1a, gt2a = gts_a
+    gt1b, gt2b = gts_b
+    logz1a, logz2a, logz1b, logz2b = logzs
+    topk1a, topk2a, topk1b, topk2b = topks
+    d_ce1a, d_neg1a, d_ce2a, d_neg2a = cots_a
+    d_ce1b, d_neg1b, d_ce2b, d_neg2b = cots_b
+
+    def masked(labels, d_ce1, d_neg1, d_ce2, d_neg2):
+        pos = labels >= 0
+        return (jnp.where(pos, d_ce1, 0.0), jnp.where(pos, 0.0, d_neg1),
+                jnp.where(pos, d_ce2, 0.0), jnp.where(pos, 0.0, d_neg2))
+
+    d_ce1a, d_neg1a, d_ce2a, d_neg2a = masked(labels_a, d_ce1a, d_neg1a, d_ce2a, d_neg2a)
+    d_ce1b, d_neg1b, d_ce2b, d_neg2b = masked(labels_b, d_ce1b, d_neg1b, d_ce2b, d_neg2b)
+    vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[bspec] * 28 + [full((b, d))] * 6 + [
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[full((b, d)), bspec, bspec, full((b, d)), bspec, bspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels_a.astype(jnp.int32)[:, None], rowsA[:, None], colsA[:, None],
+      blendA.astype(jnp.int32)[:, None],
+      vec(gt1a), vec(gt2a), vec(logz1a), vec(logz2a),
+      vec(topk1a[:, -1]), vec(topk2a[:, -1]),
+      vec(d_ce1a), vec(d_neg1a), vec(d_ce2a), vec(d_neg2a),
+      labels_b.astype(jnp.int32)[:, None], rowsB[:, None], colsB[:, None],
+      blendB.astype(jnp.int32)[:, None],
+      vec(gt1b), vec(gt2b), vec(logz1b), vec(logz2b),
+      vec(topk1b[:, -1]), vec(topk2b[:, -1]),
+      vec(d_ce1b), vec(d_neg1b), vec(d_ce2b), vec(d_neg2b),
+      emb_x.astype(jnp.float32), gA32, vA,
+      emb_y.astype(jnp.float32), gB32, vB, qp)
+    d_emb_x, dgt1a, dgt2a, d_emb_y, dgt1b, dgt2b = out
+    d_emb_x = _twin_gt_tail(emb_x, queue, g_a, *plan_a, labels_a, gt1a, gt2a,
+                            dgt1a[:, 0], dgt2a[:, 0], d_emb_x, loss_type, margin)
+    d_emb_y = _twin_gt_tail(emb_y, queue, g_b, *plan_b, labels_b, gt1b, gt2b,
+                            dgt1b[:, 0], dgt2b[:, 0], d_emb_y, loss_type, margin)
+    return d_emb_x, d_emb_y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18, 19))
+def fused_quad_margin(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+                      rows_b, cols_b, seen_b, labels_a, labels_b,
+                      loss_type="Arc", margin=0.5, scale=32.0, hard_neg=10,
+                      mask_svfc=1.2, tile=512, use_pallas="auto"):
+    """Both FFC directions' per-row (ce1, neg1, ce2, neg2) — 8 outputs —
+    in ONE streaming pass over q0 (A: probe emb_x vs write plan
+    (g_a, rows_a, cols_a, seen_a); B: probe emb_y vs plan b).
+    Differentiable w.r.t. emb_x/emb_y only."""
+    out, _ = _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
+                            seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
+                            loss_type, margin, scale, hard_neg, mask_svfc,
+                            tile, use_pallas)
+    return out
+
+
+def _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+                   rows_b, cols_b, seen_b, labels_a, labels_b,
+                   loss_type, margin, scale, hard_neg, mask_svfc, tile,
+                   use_pallas, gts=None):
+    if gts is None:
+        gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a),
+               compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b))
+    gts_a, gts_b = gts
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+              mask_svfc=mask_svfc, tile=tile)
+    if use_pallas:
+        return pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b,
+                               (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
+                               labels_a, labels_b, gts_a, gts_b, **kw)
+    # scan fallback: two independent twin streams (CPU path — no fusion win)
+    out_a, res_a = _twin_stream_fwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
+                                    labels_a, *gts_a, **kw)
+    out_b, res_b = _twin_stream_fwd(emb_y, queue, g_b, rows_b, cols_b, seen_b,
+                                    labels_b, *gts_b, **kw)
+    logz1a, logz2a, topk1a, topk2a = res_a
+    logz1b, logz2b, topk1b, topk2b = res_b
+    return (out_a + out_b,
+            (logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b))
+
+
+def _quad_vjp_fwd(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+                  rows_b, cols_b, seen_b, labels_a, labels_b,
+                  loss_type, margin, scale, hard_neg, mask_svfc, tile, use_pallas):
+    gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a),
+           compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b))
+    out, res = _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
+                              seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
+                              loss_type, margin, scale, hard_neg, mask_svfc,
+                              tile, use_pallas, gts=gts)
+    logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b = res
+    return out, (emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+                 rows_b, cols_b, seen_b, labels_a, labels_b, gts,
+                 (logz1a, logz2a, logz1b, logz2b),
+                 (topk1a, topk2a, topk1b, topk2b))
+
+
+def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
+                  use_pallas, res, cots):
+    (emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+     rows_b, cols_b, seen_b, labels_a, labels_b, gts, logzs, topks) = res
+    (d_ce1a, d_neg1a, d_ce2a, d_neg2a,
+     d_ce1b, d_neg1b, d_ce2b, d_neg2b) = cots
+    gts_a, gts_b = gts
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+              mask_svfc=mask_svfc, tile=tile)
+    if use_pallas:
+        d_emb_x, d_emb_y = pallas_quad_bwd(
+            emb_x, emb_y, queue, g_a, g_b,
+            (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
+            labels_a, labels_b, gts_a, gts_b, logzs, topks,
+            (d_ce1a, d_neg1a, d_ce2a, d_neg2a),
+            (d_ce1b, d_neg1b, d_ce2b, d_neg2b), **kw)
+    else:
+        logz1a, logz2a, logz1b, logz2b = logzs
+        topk1a, topk2a, topk1b, topk2b = topks
+        d_emb_x = _twin_stream_bwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
+                                   labels_a, *gts_a, logz1a, logz2a, topk1a,
+                                   topk2a, (d_ce1a, d_neg1a), (d_ce2a, d_neg2a),
+                                   **kw)
+        d_emb_y = _twin_stream_bwd(emb_y, queue, g_b, rows_b, cols_b, seen_b,
+                                   labels_b, *gts_b, logz1b, logz2b, topk1b,
+                                   topk2b, (d_ce1b, d_neg1b), (d_ce2b, d_neg2b),
+                                   **kw)
+    return (d_emb_x, d_emb_y, jnp.zeros_like(queue), jnp.zeros_like(g_a),
+            jnp.zeros_like(g_b), None, None, None, None, None, None, None, None)
+
+
+fused_quad_margin.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)
+
+
+def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
+                    labels_a, labels_b, *, loss_type="Arc", margin=0.5,
+                    scale=32.0, hard_neg=10, mask_svfc=1.2, tile=512,
+                    use_pallas="auto"):
+    """(loss_a, loss_b): both FFC directional losses with ONE streaming
+    pass over q0 per fwd/bwd (the reduction of each direction matches
+    twin_add_margin exactly)."""
+    rows_a, cols_a, seen_a = plan_a
+    rows_b, cols_b, seen_b = plan_b
+    out = fused_quad_margin(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
+                            seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
+                            loss_type, margin, scale, hard_neg, mask_svfc,
+                            tile, use_pallas)
+    ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b = out
+
+    def reduce_dir(ce1, neg1, ce2, neg2, labels):
+        pos = (labels >= 0).astype(jnp.float32)
+        n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+        n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
+        any_pos = jnp.sum(pos) > 0
+        any_out = jnp.sum(1.0 - pos) > 0
+
+        def reduce(ce, neg):
+            cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
+            ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
+            return cls + ngl
+
+        return reduce(ce1, neg1) + reduce(ce2, neg2)
+
+    return (reduce_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
+            reduce_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
