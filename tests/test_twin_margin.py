@@ -187,14 +187,16 @@ def test_twin_pallas_bf16_queue_close_to_f32(rng):
 
 
 @pytest.mark.parametrize("use_pallas", [False, True])
-def test_quad_matches_two_twins(use_pallas, rng):
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+def test_quad_matches_two_twins(use_pallas, loss_type, rng):
     """quad (both directions, one pass) == two independent twin calls:
-    losses AND d_emb grads, scan and interpret-Pallas paths."""
+    losses AND d_emb grads, scan and interpret-Pallas paths. Covers the
+    shared-stream bodies (Arc/AM) and the SV two-stream fallback."""
     from vlsfr_tpu.ops.twin_margin import quad_add_margin
 
     p_x, g_a, queue, rows_a, cols_a, seen_a, labels_a = make_case(rng)
     p_y, g_b, _, rows_b, cols_b, seen_b, labels_b = make_case(rng)
-    kw = dict(loss_type="Arc", margin=0.5, scale=24.0, hard_neg=3,
+    kw = dict(loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=3,
               tile=16)
     interp = dict(use_pallas="auto") if not use_pallas else dict(use_pallas=True)
     if use_pallas:

@@ -189,10 +189,9 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     # every fused path (single-shard twin kernels AND the sharded twin
     # composition) defers the persistence scatter to after the backward
     fused_defer = use_fused
-    # quad (both-directions-one-pass) route: single-shard fused + f32 queue
-    # (see the measurement note at the call site)
-    use_quad = (fused_defer and sharded_loss_fn is None
-                and jnp.dtype(cfg.pool.queue_dtype) == jnp.dtype(jnp.float32))
+    # quad (both-directions-one-pass) route for every single-shard fused
+    # config (see the measurement note at the call site)
+    use_quad = fused_defer and sharded_loss_fn is None
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -248,16 +247,17 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             g_x, gallery_stats = gallery_fwd(x, gallery_stats)
 
         if use_quad:
-            # single-shard fused, f32 queue: BOTH directions in ONE
-            # streaming pass over q0 per fwd/bwd (ops/twin_margin.py quad
-            # kernels) — two twin calls read the same pre-update queue
-            # 4×/step. Measured on v5e at ir50 b128: q=1M f32 121.3 ms vs
-            # 123.5 twin (the queue DMA is the bottleneck); at bf16 queues
-            # the bytes halve and the doubled per-tile view-stream VPU work
-            # dominates instead (q=4M bf16: 159.5 quad vs 153.3 twin), so
-            # bf16 queues keep the twin route. ``new_queue`` is direction
-            # B's write plan, applied by make_train_step AFTER the backward
-            # (in-place under donation).
+            # single-shard fused: BOTH directions in ONE streaming pass
+            # over q0 per fwd/bwd (ops/twin_margin.py quad kernels) — two
+            # twin calls read the same pre-update queue 4×/step. With the
+            # shared-stream bodies (one negative logsumexp per direction,
+            # per-view target terms analytic — Arc/AM) this wins at every
+            # measured config on v5e ir50 b128: q=1M f32 120.2 ms vs 123.5
+            # twin; q=4M bf16 151.3 vs 153.3 (the first quad attempt
+            # WITHOUT shared streams lost on bf16 queues, 159.5 — halved
+            # DMA, doubled VPU). ``new_queue`` is direction B's write plan,
+            # applied by make_train_step AFTER the backward (in-place
+            # under donation).
             from vlsfr_tpu.ops.twin_margin import quad_add_margin
 
             g_yd = jax.lax.stop_gradient(g_y)

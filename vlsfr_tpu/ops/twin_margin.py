@@ -818,16 +818,20 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         w0_raw = w0_ref[0]
         args = (b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
                 t, n_t, col, valid, w0_raw)
-        _quad_dir_fwd(*args, labA, gt1a, gt2a, rowsA, colsA, blendA,
-                      embA_ref, gA_ref, vA_ref,
-                      (m1a, s1a, t1a), (m2a, s2a, t2a),
-                      (ce1a, neg1a, logz1a, topk1a),
-                      (ce2a, neg2a, logz2a, topk2a))
-        _quad_dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
-                      embB_ref, gB_ref, vB_ref,
-                      (m1b, s1b, t1b), (m2b, s2b, t2b),
-                      (ce1b, neg1b, logz1b, topk1b),
-                      (ce2b, neg2b, logz2b, topk2b))
+        # Arc/AM: the shared-stream body (one negative logsumexp per
+        # direction, per-view target terms analytic); SV modifies
+        # non-target columns per view and keeps the two-stream body
+        dir_fwd = _quad_dir_fwd if loss_type == "SV" else _quad_dir_fwd_shared
+        dir_fwd(*args, labA, gt1a, gt2a, rowsA, colsA, blendA,
+                embA_ref, gA_ref, vA_ref,
+                (m1a, s1a, t1a), (m2a, s2a, t2a),
+                (ce1a, neg1a, logz1a, topk1a),
+                (ce2a, neg2a, logz2a, topk2a))
+        dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
+                embB_ref, gB_ref, vB_ref,
+                (m1b, s1b, t1b), (m2b, s2b, t2b),
+                (ce1b, neg1b, logz1b, topk1b),
+                (ce2b, neg2b, logz2b, topk2b))
 
     return kernel
 
@@ -914,14 +918,28 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         valid = col < c
         w0_raw = w0_ref[0]
         args = (b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw)
-        _quad_dir_bwd(*args, labA, rowsA, colsA, blendA,
-                      gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
-                      dce1a, dneg1a, dce2a, dneg2a,
-                      embA_ref, gA_ref, vA_ref, dembA_scr, dgt1a_scr, dgt2a_scr)
-        _quad_dir_bwd(*args, labB, rowsB, colsB, blendB,
-                      gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
-                      dce1b, dneg1b, dce2b, dneg2b,
-                      embB_ref, gB_ref, vB_ref, dembB_scr, dgt1b_scr, dgt2b_scr)
+        if kw["loss_type"] == "SV":
+            _quad_dir_bwd(*args, labA, rowsA, colsA, blendA,
+                          gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
+                          dce1a, dneg1a, dce2a, dneg2a,
+                          embA_ref, gA_ref, vA_ref, dembA_scr, dgt1a_scr,
+                          dgt2a_scr)
+            _quad_dir_bwd(*args, labB, rowsB, colsB, blendB,
+                          gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
+                          dce1b, dneg1b, dce2b, dneg2b,
+                          embB_ref, gB_ref, vB_ref, dembB_scr, dgt1b_scr,
+                          dgt2b_scr)
+        else:
+            _quad_dir_bwd_shared(*args, labA, rowsA, colsA, blendA,
+                                 gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
+                                 dce1a, dneg1a, dce2a, dneg2a,
+                                 embA_ref, gA_ref, vA_ref, dembA_scr,
+                                 dgt1a_scr, dgt2a_scr, n_t)
+            _quad_dir_bwd_shared(*args, labB, rowsB, colsB, blendB,
+                                 gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
+                                 dce1b, dneg1b, dce2b, dneg2b,
+                                 embB_ref, gB_ref, vB_ref, dembB_scr,
+                                 dgt1b_scr, dgt2b_scr, n_t)
 
         @pl.when(t == n_t - 1)
         def _finalize():
@@ -1189,3 +1207,198 @@ def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
 
     return (reduce_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
             reduce_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
+
+
+# ----------------------------------------------------------------------
+# shared-stream direction bodies (Arc/AM): the two views of one direction
+# differ ONLY at the target column (φ(gt1) vs φ(gt2)) and at this step's
+# written slots. Stream the negative mass ONCE per direction with the
+# target column EXCLUDED, merge the same per-tile (max, sumexp) into both
+# views' accumulators, and add each view's target term analytically at
+# finalize: logz_v = logaddexp(logz_neg_v, scale·φ(gt_v)). This halves
+# the per-tile VPU work — which bounds the kernels once the queue DMA is
+# minimized (measured: the quad route LOST to twin on bf16 queues before
+# this). SV modifies NON-target columns per view (mask_svfc depends on
+# gt_v), so SV keeps the two-stream bodies above.
+
+
+def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
+                         mxu_bf16, t, n_t, col, valid, w0_raw,
+                         lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
+                         emb_ref, g_ref, v_ref,
+                         scr1, scr2, out1, out2):
+    labels = lab_ref[:]
+    emb = emb_ref[:].astype(jnp.float32)
+    cols_v = cols_ref[:][:, 0]
+    is_target = col == labels
+    neg_ok = valid & jnp.logical_not(is_target)
+
+    def tile_stats(cos):
+        z = jnp.where(neg_ok, scale * cos, NEG_INF)
+        tm = jnp.max(z, axis=-1, keepdims=True)
+        ts = jnp.sum(jnp.exp(z - tm), axis=-1, keepdims=True)
+        return tm, ts
+
+    def merge_stats(scr, tm, ts):
+        m_scr, s_scr, _ = scr
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, tm)
+        s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + ts * jnp.exp(tm - m_new)
+        m_scr[:] = m_new
+
+    def merge_topk(scr, cos):
+        _, _, topk_scr = scr
+        cosm = jnp.where(valid, cos, NEG_INF)
+        kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)
+        needs_merge = jnp.any(jnp.max(cosm, axis=-1, keepdims=True) > kth_cur)
+
+        @pl.when(needs_merge)
+        def _merge():
+            buf = jnp.concatenate([topk_scr[:], cosm], axis=-1)
+            buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
+            new_topk = []
+            for _ in range(k):
+                vmax = jnp.max(buf, axis=-1, keepdims=True)
+                amax = jnp.argmax(buf, axis=-1)[:, None]
+                new_topk.append(vmax)
+                buf = jnp.where(buf_col == amax, NEG_INF, buf)
+            topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
+
+    tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+    @pl.when(tile_hit)
+    def _written_tile():
+        w0e, wbe = effective_tile_views(
+            w0_raw.astype(jnp.float32), col[0],
+            g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+            v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
+            mxu_bf16=mxu_bf16)
+        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+        tm1, ts1 = tile_stats(cos1)
+        tm2, ts2 = tile_stats(cos2)
+        merge_stats(scr1, tm1, ts1)
+        merge_stats(scr2, tm2, ts2)
+        merge_topk(scr1, cos1)
+        merge_topk(scr2, cos2)
+
+    @pl.when(jnp.logical_not(tile_hit))
+    def _clean_tile():
+        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
+        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        tm, ts = tile_stats(cos)  # ONE stream for both views
+        merge_stats(scr1, tm, ts)
+        merge_stats(scr2, tm, ts)
+        merge_topk(scr1, cos)
+        merge_topk(scr2, cos)
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        pos = labels >= 0
+
+        def fin(scr, gt_ref, out):
+            m_scr, s_scr, topk_scr = scr
+            ce_ref, neg_ref, logz_ref, topk_ref = out
+            gt = gt_ref[:]
+            logz_neg = m_scr[:] + jnp.log(s_scr[:])
+            zt = scale * _phi_target(gt, loss_type, margin, mask_svfc)
+            m_f = jnp.maximum(logz_neg, zt)
+            logz_pos = m_f + jnp.log(jnp.exp(logz_neg - m_f) + jnp.exp(zt - m_f))
+            logz = jnp.where(pos, logz_pos, logz_neg)
+            ce_ref[:] = jnp.where(pos, logz - zt, 0.0)
+            neg_ref[:] = jnp.where(
+                pos, 0.0,
+                jnp.mean(jnp.maximum(topk_scr[:], 0.0), axis=-1, keepdims=True))
+            logz_ref[:] = logz
+            topk_ref[:] = topk_scr[:]
+
+        fin(scr1, gt1_ref, out1)
+        fin(scr2, gt2_ref, out2)
+
+
+def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
+                         lab_ref, rows_ref, cols_ref, blend_ref,
+                         gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref,
+                         kth2_ref, dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
+                         emb_ref, g_ref, v_ref, demb_scr, dgt1_scr, dgt2_scr,
+                         n_t):
+    loss_type = kw["loss_type"]
+    margin = kw["margin"]
+    scale = kw["scale"]
+    k = kw["k"]
+    mask_svfc = kw["mask_svfc"]
+    labels = lab_ref[:]
+    pos = labels >= 0
+    emb = emb_ref[:].astype(jnp.float32)
+    cols_v = cols_ref[:][:, 0]
+    is_target = col == labels
+    neg_ok = valid & jnp.logical_not(is_target)
+    logz1 = logz1_ref[:]
+    logz2 = logz2_ref[:]
+    # combined stable reference: z ≤ logz_v for every negative column, so
+    # exp(z − ref) ≤ 1 with ref = min(logz1, logz2)
+    ref = jnp.minimum(logz1, logz2)
+    c1 = dce1_ref[:] * scale * jnp.exp(ref - logz1)
+    c2 = dce2_ref[:] * scale * jnp.exp(ref - logz2)
+
+    def dc_combined(cos):
+        z = jnp.where(neg_ok, scale * cos, NEG_INF)
+        dc = jnp.exp(z - ref) * (c1 + c2)
+        cosm = jnp.where(valid, cos, NEG_INF)
+        in1 = (cosm >= kth1_ref[:] - KTH_TIE_TOL) & (cosm > 0) & jnp.logical_not(pos)
+        in2 = (cosm >= kth2_ref[:] - KTH_TIE_TOL) & (cosm > 0) & jnp.logical_not(pos)
+        dc = dc + jnp.where(in1, dneg1_ref[:] / k, 0.0)
+        dc = dc + jnp.where(in2, dneg2_ref[:] / k, 0.0)
+        return jnp.where(valid, dc, 0.0)
+
+    def dc_one(cos, logz, dce, dneg, kth):
+        z = jnp.where(neg_ok, scale * cos, NEG_INF)
+        dc = jnp.exp(z - logz) * dce * scale
+        cosm = jnp.where(valid, cos, NEG_INF)
+        intk = (cosm >= kth - KTH_TIE_TOL) & (cosm > 0) & jnp.logical_not(pos)
+        dc = dc + jnp.where(intk, dneg / k, 0.0)
+        return jnp.where(valid, dc, 0.0)
+
+    tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+    @pl.when(tile_hit)
+    def _written_tile():
+        w0e, wbe = effective_tile_views(
+            w0_raw.astype(jnp.float32), col[0],
+            g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+            v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
+            mxu_bf16=mxu_bf16)
+        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+        dc1 = dc_one(cos1, logz1, dce1_ref[:], dneg1_ref[:], kth1_ref[:])
+        dc2 = dc_one(cos2, logz2, dce2_ref[:], dneg2_ref[:], kth2_ref[:])
+        dc1_op, _ = _mxu_pair(dc1, dc1, mxu_bf16)
+        dc2_op, _ = _mxu_pair(dc2, dc2, mxu_bf16)
+        demb_scr[:] = demb_scr[:] \
+            + jnp.dot(dc1_op, w0_op, preferred_element_type=jnp.float32) \
+            + jnp.dot(dc2_op, wb_op, preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_not(tile_hit))
+    def _clean_tile():
+        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
+        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        dc = dc_combined(cos)
+        dc_op, _ = _mxu_pair(dc, dc, mxu_bf16)
+        demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, w0_op,
+                                            preferred_element_type=jnp.float32)
+
+    @pl.when(t == n_t - 1)
+    def _finalize_dgt():
+        # analytic target-column gradient: dz_t = (p_t − 1)·d_ce·scale with
+        # p_t = exp(scale·φ(gt_v) − logz_v); no per-tile accumulation needed
+        def dgt(gt_ref, logz, dce_ref, scr):
+            zt = scale * _phi_target(gt_ref[:], loss_type, margin, mask_svfc)
+            p_t = jnp.exp(zt - logz)
+            scr[:] = jnp.where(pos, (p_t - 1.0) * dce_ref[:] * scale, 0.0)
+
+        dgt(gt1_ref, logz1, dce1_ref, dgt1_scr)
+        dgt(gt2_ref, logz2, dce2_ref, dgt2_scr)
