@@ -190,8 +190,13 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     # composition) defers the persistence scatter to after the backward
     fused_defer = use_fused
     # quad (both-directions-one-pass) route for every single-shard fused
-    # config (see the measurement note at the call site)
+    # config (see the measurement note at the call site). 1024-wide tiles
+    # measured faster than 512 (q=1M f32: 118.6 vs 120.2 ms — fewer grid
+    # steps; the q1 removal freed the VMEM) but only when the queue
+    # divides evenly — _pad_queue would otherwise COPY the whole [2, Q, D]
+    # array to pad the class axis.
     use_quad = fused_defer and sharded_loss_fn is None
+    quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -269,7 +274,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                 idx.a.fake_labels, idx.b.fake_labels,
                 loss_type=loss_kw["loss_type"], margin=loss_kw["margin"],
                 scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
-                mask_svfc=loss_kw["mask_svfc"],
+                mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
             )
             new_queue = (g_xd, idx.b.rows, idx.b.cols)
         else:

@@ -332,9 +332,9 @@ def _pad_queue(queue, c, tile):
 
 def _twin_tile(b, d, tile):
     """VMEM clamp: ONE double-buffered queue tile (q1 is never an operand
-    — see twin_write_values), emb/g/v [B, D], and ~10 [B, tile] working
+    — see twin_write_values), emb/g/v [B, D], and ~8 [B, tile] working
     buffers."""
-    max_tile = max(256, int((10 * 2**20 - 12 * b * d) // (8 * d + 48 * b)) // 128 * 128)
+    max_tile = max(256, int((11 * 2**20 - 24 * b * d) // (8 * d + 40 * b)) // 128 * 128)
     return min(tile, max_tile)
 
 
