@@ -36,8 +36,8 @@ def make_case(rng, b=8, q=128, d=16, frac_outlier=0.25, dup_col=True):
 def place(mesh, emb, q0, q1, g, rows, cols, seen, labels):
     dat = lambda a: jax.device_put(a, NamedSharding(mesh, P("data", *[None] * (a.ndim - 1))))  # noqa: E731
     rep = lambda a: jax.device_put(a, NamedSharding(mesh, P(*[None] * a.ndim)))  # noqa: E731
-    mod = lambda a: jax.device_put(a, NamedSharding(mesh, P("model", None)))  # noqa: E731
-    return (dat(emb), mod(q0), mod(q1), rep(g), rep(rows), rep(cols),
+    queue = jax.device_put(np.stack([q0, q1]), NamedSharding(mesh, P(None, "model", None)))
+    return (dat(emb), queue, rep(g), rep(rows), rep(cols),
             rep(seen), dat(labels))
 
 

@@ -381,3 +381,50 @@ def test_sparse_momentum_catchup_matches_dense(nesterov):
     upd = g + mu * m_d if nesterov else m_d
     w_d = w_d - lr * upd
     np.testing.assert_allclose(np.asarray(w_s)[0], w_d, rtol=1e-5, atol=1e-6)
+
+
+def test_lr_drop_mid_gap_bounded_deviation():
+    """The visit-age catch-up replays the momentum tail at the CURRENT lr
+    (train/sparse_classifier.py module docstring): across an lr drop inside
+    a gap, the sparse row under-applies the pre-drop share of the tail. The
+    deviation from the dense trajectory must be bounded by the documented
+    (lr_old − lr_new)·(μ/(1−μ))·|m_gap_start| worst case — and nonzero (the
+    approximation is real, not accidentally exact)."""
+    from vlsfr_tpu.train.sparse_classifier import sparse_sgd_rows
+
+    rng = np.random.default_rng(3)
+    D = 4
+    mu = 0.9
+    lr_old, lr_new = 0.1, 0.01
+    drop_at = 15  # schedule: lr_old for t < drop_at, lr_new after
+    visits = [0, 10, 20]  # the 10→20 gap straddles the drop
+    grads = {t: rng.standard_normal(D).astype(np.float32) for t in visits}
+
+    def lr_at(t):
+        return lr_old if t < drop_at else lr_new
+
+    # dense reference: per-step lr
+    w_d = np.ones(D, np.float32)
+    m_d = np.zeros(D, np.float32)
+    m_at_gap_start = None
+    for t in range(21):
+        g = grads.get(t, np.zeros(D, np.float32))
+        m_d = mu * m_d + g
+        w_d = w_d - lr_at(t) * m_d
+        if t == 10:
+            m_at_gap_start = m_d.copy()
+
+    # sparse: catch-up at the visit's current lr
+    w_s = jnp.ones((1, D), jnp.float32)
+    m_s = jnp.zeros((1, D), jnp.float32)
+    last = jnp.zeros((1,), jnp.int32)
+    idx = jnp.asarray([0], jnp.int32)
+    for t in visits:
+        w_s, m_s, last = sparse_sgd_rows(
+            w_s, m_s, idx, jnp.asarray(grads[t])[None, :],
+            lr=lr_at(t), momentum=mu, weight_decay=0.0, nesterov=False,
+            last_visit=last, step=t,
+        )
+    dev = np.max(np.abs(np.asarray(w_s)[0] - w_d))
+    bound = (lr_old - lr_new) * (mu / (1 - mu)) * np.max(np.abs(m_at_gap_start))
+    assert 0.0 < dev <= bound + 1e-7, (dev, bound)

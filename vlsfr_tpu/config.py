@@ -115,6 +115,10 @@ class PoolConfig:
     # "auto" switches it on once the class axis reaches streaming_threshold
     use_fused: str = "auto"  # auto | on | off
     streaming_threshold: int = 131072
+    # route the fused FFC head through the model-sharded twin composition
+    # (parallel/sharded_twin.py) even when the mesh model axis is 1 —
+    # validates/benches the multi-chip path on a single chip
+    force_sharded: bool = False
     # partial-FC negative sampling (arXiv 2010.05222) for the full_softmax
     # head: fraction of classes in each step's CE denominator (0 = off).
     # Positives are always included.
@@ -125,6 +129,11 @@ class PoolConfig:
     # With the streaming head (sample_rate=0, use_fused), this instead
     # selects the sparse-d_w backward: grads truncated to the
     # sparse_grad_rate most relevant class tiles (ops/margin_pallas.py).
+    # NOTE (measured, docs/PERF.md round-2 addendum): at 1-2M ids prefer
+    # classifier_dtype=bfloat16 + dense streaming instead — it beats the
+    # sparse backward (2129 vs 1986 img/s at 1M) with an exact-up-to-bf16
+    # gradient. sparse_update is the escape hatch for ≥4M-id class axes
+    # where even the bf16 dense d_w store dominates the step.
     sparse_update: bool = False
     # fraction of class tiles kept by the sparse streaming backward
     # (targets + top-k tiles are always kept); the loss itself stays exact

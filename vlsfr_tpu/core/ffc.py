@@ -95,6 +95,7 @@ def directional_loss(
     use_fused: bool = False,
     sharded_loss_fn=None,
     defer_scatter: bool = False,
+    with_acc: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One direction: write gallery embeddings, score probe against both
     queue views, sum the two margin losses (reference ffc.py:180-202).
@@ -127,20 +128,25 @@ def directional_loss(
         # (B rows) — deferred to after the backward when ``defer_scatter``
         # so it runs in place under donation.
         if sharded_loss_fn is not None:
-            loss = sharded_loss_fn(p, queue[0], queue[1], g, rows, cols, seen,
-                                   fake_labels)
+            # full [2, Q, D] queue — the composition's Pallas kernels take
+            # the local [2, Q/m, D] block whole (plane slices at a
+            # custom-call site would materialize [Q/m, D] copies; see
+            # twin_margin._gather_plane)
+            out = sharded_loss_fn(p, queue, g, rows, cols, seen, fake_labels)
         else:
             from vlsfr_tpu.ops.twin_margin import twin_add_margin
 
             # full [2, Q, D] queue — plane slices at the call site would
             # each materialize a [Q, D] copy as custom-call operands (the
             # measured q=4M OOM; see twin_margin._gather_plane)
-            loss = twin_add_margin(p, queue, g, rows, cols, seen,
-                                   fake_labels, **kw)
+            out = twin_add_margin(p, queue, g, rows, cols, seen,
+                                  fake_labels, with_acc=with_acc, **kw)
+        loss, acc = out if with_acc else (out, None)
         if defer_scatter:
-            return loss, (g, rows, cols)
-        new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
-        return loss, new_queue
+            new_queue = (g, rows, cols)
+        else:
+            new_queue = queue.at[rows, cols].set(g.astype(queue.dtype))
+        return (loss, new_queue, acc) if with_acc else (loss, new_queue)
 
     # dense path (small queues): materialized scatter + blend + [B, Q]
     # logits; under a mesh GSPMD shards the einsum (queue columns local)
@@ -153,6 +159,15 @@ def directional_loss(
     cos1 = jnp.einsum("bd,qd->bq", p, new_queue[0], preferred_element_type=jnp.float32)
     cos2 = jnp.einsum("bd,qd->bq", p, weight, preferred_element_type=jnp.float32)
     loss = add_margin(cos1, fake_labels, **kw) + add_margin(cos2, fake_labels, **kw)
+    if with_acc:
+        # top-1 over the materialized view-1 logits (free on this path)
+        pos = fake_labels >= 0
+        gt = jnp.take_along_axis(cos1, jnp.maximum(fake_labels, 0)[:, None],
+                                 axis=1)[:, 0]
+        hit = (gt >= jnp.max(cos1, axis=1)) & pos
+        acc = jnp.sum(hit.astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(pos.astype(jnp.float32)), 1.0)
+        return loss, new_queue, acc
     return loss, new_queue
 
 
@@ -172,7 +187,8 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     else:
         use_fused = cfg.pool.use_fused == "on"
     sharded_loss_fn = None
-    if use_fused and mesh is not None and mesh.shape.get("model", 1) > 1:
+    if use_fused and mesh is not None and (
+            mesh.shape.get("model", 1) > 1 or cfg.pool.force_sharded):
         # sharded twin composition: queue shards stay put, writes applied
         # in-register per shard, collective logsumexp/top-k merges — no
         # scatter copies or blend materialization (parallel/sharded_twin.py)
@@ -185,6 +201,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             scale=cfg.loss.scale,
             hard_neg=hard_neg,
             mask_svfc=cfg.loss.mask_svfc,
+            with_acc=True,
         )
     # every fused path (single-shard twin kernels AND the sharded twin
     # composition) defers the persistence scatter to after the backward
@@ -205,6 +222,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         mask_svfc=cfg.loss.mask_svfc,
         use_fused=use_fused,
         sharded_loss_fn=sharded_loss_fn,
+        with_acc=True,
     )
     m = cfg.pool.momentum
     fuse_fwd = cfg.pool.fuse_forward
@@ -267,7 +285,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
 
             g_yd = jax.lax.stop_gradient(g_y)
             g_xd = jax.lax.stop_gradient(g_x)
-            loss_a, loss_b = quad_add_margin(
+            (loss_a, loss_b), train_acc = quad_add_margin(
                 p_x, p_y, state.queue, g_yd, g_xd,
                 (idx.a.rows, idx.a.cols, idx.a.seen),
                 (idx.b.rows, idx.b.cols, idx.b.seen),
@@ -275,25 +293,30 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                 loss_type=loss_kw["loss_type"], margin=loss_kw["margin"],
                 scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
                 mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
+                with_acc=True,
             )
             new_queue = (g_xd, idx.b.rows, idx.b.cols)
         else:
             # direction A (the reference's rollback pass): functional,
             # discarded
-            loss_a, _ = directional_loss(
+            loss_a, _, acc_a = directional_loss(
                 p_x, g_y, state.queue, idx.a.rows, idx.a.cols, idx.a.seen,
                 idx.a.fake_labels, defer_scatter=fused_defer, **loss_kw,
             )
             # direction B: persists (as the deferred write plan when fused)
-            loss_b, new_queue = directional_loss(
+            loss_b, new_queue, acc_b = directional_loss(
                 p_y, g_x, state.queue, idx.b.rows, idx.b.cols, idx.b.seen,
                 idx.b.fake_labels, defer_scatter=fused_defer, **loss_kw,
             )
+            train_acc = (acc_a + acc_b) / 2
         loss = loss_a + loss_b
         metrics = {
             "loss": loss,
             "loss_dir_a": loss_a,
             "loss_dir_b": loss_b,
+            # streaming top-1 over in-pool rows (view 1) — free from the
+            # twin/quad kernels' running top-k (round-2 verdict item 6)
+            "train_acc": train_acc,
             "pool_hit_rate": (jnp.mean(idx.a.seen) + jnp.mean(idx.b.seen)) / 2,
             "outlier_frac": jnp.mean((idx.a.fake_labels < 0).astype(jnp.float32)),
         }

@@ -133,6 +133,20 @@ def _pad_classes(w, c, tile):
     return w, (c + pad) // tile
 
 
+def _fit_tile(c, tile):
+    """Largest 128-multiple ≤ ``tile`` that divides the class axis ``c``.
+
+    The VMEM clamps can return a tile that no longer divides c for
+    non-default (b, d) combos; _pad_classes/_pad_queue would then
+    CONCATENATE the whole weight/queue array to pad the class axis — a
+    multi-GB silent copy per fwd and bwd. Small/odd class counts (no
+    128-multiple divisor) keep the clamp: their pad copy is cheap."""
+    for t in range(tile // 128 * 128, 0, -128):
+        if c % t == 0:
+            return t
+    return tile
+
+
 def _stream_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k, mask_svfc,
                 normalize_w, tile, with_stats=False):
     b, d = emb.shape
@@ -269,7 +283,7 @@ def _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_type, margi
 
 
 def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
-                     with_stats=False, mxu_bf16=False):
+                     with_stats=False, mxu_bf16=False, partial_out=False):
     def kernel(labels_ref, gt_ref, emb_ref, w_ref,
                ce_ref, neg_ref, logz_ref, topk_ref,
                *stats_and_scratch):
@@ -344,6 +358,13 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
 
         @pl.when(t == n_t - 1)
         def _finalize():
+            if partial_out:
+                # per-shard partials (parallel/sharded_margin.py): the raw
+                # online-softmax state rides the (ce, neg) output slots
+                ce_ref[:] = m_scr[:]
+                neg_ref[:] = s_scr[:]
+                topk_ref[:] = topk_scr[:]
+                return
             logz = m_scr[:] + jnp.log(s_scr[:])
             phi = _phi_target(gt, loss_type, margin, mask_svfc)
             pos = labels >= 0
@@ -372,7 +393,7 @@ def pallas_margin_ce_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k,
     # clamp tile so the double-buffered w_tile + the [B, tile] working set
     # fit the VMEM budget
     max_tile = max(256, int((11 * 2**20) // (8 * d + 24 * b)) // 128 * 128)
-    tile = min(tile, max_tile)
+    tile = _fit_tile(c, min(tile, max_tile))
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                               mask_svfc, normalize_w, with_stats=with_stats,
@@ -542,7 +563,7 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
     # emitted) the d_w tile output, plus ~6 [B, tile] f32 working buffers
     w_bufs = 16 if grad_w else 8
     max_tile = max(256, int((11 * 2**20) // (w_bufs * d + 24 * b)) // 128 * 128)
-    tile = min(tile, max_tile)
+    tile = _fit_tile(c, min(tile, max_tile))
     wp, n_tiles = _pad_classes(w, c, tile)
     kernel = _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                               mask_svfc, normalize_w, emit_dw=grad_w,
@@ -613,6 +634,120 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
         d_wl = d_wln
     d_w = d_w.at[safe].add(d_wl)
     return d_emb.astype(emb.dtype), d_w.astype(w.dtype)
+
+
+# ======================================================================
+# per-shard partial kernels (parallel/sharded_margin.py's hot path)
+# ======================================================================
+#
+# The model-sharded streaming softmax splits the class weights row-wise
+# over the mesh "model" axis. Each shard streams its local [C/m, D] block
+# with these kernels; the composition merges the per-shard online-softmax
+# states with pmax/psum/all_gather and applies the owner-shard gt tail.
+# ``labels`` arrive localized (-1 for rows owned elsewhere or outliers);
+# ``gt``/``logz``/``kth`` are GLOBAL (already collective-merged).
+
+
+def pallas_margin_partial_fwd(emb, w, local_labels, gt, *, loss_type, margin,
+                              scale, k, mask_svfc, normalize_w, tile=512,
+                              interpret=False):
+    """One shard's streaming forward partials: (m [B], s [B], topk [B, k])."""
+    b, d = emb.shape
+    c = w.shape[0]
+    max_tile = max(256, int((11 * 2**20) // (8 * d + 24 * b)) // 128 * 128)
+    tile = _fit_tile(c, min(tile, max_tile))
+    wp, n_tiles = _pad_classes(w, c, tile)
+    kernel = _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                              mask_svfc, normalize_w, partial_out=True,
+                              mxu_bf16=w.dtype == jnp.bfloat16)
+
+    def adapter(labels_ref, gt_ref, emb_ref, w_ref, m_ref, s_ref, topk_ref,
+                *scratch):
+        kernel(labels_ref, gt_ref, emb_ref, w_ref,
+               m_ref, s_ref, None, topk_ref, *scratch)
+
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    m, s, topk = pl.pallas_call(
+        adapter,
+        grid=(n_tiles,),
+        in_specs=[
+            bspec, bspec,
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[bspec, bspec,
+                   pl.BlockSpec((b, k), lambda t: (0, 0), memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(local_labels.astype(jnp.int32)[:, None], gt[:, None].astype(jnp.float32),
+      emb.astype(jnp.float32), wp)
+    return m[:, 0], s[:, 0], topk
+
+
+def pallas_margin_partial_bwd(emb, w, local_labels, gt, logz, kth, d_ce, d_neg,
+                              *, loss_type, margin, scale, k, mask_svfc,
+                              normalize_w, tile=512, interpret=False,
+                              grad_w=True):
+    """One shard's streaming backward against GLOBAL (gt, logz, kth):
+    (d_emb_partial, d_w_local_or_None, d_gt_raw).
+
+    No gt tail here — the composition psums d_gt_raw over "model", applies
+    φ'(gt), and routes the owner-shard label-row terms itself. The caller
+    must pre-mask d_ce/d_neg with the GLOBAL pos/outlier split."""
+    b, d = emb.shape
+    c = w.shape[0]
+    w_bufs = 16 if grad_w else 8
+    max_tile = max(256, int((11 * 2**20) // (w_bufs * d + 24 * b)) // 128 * 128)
+    tile = _fit_tile(c, min(tile, max_tile))
+    wp, n_tiles = _pad_classes(w, c, tile)
+    kernel = _make_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                              mask_svfc, normalize_w, emit_dw=grad_w,
+                              mxu_bf16=w.dtype == jnp.bfloat16)
+    vec = lambda x: x[:, None].astype(jnp.float32)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        bspec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    ]
+    if grad_w:
+        out_specs = [
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ] + out_specs
+        out_shape = [jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32)] + out_shape
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[bspec] * 6 + [
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(local_labels.astype(jnp.int32)[:, None], vec(gt), vec(logz), vec(kth),
+      vec(d_ce), vec(d_neg), emb.astype(jnp.float32), wp)
+    if grad_w:
+        dw_p, d_emb, d_gt = out
+        return d_emb, dw_p[:c], d_gt[:, 0]
+    d_emb, d_gt = out
+    return d_emb, None, d_gt[:, 0]
 
 
 # ======================================================================

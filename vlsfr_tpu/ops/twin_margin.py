@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vlsfr_tpu.ops.margin_pallas import (
     KTH_TIE_TOL,
     NEG_INF,
+    _fit_tile,
     _mxu_pair,
     _pad_classes,
     _phi_prime,
@@ -338,8 +339,15 @@ def _twin_tile(b, d, tile):
     return min(tile, max_tile)
 
 
+
+
 def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                          mxu_bf16=False):
+                          mxu_bf16=False, partial_out=False):
+    """``partial_out`` emits the raw per-shard online-softmax state
+    (m, s, topk) per view instead of the finalized (ce, neg, logz, topk) —
+    the model-sharded composition (parallel/sharded_twin.py) merges those
+    across shards with pmax/psum/all_gather collectives before finalizing."""
+
     def kernel(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                emb_ref, g_ref, v_ref, w0_ref,
                ce1_ref, neg1_ref, ce2_ref, neg2_ref,
@@ -389,6 +397,12 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
 
             @pl.when(t == n_t - 1)
             def _finalize():
+                if partial_out:
+                    # per-shard partials: (ce1_ref, neg1_ref) carry (m, s)
+                    ce_ref[:] = m_scr[:]
+                    neg_ref[:] = s_scr[:]
+                    topk_ref[:] = topk_scr[:]
+                    return
                 logz = m_scr[:] + jnp.log(s_scr[:])
                 phi = _phi_target(gt, loss_type, margin, mask_svfc)
                 pos = labels >= 0
@@ -443,7 +457,7 @@ def pallas_twin_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
                     interpret=False):
     b, d = emb.shape
     c = queue.shape[1]
-    tile = _twin_tile(b, d, tile)
+    tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                    mxu_bf16=queue.dtype == jnp.bfloat16)
@@ -567,7 +581,7 @@ def pallas_twin_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                     scale, k, mask_svfc, tile=512, interpret=False):
     b, d = emb.shape
     c = queue.shape[1]
-    tile = _twin_tile(b, d, tile)
+    tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                    mxu_bf16=queue.dtype == jnp.bfloat16)
@@ -618,6 +632,133 @@ def pallas_twin_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
 
 
 # ======================================================================
+# per-shard partial kernels (the model-sharded composition's hot path)
+# ======================================================================
+#
+# parallel/sharded_twin.py splits the queue row-wise over the mesh "model"
+# axis. Each shard streams ITS rows with these kernels and the composition
+# merges the per-shard online-softmax states with pmax/psum/all_gather.
+# Inputs arrive pre-localized by the composition:
+#   * q_local  [2, C/m, D] — this shard's queue rows (full local block; the
+#     plane-0 tiles stream via the leading BlockSpec dim, plane 1 is only
+#     touched by the B-row gather the caller did for ``v``);
+#   * lcols    [B] — write columns in LOCAL coordinates, -1 when the write
+#     lands on another shard (never matches a local column);
+#   * labels_l [B] — labels in LOCAL coordinates; -1 global outliers, -2
+#     positives owned by another shard (both never match a local column;
+#     the -1/-2 split keeps the kernels' pos test correct for outliers);
+#   * gt1/gt2, logz, kth — GLOBAL values (already psum/pmax-merged).
+
+
+def pallas_twin_partial_fwd(emb, q_local, v, blend_b, g, rows, lcols, labels_l,
+                            gt1, gt2, *, loss_type, margin, scale, k, mask_svfc,
+                            tile=512, interpret=False, mxu_bf16=False):
+    """One shard's twin forward partials: ((m1, s1, topk1), (m2, s2, topk2)).
+
+    ``v``/``blend_b`` come from twin_write_values on the shard's local q1
+    gather (see parallel/sharded_twin.py:_write_values).
+
+    Under a data axis the write plan (g/rows/lcols/v/blend_b) has the
+    GLOBAL batch length while emb/labels carry the local data shard — the
+    kernel body matches tile columns against the full plan, so the two
+    batch sizes are independent here."""
+    b, d = emb.shape
+    bp = rows.shape[0]  # write-plan length (global batch)
+    c = q_local.shape[1]
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    qp, n_tiles = _pad_queue(q_local, c, tile)
+    kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                   mask_svfc, mxu_bf16=mxu_bf16, partial_out=True)
+
+    def adapter(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
+                emb_ref, g_ref, v_ref, w0_ref,
+                m1_ref, s1_ref, m2_ref, s2_ref, topk1_ref, topk2_ref, *scratch):
+        kernel(labels_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
+               emb_ref, g_ref, v_ref, w0_ref,
+               m1_ref, s1_ref, m2_ref, s2_ref, None, None, topk1_ref, topk2_ref,
+               *scratch)
+
+    vec = lambda x, dt=jnp.float32: x[:, None].astype(dt)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((bp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        adapter,
+        grid=(n_tiles,),
+        in_specs=[bspec] * 3 + [pspec] * 3 + [
+            full((b, d)), full((bp, d)), full((bp, d)),
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[bspec] * 4 + [full((b, k))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels_l.astype(jnp.int32)[:, None], vec(gt1), vec(gt2),
+      rows.astype(jnp.int32)[:, None], lcols.astype(jnp.int32)[:, None],
+      blend_b.astype(jnp.int32)[:, None],
+      emb.astype(jnp.float32), g.astype(jnp.float32), v, qp)
+    m1, s1, m2, s2, topk1, topk2 = out
+    return ((m1[:, 0], s1[:, 0], topk1), (m2[:, 0], s2[:, 0], topk2))
+
+
+def pallas_twin_partial_bwd(emb, q_local, v, blend_b, g, rows, lcols, labels_l,
+                            gt1, gt2, logz1, logz2, kth1, kth2, d1, d2, *,
+                            loss_type, margin, scale, k, mask_svfc, tile=512,
+                            interpret=False, mxu_bf16=False):
+    """One shard's twin backward: (d_emb_partial, dgt1_raw, dgt2_raw).
+
+    Streams only the local plane-0 tiles against the GLOBAL (gt, logz, kth).
+    The φ'(gt) tail and the owner-shard gt-row routing stay in the
+    composition (they need the psum over shards of the raw dgt). The caller
+    must pre-mask the cotangents with the GLOBAL pos/outlier split — the
+    kernel's own pos test sees localized labels."""
+    b, d = emb.shape
+    bp = rows.shape[0]  # write-plan length (global batch)
+    c = q_local.shape[1]
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    qp, n_tiles = _pad_queue(q_local, c, tile)
+    kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                   mask_svfc, mxu_bf16=mxu_bf16)
+    d_ce1, d_neg1 = d1
+    d_ce2, d_neg2 = d2
+    vec = lambda x: x[:, None].astype(jnp.float32)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((bp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    d_emb, dgt1, dgt2 = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[bspec] + [pspec] * 3 + [bspec] * 10 + [
+            full((b, d)), full((bp, d)), full((bp, d)),
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[full((b, d)), bspec, bspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels_l.astype(jnp.int32)[:, None], rows.astype(jnp.int32)[:, None],
+      lcols.astype(jnp.int32)[:, None], blend_b.astype(jnp.int32)[:, None],
+      vec(gt1), vec(gt2), vec(logz1), vec(logz2), vec(kth1), vec(kth2),
+      vec(d_ce1), vec(d_neg1), vec(d_ce2), vec(d_neg2),
+      emb.astype(jnp.float32), g.astype(jnp.float32), v, qp)
+    return d_emb, dgt1[:, 0], dgt2[:, 0]
+
+
+# ======================================================================
 # public custom-VJP op
 # ======================================================================
 
@@ -644,9 +785,16 @@ def _twin_fwd_impl(emb, queue, g, rows, cols, seen, labels, loss_type, margin,
         use_pallas = jax.default_backend() == "tpu"
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, tile=tile)
-    if use_pallas:
-        return pallas_twin_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, **kw)
-    return _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, **kw)
+    fn = pallas_twin_fwd if use_pallas else _twin_stream_fwd
+    out, res = fn(emb, queue, g, rows, cols, seen, labels, gt1, gt2, **kw)
+    # streaming top-1 train accuracy, free from state the forward already
+    # has: the view-1 stream's running top-k is over RAW cosines (target
+    # column included, its raw cosine == gt1), so the target is the
+    # (tied-)max exactly when gt1 >= topk1[0] (reference reports no FFC
+    # train accuracy at all; round-2 verdict item 6)
+    topk1 = res[2]
+    hit1 = ((gt1 + KTH_TIE_TOL >= topk1[:, 0]) & (labels >= 0)).astype(jnp.float32)
+    return out + (hit1,), res
 
 
 def _twin_vjp_fwd(emb, queue, g, rows, cols, seen, labels, loss_type, margin,
@@ -664,7 +812,8 @@ def _twin_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile, use_palla
                   res, cots):
     (emb, queue, g, rows, cols, seen, labels,
      gt1, gt2, logz1, logz2, topk1, topk2) = res
-    d_ce1, d_neg1, d_ce2, d_neg2 = cots
+    # the 5th output (hit indicator) is piecewise-constant: zero gradient
+    d_ce1, d_neg1, d_ce2, d_neg2, _d_hit = cots
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
@@ -683,13 +832,14 @@ fused_twin_margin.defvjp(_twin_vjp_fwd, _twin_vjp_bwd)
 
 def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
                     margin=0.5, scale=32.0, hard_neg=10, mask_svfc=1.2,
-                    tile=512, use_pallas="auto"):
+                    tile=512, use_pallas="auto", with_acc=False):
     """Scalar loss = add_margin(view1) + add_margin(view2) — the exact
     reduction of the FFC directional loss (core/ffc.py directional_loss),
     both views streamed in one fused pass with in-register queue writes.
     ``queue`` is the FULL [2, Q, D] array — never slice the planes at the
-    call site (see _gather_plane)."""
-    ce1, neg1, ce2, neg2 = fused_twin_margin(
+    call site (see _gather_plane). ``with_acc`` also returns the streaming
+    top-1 accuracy over in-pool rows (view 1)."""
+    ce1, neg1, ce2, neg2, hit1 = fused_twin_margin(
         emb, queue, g, rows, cols, seen, labels, loss_type, margin, scale,
         hard_neg, mask_svfc, tile, use_pallas,
     )
@@ -704,7 +854,10 @@ def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
         ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
         return cls + ngl
 
-    return reduce(ce1, neg1) + reduce(ce2, neg2)
+    loss = reduce(ce1, neg1) + reduce(ce2, neg2)
+    if with_acc:
+        return loss, jnp.sum(hit1) / n_pos
+    return loss
 
 
 # ======================================================================
@@ -969,7 +1122,7 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     interpret=False):
     b, d = emb_x.shape
     c = queue.shape[1]
-    tile = _twin_tile(b, d, tile)
+    tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16)
@@ -1016,7 +1169,7 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     tile=512, interpret=False):
     b, d = emb_x.shape
     c = queue.shape[1]
-    tile = _twin_tile(b, d, tile)
+    tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16)
@@ -1110,18 +1263,26 @@ def _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, tile=tile)
     if use_pallas:
-        return pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b,
-                               (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
-                               labels_a, labels_b, gts_a, gts_b, **kw)
-    # scan fallback: two independent twin streams (CPU path — no fusion win)
-    out_a, res_a = _twin_stream_fwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
-                                    labels_a, *gts_a, **kw)
-    out_b, res_b = _twin_stream_fwd(emb_y, queue, g_b, rows_b, cols_b, seen_b,
-                                    labels_b, *gts_b, **kw)
-    logz1a, logz2a, topk1a, topk2a = res_a
-    logz1b, logz2b, topk1b, topk2b = res_b
-    return (out_a + out_b,
-            (logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b))
+        out, res = pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b,
+                                   (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
+                                   labels_a, labels_b, gts_a, gts_b, **kw)
+    else:
+        # scan fallback: two independent twin streams (CPU path — no fusion win)
+        out_a, res_a = _twin_stream_fwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
+                                        labels_a, *gts_a, **kw)
+        out_b, res_b = _twin_stream_fwd(emb_y, queue, g_b, rows_b, cols_b, seen_b,
+                                        labels_b, *gts_b, **kw)
+        logz1a, logz2a, topk1a, topk2a = res_a
+        logz1b, logz2b, topk1b, topk2b = res_b
+        out = out_a + out_b
+        res = (logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b)
+    # streaming top-1 hits per direction (view 1) — see _twin_fwd_impl
+    topk1a, topk1b = res[4], res[6]
+    hit_a = ((gts_a[0] + KTH_TIE_TOL >= topk1a[:, 0])
+             & (labels_a >= 0)).astype(jnp.float32)
+    hit_b = ((gts_b[0] + KTH_TIE_TOL >= topk1b[:, 0])
+             & (labels_b >= 0)).astype(jnp.float32)
+    return out + (hit_a, hit_b), res
 
 
 def _quad_vjp_fwd(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
@@ -1145,7 +1306,7 @@ def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
     (emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
      rows_b, cols_b, seen_b, labels_a, labels_b, gts, logzs, topks) = res
     (d_ce1a, d_neg1a, d_ce2a, d_neg2a,
-     d_ce1b, d_neg1b, d_ce2b, d_neg2b) = cots
+     d_ce1b, d_neg1b, d_ce2b, d_neg2b, _d_hit_a, _d_hit_b) = cots
     gts_a, gts_b = gts
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
@@ -1179,17 +1340,18 @@ fused_quad_margin.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)
 def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, *, loss_type="Arc", margin=0.5,
                     scale=32.0, hard_neg=10, mask_svfc=1.2, tile=512,
-                    use_pallas="auto"):
+                    use_pallas="auto", with_acc=False):
     """(loss_a, loss_b): both FFC directional losses with ONE streaming
     pass over q0 per fwd/bwd (the reduction of each direction matches
-    twin_add_margin exactly)."""
+    twin_add_margin exactly). ``with_acc`` also returns the combined
+    streaming top-1 accuracy over both directions' in-pool rows."""
     rows_a, cols_a, seen_a = plan_a
     rows_b, cols_b, seen_b = plan_b
     out = fused_quad_margin(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
                             seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                             loss_type, margin, scale, hard_neg, mask_svfc,
                             tile, use_pallas)
-    ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b = out
+    ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b, hit_a, hit_b = out
 
     def reduce_dir(ce1, neg1, ce2, neg2, labels):
         pos = (labels >= 0).astype(jnp.float32)
@@ -1205,8 +1367,13 @@ def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
 
         return reduce(ce1, neg1) + reduce(ce2, neg2)
 
-    return (reduce_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
-            reduce_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
+    losses = (reduce_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
+              reduce_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
+    if with_acc:
+        n_pos = jnp.maximum(jnp.sum((labels_a >= 0).astype(jnp.float32))
+                            + jnp.sum((labels_b >= 0).astype(jnp.float32)), 1.0)
+        return losses, (jnp.sum(hit_a) + jnp.sum(hit_b)) / n_pos
+    return losses
 
 
 # ----------------------------------------------------------------------

@@ -9,7 +9,11 @@ Composes the two big-class-axis strategies (SURVEY.md §7 hard part 3):
   nor the per-shard logits ever materialize.
 
 Built with ``shard_map`` + an inner ``custom_vjp`` whose forward AND
-backward issue the collectives explicitly:
+backward issue the collectives explicitly. On TPU the per-shard streams run
+the Pallas kernels (ops/margin_pallas.py pallas_margin_partial_fwd/bwd —
+same kernels as the single-chip path, finalization deferred to the
+collective merge); the ``lax.scan`` bodies below are the non-TPU fallback
+(use_pallas="auto" selects by backend):
 
   forward:  local (m, s, topk, gt) partials
             → pmax/psum over "model" for the global logsumexp
@@ -35,11 +39,14 @@ from jax.sharding import PartitionSpec as P
 from vlsfr_tpu.ops.margin_pallas import (
     KTH_TIE_TOL,
     NEG_INF,
+    _mxu_pair,
     _normalize_rows,
     _pad_classes,
     _phi_prime,
     _phi_target,
     _tile_modified,
+    pallas_margin_partial_bwd,
+    pallas_margin_partial_fwd,
 )
 
 AXIS = "model"
@@ -47,9 +54,13 @@ AXIS = "model"
 
 def _local_partials(emb32, w, local_labels, gt, *, loss_type, margin, mask_svfc,
                     scale, k, normalize_w, tile):
-    """Stream the local weight shard: returns (m, s, topk_raw)."""
+    """Stream the local weight shard: returns (m, s, topk_raw).
+
+    Scan fallback for non-TPU backends — the TPU path is
+    pallas_margin_partial_fwd (identical math, kernel-fused)."""
     b, d = emb32.shape
     c = w.shape[0]
+    mxu_bf16 = w.dtype == jnp.bfloat16
     wp, n_tiles = _pad_classes(w, c, tile)
     wt = wp.reshape(n_tiles, tile, d)
     gt_col = gt[:, None]
@@ -58,7 +69,8 @@ def _local_partials(emb32, w, local_labels, gt, *, loss_type, margin, mask_svfc,
         m_run, s_run, topk = carry
         w_tile, t = w_tile_idx
         wn = _normalize_rows(w_tile) if normalize_w else w_tile.astype(jnp.float32)
-        cos = emb32 @ wn.T
+        e_op, w_op = _mxu_pair(emb32, wn, mxu_bf16)
+        cos = jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
         cos = jnp.where(valid, cos, NEG_INF)
@@ -78,7 +90,8 @@ def _local_partials(emb32, w, local_labels, gt, *, loss_type, margin, mask_svfc,
 
 def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                                 hard_neg=10, mask_svfc=1.2, normalize_w=True,
-                                tile=512, data_axis="data", grad_w=True):
+                                tile=512, data_axis="data", grad_w=True,
+                                use_pallas="auto", interpret=False):
     """Returns loss_fn(emb, w, labels) -> (loss, metrics).
 
     emb [B, D] sharded P(data, None); w [C, D] sharded P(model, None);
@@ -88,9 +101,14 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
     skips the per-shard d_w computation entirely — the backward then only
     re-streams tiles for d_emb, halving its HBM traffic and dropping the
     [C/m, D] gradient store.
+
+    ``use_pallas``: "auto" routes per-shard streams through the Pallas
+    kernels on TPU and the scan bodies elsewhere; True/False force.
     """
     kw = dict(loss_type=loss_type, margin=margin, mask_svfc=mask_svfc, scale=scale,
               k=hard_neg, normalize_w=normalize_w, tile=tile)
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
 
     @partial(jax.custom_vjp)
     def shard_loss(emb_l, w_l, labels_l):
@@ -117,7 +135,11 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
 
     def _shard_fwd(emb_l, w_l, labels_l):
         emb32, ll, owned, gt = _gt_and_locals(emb_l, w_l, labels_l)
-        m_l, s_l, topk_l = _local_partials(emb32, w_l, ll, gt, **kw)
+        if use_pallas:
+            m_l, s_l, topk_l = pallas_margin_partial_fwd(
+                emb32, w_l, ll, gt, interpret=interpret, **kw)
+        else:
+            m_l, s_l, topk_l = _local_partials(emb32, w_l, ll, gt, **kw)
         gmax = jax.lax.pmax(m_l, AXIS)
         s = jax.lax.psum(s_l * jnp.exp(m_l - gmax), AXIS)
         logz = gmax + jnp.log(s)
@@ -150,6 +172,14 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
         kth = topk[:, -1][:, None]
         gt_col = gt[:, None]
         k = kw["k"]
+        mxu_bf16 = w_l.dtype == jnp.bfloat16
+
+        if use_pallas:
+            d_emb, d_w, d_gt_raw = pallas_margin_partial_bwd(
+                emb32, w_l, ll, gt, logz, topk[:, -1], d_ce, d_neg,
+                interpret=interpret, grad_w=grad_w, **kw)
+            return _bwd_tail(emb_l, w_l, emb32, ll, owned, pos, gt, d_emb,
+                             d_w, d_gt_raw)
 
         wp, n_tiles = _pad_classes(w_l, c_local, tile)
         wt = wp.reshape(n_tiles, tile, d)
@@ -157,7 +187,8 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
         def body(d_emb, w_tile_idx):
             w_tile, t = w_tile_idx
             wn = _normalize_rows(w_tile) if normalize_w else w_tile.astype(jnp.float32)
-            cos = emb32 @ wn.T
+            e_op, w_op = _mxu_pair(emb32, wn, mxu_bf16)
+            cos = jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
             col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
             valid = col < c_local
             cos_v = jnp.where(valid, cos, NEG_INF)
@@ -193,12 +224,14 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
             body, d_emb0, (wt, jnp.arange(n_tiles))
         )
         d_w = d_w_tiles.reshape(-1, d)[:c_local] if grad_w else None
+        return _bwd_tail(emb_l, w_l, emb32, ll, owned, pos, gt, d_emb, d_w,
+                         jnp.sum(d_gt_parts, axis=0))
+
+    def _bwd_tail(emb_l, w_l, emb32, ll, owned, pos, gt, d_emb, d_w, d_gt_raw):
         # the target column lives on exactly one shard; its dz was only
         # produced there, but φ'(gt) routing and the gt-gather grads apply
         # globally — psum the scalar then apply the gather path locally
-        d_gt = jax.lax.psum(jnp.sum(d_gt_parts, axis=0), AXIS) * _phi_prime(
-            gt, loss_type, margin
-        )
+        d_gt = jax.lax.psum(d_gt_raw, AXIS) * _phi_prime(gt, loss_type, margin)
         safe = jnp.maximum(ll, 0)
         wl = w_l[safe].astype(jnp.float32)
         wln = _normalize_rows(wl) if normalize_w else wl

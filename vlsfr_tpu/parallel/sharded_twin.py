@@ -7,29 +7,37 @@ queue is read once per pass with no scattered copy and no blended [Q, D]
 copy. This module lifts that composition onto a device mesh
 (reference ffc.py:180-202 semantics; BASELINE config 5 scale):
 
-* queue rows [2, Q, D] split row-wise over the mesh ``model`` axis;
+* queue [2, Q, D] split row-wise over the mesh ``model`` axis (spec
+  P(None, "model", None)) — each shard holds [2, Q/m, D] and passes its
+  FULL local block to the Pallas kernels (plane-0 tiles stream through a
+  leading BlockSpec dim; plane 1 is only ever a B-row gather — slicing a
+  plane at a custom-call site would materialize a [Q/m, D] copy);
 * the write plan (g, rows, cols, seen) is replicated — every shard applies
-  the writes that land in its slot range in-register (global slot ids make
-  the range test implicit: a write whose ``col`` lies outside the shard
-  never matches a local column);
-* per-view online-logsumexp partials merge with ``pmax``/``psum`` over
-  "model"; the hard-negative top-k merges with ``all_gather`` + ``top_k``;
+  the writes that land in its slot range in-register (writes are localized
+  to shard coordinates; out-of-shard writes get column -1, which never
+  matches a local column);
+* per shard, the twin PARTIAL kernels (ops/twin_margin.py
+  pallas_twin_partial_fwd/bwd) stream the local tiles emitting the raw
+  online-softmax state (m, s, topk) per view / the local d_emb partial;
+  on non-TPU backends a `lax.scan` jnp body computes the same partials
+  (the CPU-mesh test fallback — selected by backend);
+* the per-view partials merge with ``pmax``/``psum`` over "model"; the
+  hard-negative top-k merges with ``all_gather`` + ``top_k``;
 * the backward re-streams local tiles against the global (logz, gt, kth)
   and returns a LOCAL d_emb partial — shard_map's transpose psums it over
   "model". The queue is a stop-gradient constant (no d_w at all);
 * queue row 1 is NEVER streamed: view 2 differs from view 1 only at this
   step's ≤B written slots, so its values come from a B-row gather of q1
   plus the write plan (``_write_values``) — per direction each shard reads
-  q0 once forward + once backward and exactly B rows of q1.
+  its q0 rows once forward + once backward and exactly B rows of q1.
 
-vs the previous sharded FFC composition (two scatter copies + a
-materialized [Q_local, D] blend + two streaming passes per direction,
-core/ffc.py round-1): per direction this reads each queue shard once
-forward + once backward and materializes nothing, and the direction-B
-persistence scatter is deferred to after the backward (core/ffc.py).
+bf16 queues select the bf16 MXU path inside the kernels AND the scan body
+(``_mxu_pair``): the dots run at the MXU's native bf16 rate with f32
+accumulate, same as the single-shard ladder.
 
 Loss/grad parity with the single-shard twin op is tested on the 8-device
-CPU mesh in tests/test_sharded_twin.py.
+CPU mesh in tests/test_sharded_twin.py (scan), and scan==pallas per-shard
+equivalence via interpret mode in tests/test_sharded_twin_pallas.py.
 """
 
 from __future__ import annotations
@@ -39,7 +47,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from vlsfr_tpu.ops.margin_pallas import (
+    KTH_TIE_TOL,
     NEG_INF,
+    _mxu_pair,
     _pad_classes,
     _phi_prime,
     _phi_target,
@@ -47,8 +57,11 @@ from vlsfr_tpu.ops.margin_pallas import (
 )
 from vlsfr_tpu.ops.twin_margin import (
     _effective_views,
+    _gather_plane,
     _view_dcos,
     effective_tile_views,
+    pallas_twin_partial_bwd,
+    pallas_twin_partial_fwd,
     twin_write_values,
 )
 
@@ -57,72 +70,81 @@ AXIS = "model"
 
 def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                            hard_neg=10, mask_svfc=1.2, tile=512,
-                           data_axis="data"):
-    """Returns loss_fn(emb, q0, q1, g, rows, cols, seen, labels) -> loss.
+                           data_axis="data", use_pallas="auto",
+                           interpret=False, with_acc=False):
+    """Returns loss_fn(emb, queue, g, rows, cols, seen, labels) -> loss.
 
-    emb [B, D] P(data, None); q0/q1 [Q, D] P(model, None) (Q divisible by
-    the model-axis size); g [B, D], rows/cols/seen [B] replicated write
-    plan; labels [B] P(data) — global slot ids or -1 for outliers.
-    Differentiable w.r.t. ``emb`` only (queue and gallery embeddings are
-    stop-gradient constants in FFC). The scalar reduction matches
-    ops/twin_margin.twin_add_margin.
+    emb [B, D] P(data, None); queue [2, Q, D] P(None, model, None) (Q
+    divisible by the model-axis size); g [B, D], rows/cols/seen [B]
+    replicated write plan; labels [B] P(data) — global slot ids or -1 for
+    outliers. Differentiable w.r.t. ``emb`` only (queue and gallery
+    embeddings are stop-gradient constants in FFC). The scalar reduction
+    matches ops/twin_margin.twin_add_margin.
+
+    ``use_pallas``: "auto" routes per-shard streams through the Pallas
+    partial kernels on TPU and the scan body elsewhere; True/False force.
     """
     k = hard_neg
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
 
     @jax.custom_vjp
-    def shard_loss(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
-        out, _ = _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l)
+    def shard_loss(emb_l, q_l, g, rows, cols, seen, labels_l):
+        out, _ = _shard_fwd(emb_l, q_l, g, rows, cols, seen, labels_l)
         return out
 
     def _carriers(g, rows, cols, seen):
         return (g.astype(jnp.float32), rows.astype(jnp.int32),
                 cols.astype(jnp.int32), seen.astype(jnp.float32))
 
-    def _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i, seen_f, labels_l):
-        """Effective-view target cosines: the owner shard gathers its label
-        rows, applies the in-register write/blend, psum combines."""
-        c_local = q0_l.shape[0]
+    def _localize(q_l, cols_i, labels_l):
+        """Shard-local coordinates: write columns (-1 = other shard) and
+        labels (-1 = global outlier, -2 = positive owned by another shard —
+        the split keeps the kernels' pos test right for outliers)."""
+        c_local = q_l.shape[1]
         c0 = jax.lax.axis_index(AXIS) * c_local
+        lcol = cols_i - c0
+        in_range = (lcol >= 0) & (lcol < c_local)
+        lcol = jnp.where(in_range, lcol, -1)
         ll = labels_l - c0
         owned = (ll >= 0) & (ll < c_local)
+        ll = jnp.where(labels_l < 0, -1, jnp.where(owned, ll, -2))
+        return c0, c_local, lcol, in_range, ll, owned
+
+    def _gts(emb32, q_l, g32, rows_i, cols_i, seen_f, labels_l, owned, ll):
+        """Effective-view target cosines: the owner shard gathers its label
+        rows, applies the in-register write/blend, psum combines."""
         safe = jnp.where(owned, ll, 0)
-        r0 = q0_l[safe].astype(jnp.float32)
-        r1 = q1_l[safe].astype(jnp.float32)
+        r0 = _gather_plane(q_l, 0, safe).astype(jnp.float32)
+        r1 = _gather_plane(q_l, 1, safe).astype(jnp.float32)
         # global slot ids for the gathered rows → write matching stays global
         gids = jnp.where(owned, labels_l, -1).astype(jnp.int32)
         r0e, rbe = _effective_views(r0, r1, gids, g32, rows_i, cols_i, seen_f)
         gt1 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * r0e, axis=-1), 0.0), AXIS)
         gt2 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * rbe, axis=-1), 0.0), AXIS)
-        return gt1, gt2, owned, r0e, rbe
+        return gt1, gt2, r0e, rbe
 
-    def _tiles(q0_l):
-        c_local, d = q0_l.shape
-        q0p, n_tiles = _pad_classes(q0_l, c_local, tile)
-        return q0p.reshape(n_tiles, tile, d), n_tiles, c_local
-
-    def _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local):
+    def _write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range):
         """Local-range q1 gather + shared twin_write_values
         (ops/twin_margin.py): out-of-shard entries gather row 0 — never
-        selected, because no local column matches their slot."""
-        lcol = cols_i - c0
-        in_range = (lcol >= 0) & (lcol < c_local)
-        q1_rows = q1_l[jnp.where(in_range, lcol, 0)]
+        selected, because no local column matches their slot. The same-slot
+        structure inside twin_write_values uses GLOBAL columns (exact)."""
+        q1_rows = _gather_plane(q_l, 1, jnp.where(in_range, lcol, 0))
         return twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f)
 
-    def _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
-        b = emb_l.shape[0]
-        emb32 = emb_l.astype(jnp.float32)
-        g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
-        gt1, gt2, _, _, _ = _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i,
-                                 seen_f, labels_l)
-        w0s, n_tiles, c_local = _tiles(q0_l)
-        c0 = jax.lax.axis_index(AXIS) * c_local
-        v, blend_b = _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local)
+    def _scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b, labels_l_loc,
+                       gt1, gt2, c_local, mxu_bf16):
+        """Non-TPU fallback: same per-shard partials as the Pallas forward,
+        as a lax.scan over local plane-0 tiles."""
+        b = emb32.shape[0]
+        q0p, n_tiles = _pad_classes(q_l[0], c_local, tile)
+        w0s = q0p.reshape(n_tiles, tile, -1)
+        lab2 = labels_l_loc[:, None]
 
-        def one_view(carry, cos, col_g, valid, gt_col):
+        def one_view(carry, cos, col, valid, gt_col):
             m_run, s_run, topk = carry
             cos = jnp.where(valid, cos, NEG_INF)
-            is_target = col_g == labels_l[:, None]
+            is_target = col == lab2
             mod = _tile_modified(cos, is_target, gt_col, valid, loss_type,
                                  margin, mask_svfc)
             z = scale * mod
@@ -135,20 +157,46 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         def body(carry, wt):
             c1, c2 = carry
             w0_t, t = wt
-            col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-            valid = col_l < c_local
-            col_g = c0 + col_l
-            w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col_g[0],
-                                                 g32, rows_i, cols_i, v, blend_b)
-            c1 = one_view(c1, emb32 @ w0e.T, col_g, valid, gt1[:, None])
-            c2 = one_view(c2, emb32 @ wbe.T, col_g, valid, gt2[:, None])
+            col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+            valid = col < c_local
+            w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col[0],
+                                            g32, rows_i, lcol, v, blend_b,
+                                            mxu_bf16=mxu_bf16)
+            e1, w1 = _mxu_pair(emb32, w0e, mxu_bf16)
+            _, w2 = _mxu_pair(emb32, wbe, mxu_bf16)
+            cos1 = jnp.dot(e1, w1.T, preferred_element_type=jnp.float32)
+            cos2 = jnp.dot(e1, w2.T, preferred_element_type=jnp.float32)
+            c1 = one_view(c1, cos1, col, valid, gt1[:, None])
+            c2 = one_view(c2, cos2, col, valid, gt2[:, None])
             return (c1, c2), None
 
         init = lambda: (jnp.full((b,), NEG_INF, jnp.float32),  # noqa: E731
                         jnp.zeros((b,), jnp.float32),
                         jnp.full((b, k), NEG_INF, jnp.float32))
-        ((m1, s1, t1), (m2, s2, t2)), _ = jax.lax.scan(
-            body, (init(), init()), (w0s, jnp.arange(n_tiles)))
+        (p1, p2), _ = jax.lax.scan(body, (init(), init()),
+                                   (w0s, jnp.arange(n_tiles)))
+        return p1, p2
+
+    def _shard_fwd(emb_l, q_l, g, rows, cols, seen, labels_l):
+        b = emb_l.shape[0]
+        mxu_bf16 = q_l.dtype == jnp.bfloat16
+        emb32 = emb_l.astype(jnp.float32)
+        g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
+        c0, c_local, lcol, in_range, ll, owned = _localize(q_l, cols_i, labels_l)
+        gt1, gt2, _, _ = _gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
+                              labels_l, owned, ll)
+        v, blend_b = _write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range)
+
+        kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
+                  mask_svfc=mask_svfc, tile=tile)
+        if use_pallas:
+            p1, p2 = pallas_twin_partial_fwd(
+                emb32, q_l, v, blend_b, g32, rows_i, lcol, ll, gt1, gt2,
+                interpret=interpret, mxu_bf16=mxu_bf16, **kw)
+        else:
+            p1, p2 = _scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b,
+                                    ll, gt1, gt2, c_local, mxu_bf16)
+        (m1, s1, t1), (m2, s2, t2) = p1, p2
 
         pos = labels_l >= 0
 
@@ -166,89 +214,105 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
 
         ce1, neg1, logz1, topk1 = merge(m1, s1, t1, gt1)
         ce2, neg2, logz2, topk2 = merge(m2, s2, t2, gt2)
-        return ((ce1, neg1, ce2, neg2),
-                (emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l,
+        # streaming top-1 hit per row (view 1, global top-k) — the sharded
+        # twin train accuracy (ops/twin_margin._twin_fwd_impl)
+        hit1 = ((gt1 + KTH_TIE_TOL >= topk1[:, 0]) & pos).astype(jnp.float32)
+        return ((ce1, neg1, ce2, neg2, hit1),
+                (emb_l, q_l, g, rows, cols, seen, labels_l,
                  gt1, gt2, logz1, logz2, topk1, topk2))
 
     def _shard_bwd(res, cots):
-        (emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l,
+        (emb_l, q_l, g, rows, cols, seen, labels_l,
          gt1, gt2, logz1, logz2, topk1, topk2) = res
-        d_ce1, d_neg1, d_ce2, d_neg2 = cots
+        d_ce1, d_neg1, d_ce2, d_neg2, _d_hit = cots
         b, d = emb_l.shape
+        mxu_bf16 = q_l.dtype == jnp.bfloat16
         emb32 = emb_l.astype(jnp.float32)
         g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
+        c0, c_local, lcol, in_range, ll, owned = _localize(q_l, cols_i, labels_l)
         pos = labels_l >= 0
         pos2 = pos[:, None]
         # replicated-over-model outputs: shard_map's transpose splits their
         # cotangents across the model shards — reassemble, then return LOCAL
         # partials and let the transpose psum d_emb over "model"
         # (same contract as parallel/sharded_margin.py).
-        d_ce1 = jnp.where(pos, jax.lax.psum(d_ce1, AXIS), 0.0)[:, None]
-        d_ce2 = jnp.where(pos, jax.lax.psum(d_ce2, AXIS), 0.0)[:, None]
-        d_neg1 = jnp.where(pos, 0.0, jax.lax.psum(d_neg1, AXIS))[:, None]
-        d_neg2 = jnp.where(pos, 0.0, jax.lax.psum(d_neg2, AXIS))[:, None]
-        kth1 = topk1[:, -1][:, None]
-        kth2 = topk2[:, -1][:, None]
+        d_ce1 = jnp.where(pos, jax.lax.psum(d_ce1, AXIS), 0.0)
+        d_ce2 = jnp.where(pos, jax.lax.psum(d_ce2, AXIS), 0.0)
+        d_neg1 = jnp.where(pos, 0.0, jax.lax.psum(d_neg1, AXIS))
+        d_neg2 = jnp.where(pos, 0.0, jax.lax.psum(d_neg2, AXIS))
+        kth1 = topk1[:, -1]
+        kth2 = topk2[:, -1]
         kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
                   mask_svfc=mask_svfc)
-        lab2 = labels_l[:, None]
-        w0s, n_tiles, c_local = _tiles(q0_l)
-        c0 = jax.lax.axis_index(AXIS) * c_local
-        v, blend_b = _write_values(q1_l, g32, rows_i, cols_i, seen_f, c0, c_local)
+        v, blend_b = _write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range)
 
-        def body(carry, wt):
-            d_emb, dgt1, dgt2 = carry
-            w0_t, t = wt
-            col_l = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-            valid = col_l < c_local
-            col_g = c0 + col_l
-            w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col_g[0],
-                                                 g32, rows_i, cols_i, v, blend_b)
-            dc1, dg1 = _view_dcos(emb32 @ w0e.T, col_g, valid, lab2, pos2,
-                                  gt1[:, None], logz1[:, None], kth1,
-                                  d_ce1, d_neg1, **kw)
-            dc2, dg2 = _view_dcos(emb32 @ wbe.T, col_g, valid, lab2, pos2,
-                                  gt2[:, None], logz2[:, None], kth2,
-                                  d_ce2, d_neg2, **kw)
-            d_emb = d_emb + dc1 @ w0e + dc2 @ wbe
-            return (d_emb, dgt1 + dg1[:, 0], dgt2 + dg2[:, 0]), None
+        if use_pallas:
+            d_emb, dgt1, dgt2 = pallas_twin_partial_bwd(
+                emb32, q_l, v, blend_b, g32, rows_i, lcol, ll, gt1, gt2,
+                logz1, logz2, kth1, kth2, (d_ce1, d_neg1), (d_ce2, d_neg2),
+                tile=tile, interpret=interpret, mxu_bf16=mxu_bf16, **kw)
+        else:
+            lab2 = ll[:, None]
+            q0p, n_tiles = _pad_classes(q_l[0], c_local, tile)
+            w0s = q0p.reshape(n_tiles, tile, d)
 
-        (d_emb, dgt1, dgt2), _ = jax.lax.scan(
-            body,
-            (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
-             jnp.zeros((b,), jnp.float32)),
-            (w0s, jnp.arange(n_tiles)))
+            def body(carry, wt):
+                d_emb, dgt1, dgt2 = carry
+                w0_t, t = wt
+                col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+                valid = col < c_local
+                w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col[0],
+                                                g32, rows_i, lcol, v, blend_b,
+                                                mxu_bf16=mxu_bf16)
+                e1, w1 = _mxu_pair(emb32, w0e, mxu_bf16)
+                _, w2 = _mxu_pair(emb32, wbe, mxu_bf16)
+                cos1 = jnp.dot(e1, w1.T, preferred_element_type=jnp.float32)
+                cos2 = jnp.dot(e1, w2.T, preferred_element_type=jnp.float32)
+                dc1, dg1 = _view_dcos(cos1, col, valid, lab2, pos2,
+                                      gt1[:, None], logz1[:, None], kth1[:, None],
+                                      d_ce1[:, None], d_neg1[:, None], **kw)
+                dc2, dg2 = _view_dcos(cos2, col, valid, lab2, pos2,
+                                      gt2[:, None], logz2[:, None], kth2[:, None],
+                                      d_ce2[:, None], d_neg2[:, None], **kw)
+                d_emb = d_emb + dc1 @ w0e + dc2 @ wbe
+                return (d_emb, dgt1 + dg1[:, 0], dgt2 + dg2[:, 0]), None
+
+            (d_emb, dgt1, dgt2), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
+                 jnp.zeros((b,), jnp.float32)),
+                (w0s, jnp.arange(n_tiles)))
 
         # φ'(gt) routing through the effective label rows (owner shard only;
         # d_emb's model-psum in the transpose completes it) — the sharded
         # _twin_gt_tail (ops/twin_margin.py).
         dgt1 = jax.lax.psum(dgt1, AXIS) * _phi_prime(gt1, loss_type, margin)
         dgt2 = jax.lax.psum(dgt2, AXIS) * _phi_prime(gt2, loss_type, margin)
-        gt_all = _gts(emb32, q0_l, q1_l, g32, rows_i, cols_i, seen_f, labels_l)
-        _, _, owned, r0e, rbe = gt_all
+        _, _, r0e, rbe = _gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
+                              labels_l, owned, ll)
         own1 = (owned & pos).astype(jnp.float32)[:, None]
         d_emb = d_emb + dgt1[:, None] * r0e * own1
         d_emb = d_emb + dgt2[:, None] * rbe * own1
-        return (d_emb.astype(emb_l.dtype), jnp.zeros_like(q0_l),
-                jnp.zeros_like(q1_l), jnp.zeros_like(g), None, None, None, None)
+        return (d_emb.astype(emb_l.dtype), jnp.zeros_like(q_l),
+                jnp.zeros_like(g), None, None, None, None)
 
-    def _fwd_rule(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l):
-        return _shard_fwd(emb_l, q0_l, q1_l, g, rows, cols, seen, labels_l)
+    def _fwd_rule(emb_l, q_l, g, rows, cols, seen, labels_l):
+        return _shard_fwd(emb_l, q_l, g, rows, cols, seen, labels_l)
 
     shard_loss.defvjp(_fwd_rule, _shard_bwd)
 
     inner = jax.shard_map(
         shard_loss,
         mesh=mesh,
-        in_specs=(P(data_axis, None), P(AXIS, None), P(AXIS, None),
+        in_specs=(P(data_axis, None), P(None, AXIS, None),
                   P(None, None), P(None), P(None), P(None), P(data_axis)),
-        out_specs=(P(data_axis),) * 4,
+        out_specs=(P(data_axis),) * 5,
         check_vma=False,
     )
 
-    def loss_fn(emb, q0, q1, g, rows, cols, seen, labels):
-        ce1, neg1, ce2, neg2 = inner(emb, q0, q1, jax.lax.stop_gradient(g),
-                                     rows, cols, seen, labels)
+    def loss_fn(emb, queue, g, rows, cols, seen, labels):
+        ce1, neg1, ce2, neg2, hit1 = inner(emb, queue, jax.lax.stop_gradient(g),
+                                           rows, cols, seen, labels)
         pos = (labels >= 0).astype(jnp.float32)
         n_pos = jnp.maximum(jnp.sum(pos), 1.0)
         n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
@@ -260,6 +324,9 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
             ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
             return cls + ngl
 
-        return reduce(ce1, neg1) + reduce(ce2, neg2)
+        loss = reduce(ce1, neg1) + reduce(ce2, neg2)
+        if with_acc:
+            return loss, jnp.sum(hit1) / n_pos
+        return loss
 
     return loss_fn

@@ -23,7 +23,19 @@ equals the dense one whenever unvisited rows' true gradients are zero
 
 * the dropped tiny gradients themselves;
 * untouched rows skip coupled weight decay during the gap (wd·lr per step
-  is O(1e-5) — negligible over realistic gaps).
+  is O(1e-5) — negligible over realistic gaps);
+* the replayed tail is applied at the CURRENT lr, not the per-step lr the
+  dense trajectory used during the gap. Under a smooth schedule this is
+  exact to first order; across a multistep lr DROP, tail displacement
+  earned before the drop is replayed at the post-drop lr — i.e. the
+  catch-up under-applies by at most ``(lr_old − lr_new)·Σμ^i·m0`` for the
+  pre-drop fraction of the gap. With μ=0.9 the tail is ~10 steps long, so
+  only gaps that straddle a milestone within ~10 steps are affected at
+  all, and the under-applied displacement is bounded by one pre-drop
+  update — quantified in tests/test_sparse_classifier.py
+  (test_lr_drop_mid_gap_bounded_deviation). A schedule-aware replay would
+  need the full lr history per gap (O(steps) state) for a correction that
+  is zero almost everywhere — deliberately not implemented.
 
 Callers pass UNIQUE indices (partial_fc.sample_classes dedups; the sparse
 streaming backward emits distinct tiles), with duplicates/padding routed to

@@ -318,6 +318,12 @@ class Trainer:
         else:
             pool = _np.arange(len(self.reader))
             src = "train"
+            if not getattr(self, "_warned_train_eval", False):
+                self._warned_train_eval = True
+                print("[eval] WARNING: no holdout split configured "
+                      "(train.holdout_records=0) — verification pairs are "
+                      "sampled from the TRAIN set; the metric is logged as "
+                      "verification_acc_train and is a smoke signal only")
         n = min(len(pool), cfg.train.eval_records)
         idx = _np.random.default_rng(cfg.data.seed).choice(pool, n, replace=False)
         labels = _np.asarray([self.reader.label(int(i)) for i in idx])
