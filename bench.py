@@ -190,11 +190,11 @@ def main():
         compiled = lowered.compile()
         for _ in range(3):
             state, m = compiled(state, images, labels, 1.0)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # value-fetch sync (tunnel block_until_ready is unreliable)
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, m = compiled(state, images, labels, 1.0)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         dt = time.perf_counter() - t0
         sps = n_steps / dt
         step_flops, mfu, hbm_frac = _roofline(compiled, dt / n_steps, peak, peak_bw)
@@ -230,11 +230,11 @@ def main():
             step_flops = 0.0
         for _ in range(3):
             out = compiled(x)
-        jax.block_until_ready(out)
+        float(jnp.sum(out.astype(jnp.float32)))
         t0 = time.perf_counter()
         for _ in range(n_steps):
             out = compiled(x)
-        jax.block_until_ready(out)
+        float(jnp.sum(out.astype(jnp.float32)))
         dt = time.perf_counter() - t0
         sps = n_steps / dt
         print(json.dumps({
@@ -282,11 +282,11 @@ def main():
             step_flops = 0.0
         for _ in range(3):
             params, stats, opt_state, l = compiled(params, stats, opt_state, xb)
-        jax.block_until_ready(l)
+        float(l)
         t0 = time.perf_counter()
         for _ in range(n_steps):
             params, stats, opt_state, l = compiled(params, stats, opt_state, xb)
-        jax.block_until_ready(l)
+        float(l)
         dt = time.perf_counter() - t0
         sps = n_steps / dt
         print(json.dumps({
@@ -331,7 +331,7 @@ def main():
     # warmup (also materializes donation pattern)
     for _ in range(3):
         state, m = compiled(state, x, y, idx, 1.0)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # value-fetch sync (tunnel block_until_ready is unreliable)
 
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if profile_dir:
@@ -339,7 +339,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = compiled(state, x, y, idx, 1.0)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
