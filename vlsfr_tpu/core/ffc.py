@@ -186,34 +186,35 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         use_fused = cfg.pool.queue_size >= cfg.pool.streaming_threshold
     else:
         use_fused = cfg.pool.use_fused == "on"
-    sharded_loss_fn = None
-    if use_fused and mesh is not None and (
-            mesh.shape.get("model", 1) > 1 or cfg.pool.force_sharded):
-        # sharded twin composition: queue shards stay put, writes applied
-        # in-register per shard, collective logsumexp/top-k merges — no
-        # scatter copies or blend materialization (parallel/sharded_twin.py)
-        from vlsfr_tpu.parallel.sharded_twin import make_sharded_twin_loss
+    sharded = use_fused and mesh is not None and (
+        mesh.shape.get("model", 1) > 1 or cfg.pool.force_sharded)
+    sharded_quad_fn = None
+    # every fused path (single-shard kernels AND the sharded compositions)
+    # defers the persistence scatter to after the backward
+    fused_defer = use_fused
+    # quad (both-directions-one-pass) route for every fused config —
+    # single-shard via ops/twin_margin.py quad kernels, model-sharded via
+    # parallel/sharded_quad.py (same 2-passes-per-step queue traffic per
+    # shard). 1024-wide tiles measured faster than 512 (q=1M f32: 118.6 vs
+    # 120.2 ms — fewer grid steps; the q1 removal freed the VMEM) but only
+    # when the queue divides evenly — _pad_queue would otherwise COPY the
+    # whole [2, Q, D] array to pad the class axis (single-shard; per-shard
+    # the partial wrappers re-fit the tile to the local axis, _fit_tile).
+    use_quad = fused_defer
+    quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
+    if sharded:
+        from vlsfr_tpu.parallel.sharded_quad import make_sharded_quad_loss
 
-        sharded_loss_fn = make_sharded_twin_loss(
+        sharded_quad_fn = make_sharded_quad_loss(
             mesh,
             loss_type=cfg.loss.loss_type,
             margin=cfg.loss.margin,
             scale=cfg.loss.scale,
             hard_neg=hard_neg,
             mask_svfc=cfg.loss.mask_svfc,
+            tile=quad_tile,
             with_acc=True,
         )
-    # every fused path (single-shard twin kernels AND the sharded twin
-    # composition) defers the persistence scatter to after the backward
-    fused_defer = use_fused
-    # quad (both-directions-one-pass) route for every single-shard fused
-    # config (see the measurement note at the call site). 1024-wide tiles
-    # measured faster than 512 (q=1M f32: 118.6 vs 120.2 ms — fewer grid
-    # steps; the q1 removal freed the VMEM) but only when the queue
-    # divides evenly — _pad_queue would otherwise COPY the whole [2, Q, D]
-    # array to pad the class axis.
-    use_quad = fused_defer and sharded_loss_fn is None
-    quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,
         margin=cfg.loss.margin,
@@ -221,7 +222,6 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         hard_neg=hard_neg,
         mask_svfc=cfg.loss.mask_svfc,
         use_fused=use_fused,
-        sharded_loss_fn=sharded_loss_fn,
         with_acc=True,
     )
     m = cfg.pool.momentum
@@ -270,31 +270,39 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             g_x, gallery_stats = gallery_fwd(x, gallery_stats)
 
         if use_quad:
-            # single-shard fused: BOTH directions in ONE streaming pass
-            # over q0 per fwd/bwd (ops/twin_margin.py quad kernels) — two
-            # twin calls read the same pre-update queue 4×/step. With the
-            # shared-stream bodies (one negative logsumexp per direction,
-            # per-view target terms analytic — Arc/AM) this wins at every
+            # fused: BOTH directions in ONE streaming pass over q0 per
+            # fwd/bwd — two twin calls read the same pre-update queue
+            # 4×/step. Single-shard via ops/twin_margin.py quad kernels
+            # (shared-stream bodies for Arc/AM: one negative logsumexp per
+            # direction, per-view target terms analytic — wins at every
             # measured config on v5e ir50 b128: q=1M f32 120.2 ms vs 123.5
-            # twin; q=4M bf16 151.3 vs 153.3 (the first quad attempt
-            # WITHOUT shared streams lost on bf16 queues, 159.5 — halved
-            # DMA, doubled VPU). ``new_queue`` is direction B's write plan,
-            # applied by make_train_step AFTER the backward (in-place
-            # under donation).
-            from vlsfr_tpu.ops.twin_margin import quad_add_margin
-
+            # twin; q=4M bf16 151.3 vs 153.3); model-sharded via the quad
+            # partial kernels + collective merges
+            # (parallel/sharded_quad.py). ``new_queue`` is direction B's
+            # write plan, applied by make_train_step AFTER the backward
+            # (in-place under donation).
             g_yd = jax.lax.stop_gradient(g_y)
             g_xd = jax.lax.stop_gradient(g_x)
-            (loss_a, loss_b), train_acc = quad_add_margin(
-                p_x, p_y, state.queue, g_yd, g_xd,
-                (idx.a.rows, idx.a.cols, idx.a.seen),
-                (idx.b.rows, idx.b.cols, idx.b.seen),
-                idx.a.fake_labels, idx.b.fake_labels,
-                loss_type=loss_kw["loss_type"], margin=loss_kw["margin"],
-                scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
-                mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
-                with_acc=True,
-            )
+            if sharded_quad_fn is not None:
+                (loss_a, loss_b), train_acc = sharded_quad_fn(
+                    p_x, p_y, state.queue, g_yd, g_xd,
+                    (idx.a.rows, idx.a.cols, idx.a.seen),
+                    (idx.b.rows, idx.b.cols, idx.b.seen),
+                    idx.a.fake_labels, idx.b.fake_labels,
+                )
+            else:
+                from vlsfr_tpu.ops.twin_margin import quad_add_margin
+
+                (loss_a, loss_b), train_acc = quad_add_margin(
+                    p_x, p_y, state.queue, g_yd, g_xd,
+                    (idx.a.rows, idx.a.cols, idx.a.seen),
+                    (idx.b.rows, idx.b.cols, idx.b.seen),
+                    idx.a.fake_labels, idx.b.fake_labels,
+                    loss_type=loss_kw["loss_type"], margin=loss_kw["margin"],
+                    scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
+                    mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
+                    with_acc=True,
+                )
             new_queue = (g_xd, idx.b.rows, idx.b.cols)
         else:
             # direction A (the reference's rollback pass): functional,

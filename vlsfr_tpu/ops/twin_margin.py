@@ -876,8 +876,12 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
                   t, n_t, col, valid, w0_raw,
                   lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                   emb_ref, g_ref, v_ref,
-                  scr1, scr2, out1, out2):
-    """One direction's per-tile forward work (the twin fwd body)."""
+                  scr1, scr2, out1, out2, partial_out=False):
+    """One direction's per-tile forward work (the twin fwd body).
+
+    ``partial_out`` (the model-sharded composition): finalize emits the raw
+    per-shard (m, s, topk) per view — target column INCLUDED via φ(gt) on
+    the owner shard — instead of the finished (ce, neg, logz, topk)."""
     labels = lab_ref[:]
     emb = emb_ref[:].astype(jnp.float32)
     cols_v = cols_ref[:][:, 0]
@@ -911,6 +915,11 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
 
         @pl.when(t == n_t - 1)
         def _finalize():
+            if partial_out:
+                ce_ref[:] = m_scr[:]
+                neg_ref[:] = s_scr[:]
+                topk_ref[:] = topk_scr[:]
+                return
             logz = m_scr[:] + jnp.log(s_scr[:])
             phi = _phi_target(gt, loss_type, margin, mask_svfc)
             pos = labels >= 0
@@ -946,7 +955,7 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
 
 
 def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                          mxu_bf16=False):
+                          mxu_bf16=False, partial_out=False):
     def kernel(labA, gt1a, gt2a, rowsA, colsA, blendA,
                labB, gt1b, gt2b, rowsB, colsB, blendB,
                embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
@@ -979,12 +988,12 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                 embA_ref, gA_ref, vA_ref,
                 (m1a, s1a, t1a), (m2a, s2a, t2a),
                 (ce1a, neg1a, logz1a, topk1a),
-                (ce2a, neg2a, logz2a, topk2a))
+                (ce2a, neg2a, logz2a, topk2a), partial_out=partial_out)
         dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
                 embB_ref, gB_ref, vB_ref,
                 (m1b, s1b, t1b), (m2b, s2b, t2b),
                 (ce1b, neg1b, logz1b, topk1b),
-                (ce2b, neg2b, logz2b, topk2b))
+                (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out)
 
     return kernel
 
@@ -1114,6 +1123,146 @@ def _dir_inputs(queue, g, rows, cols, seen):
     v, blend_b = twin_write_values(_gather_plane(queue, 1, cols_i), g32,
                                    rows_i, cols_i, seen.astype(jnp.float32))
     return g32, rows_i, cols_i, v, blend_b
+
+
+# ----------------------------------------------------------------------
+# per-shard partial quad kernels (parallel/sharded_quad.py): both
+# directions in ONE pass over the LOCAL queue rows; inputs pre-localized
+# like the twin partials (lcols/-1, labels -1/-2 sentinels; global gt).
+# Arc/AM emit the shared NEGATIVE-stream state (target excluded on its
+# owner shard — the composition adds the analytic target term after the
+# collective merge); SV emits the per-view target-included state (merge
+# like the sharded twin).
+
+
+def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
+                            loss_type, margin, scale, k, mask_svfc, tile=512,
+                            interpret=False, mxu_bf16=False):
+    """dir_a/dir_b = (g32, rows_i, lcol, v, blend_b, labels_l, gt1, gt2).
+    Returns per direction ((m1, s1, topk1), (m2, s2, topk2))."""
+    b, d = emb_x.shape
+    gA32, rowsA, lcolA, vA, blendA, labA, gt1a, gt2a = dir_a
+    gB32, rowsB, lcolB, vB, blendB, labB, gt1b, gt2b = dir_b
+    bp = rowsA.shape[0]
+    c = q_local.shape[1]
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    qp, n_tiles = _pad_queue(q_local, c, tile)
+    kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                   mask_svfc, mxu_bf16=mxu_bf16,
+                                   partial_out=True)
+
+    def adapter(labA_r, gt1a_r, gt2a_r, rowsA_r, colsA_r, blendA_r,
+                labB_r, gt1b_r, gt2b_r, rowsB_r, colsB_r, blendB_r,
+                embA_r, gA_r, vA_r, embB_r, gB_r, vB_r, w0_r,
+                m1a, s1a, m2a, s2a, m1b, s1b, m2b, s2b,
+                t1a, t2a, t1b, t2b, *scratch):
+        kernel(labA_r, gt1a_r, gt2a_r, rowsA_r, colsA_r, blendA_r,
+               labB_r, gt1b_r, gt2b_r, rowsB_r, colsB_r, blendB_r,
+               embA_r, gA_r, vA_r, embB_r, gB_r, vB_r, w0_r,
+               m1a, s1a, m2a, s2a, None, None,
+               m1b, s1b, m2b, s2b, None, None,
+               t1a, t2a, t1b, t2b, *scratch)
+
+    vec = lambda x, dt=jnp.float32: x[:, None].astype(dt)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((bp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    dir_specs = [bspec] * 3 + [pspec] * 3
+    out = pl.pallas_call(
+        adapter,
+        grid=(n_tiles,),
+        in_specs=dir_specs + dir_specs + [
+            full((b, d)), full((bp, d)), full((bp, d)),
+            full((b, d)), full((bp, d)), full((bp, d)),
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[bspec] * 8 + [full((b, k))] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 8
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4,
+        scratch_shapes=(
+            [pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+             pltpu.VMEM((b, k), jnp.float32)] * 4
+        ),
+        interpret=interpret,
+    )(labA.astype(jnp.int32)[:, None], vec(gt1a), vec(gt2a),
+      rowsA[:, None], lcolA.astype(jnp.int32)[:, None],
+      blendA.astype(jnp.int32)[:, None],
+      labB.astype(jnp.int32)[:, None], vec(gt1b), vec(gt2b),
+      rowsB[:, None], lcolB.astype(jnp.int32)[:, None],
+      blendB.astype(jnp.int32)[:, None],
+      emb_x.astype(jnp.float32), gA32, vA,
+      emb_y.astype(jnp.float32), gB32, vB, qp)
+    (m1a, s1a, m2a, s2a, m1b, s1b, m2b, s2b, t1a, t2a, t1b, t2b) = out
+    col0 = lambda v: v[:, 0]  # noqa: E731
+    return (((col0(m1a), col0(s1a), t1a), (col0(m2a), col0(s2a), t2a)),
+            ((col0(m1b), col0(s1b), t1b), (col0(m2b), col0(s2b), t2b)))
+
+
+def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
+                            globals_a, globals_b, *, loss_type, margin, scale,
+                            k, mask_svfc, tile=512, interpret=False,
+                            mxu_bf16=False):
+    """dir_* = (g32, rows_i, lcol, v, blend_b, labels_l, gt1, gt2);
+    globals_* = (logz1, logz2, kth1, kth2, d_ce1, d_neg1, d_ce2, d_neg2)
+    — all GLOBAL, cotangents pre-masked with the global pos split.
+    Returns (d_emb_x, dgt1a, dgt2a, d_emb_y, dgt1b, dgt2b) — demb are
+    LOCAL partials; dgt are raw OWNER-SHARD values (Arc/AM compute them
+    analytically but only where the localized label is ≥ 0, i.e. on the
+    owner; SV accumulates target-column dz per tile) — psum over the model
+    axis recovers the global dgt in both cases."""
+    b, d = emb_x.shape
+    gA32, rowsA, lcolA, vA, blendA, labA, gt1a, gt2a = dir_a
+    gB32, rowsB, lcolB, vB, blendB, labB, gt1b, gt2b = dir_b
+    bp = rowsA.shape[0]
+    c = q_local.shape[1]
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    qp, n_tiles = _pad_queue(q_local, c, tile)
+    kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                                   mask_svfc, mxu_bf16=mxu_bf16)
+    logz1a, logz2a, kth1a, kth2a, dce1a, dneg1a, dce2a, dneg2a = globals_a
+    logz1b, logz2b, kth1b, kth2b, dce1b, dneg1b, dce2b, dneg2b = globals_b
+    vec = lambda x: x[:, None].astype(jnp.float32)  # noqa: E731
+    bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((bp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    dir_specs = [bspec] + [pspec] * 3 + [bspec] * 10
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=dir_specs + dir_specs + [
+            full((b, d)), full((bp, d)), full((bp, d)),
+            full((b, d)), full((bp, d)), full((bp, d)),
+            pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[full((b, d)), bspec, bspec, full((b, d)), bspec, bspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labA.astype(jnp.int32)[:, None], rowsA[:, None],
+      lcolA.astype(jnp.int32)[:, None], blendA.astype(jnp.int32)[:, None],
+      vec(gt1a), vec(gt2a), vec(logz1a), vec(logz2a), vec(kth1a), vec(kth2a),
+      vec(dce1a), vec(dneg1a), vec(dce2a), vec(dneg2a),
+      labB.astype(jnp.int32)[:, None], rowsB[:, None],
+      lcolB.astype(jnp.int32)[:, None], blendB.astype(jnp.int32)[:, None],
+      vec(gt1b), vec(gt2b), vec(logz1b), vec(logz2b), vec(kth1b), vec(kth2b),
+      vec(dce1b), vec(dneg1b), vec(dce2b), vec(dneg2b),
+      emb_x.astype(jnp.float32), gA32, vA,
+      emb_y.astype(jnp.float32), gB32, vB, qp)
+    d_emb_x, dgt1a_o, dgt2a_o, d_emb_y, dgt1b_o, dgt2b_o = out
+    return (d_emb_x, dgt1a_o[:, 0], dgt2a_o[:, 0],
+            d_emb_y, dgt1b_o[:, 0], dgt2b_o[:, 0])
 
 
 def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
@@ -1393,7 +1542,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
                          mxu_bf16, t, n_t, col, valid, w0_raw,
                          lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                          emb_ref, g_ref, v_ref,
-                         scr1, scr2, out1, out2):
+                         scr1, scr2, out1, out2, partial_out=False):
     labels = lab_ref[:]
     emb = emb_ref[:].astype(jnp.float32)
     cols_v = cols_ref[:][:, 0]
@@ -1468,6 +1617,14 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
         def fin(scr, gt_ref, out):
             m_scr, s_scr, topk_scr = scr
             ce_ref, neg_ref, logz_ref, topk_ref = out
+            if partial_out:
+                # raw NEGATIVE-stream state (target column excluded on its
+                # owner shard); the composition adds the analytic target
+                # term after the collective merge
+                ce_ref[:] = m_scr[:]
+                neg_ref[:] = s_scr[:]
+                topk_ref[:] = topk_scr[:]
+                return
             gt = gt_ref[:]
             logz_neg = m_scr[:] + jnp.log(s_scr[:])
             zt = scale * _phi_target(gt, loss_type, margin, mask_svfc)

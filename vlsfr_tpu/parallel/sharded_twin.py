@@ -19,8 +19,9 @@ copy. This module lifts that composition onto a device mesh
 * per shard, the twin PARTIAL kernels (ops/twin_margin.py
   pallas_twin_partial_fwd/bwd) stream the local tiles emitting the raw
   online-softmax state (m, s, topk) per view / the local d_emb partial;
-  on non-TPU backends a `lax.scan` jnp body computes the same partials
-  (the CPU-mesh test fallback — selected by backend);
+  on non-TPU backends the `lax.scan` bodies in parallel/_shard_common.py
+  compute the same partials (the CPU-mesh test fallback — selected by
+  backend);
 * the per-view partials merge with ``pmax``/``psum`` over "model"; the
   hard-negative top-k merges with ``all_gather`` + ``top_k``;
 * the backward re-streams local tiles against the global (logz, gt, kth)
@@ -28,12 +29,17 @@ copy. This module lifts that composition onto a device mesh
   "model". The queue is a stop-gradient constant (no d_w at all);
 * queue row 1 is NEVER streamed: view 2 differs from view 1 only at this
   step's ≤B written slots, so its values come from a B-row gather of q1
-  plus the write plan (``_write_values``) — per direction each shard reads
-  its q0 rows once forward + once backward and exactly B rows of q1.
+  plus the write plan (``shard_write_values``) — per direction each shard
+  reads its q0 rows once forward + once backward and exactly B rows of q1.
 
 bf16 queues select the bf16 MXU path inside the kernels AND the scan body
 (``_mxu_pair``): the dots run at the MXU's native bf16 rate with f32
 accumulate, same as the single-shard ladder.
+
+NOTE: the FFC train step streams BOTH directions in one pass via
+parallel/sharded_quad.py (the sharded quad); this per-direction
+composition remains the building block and the
+``directional_loss``-compatible surface.
 
 Loss/grad parity with the single-shard twin op is tested on the 8-device
 CPU mesh in tests/test_sharded_twin.py (scan), and scan==pallas per-shard
@@ -48,24 +54,23 @@ from jax.sharding import PartitionSpec as P
 
 from vlsfr_tpu.ops.margin_pallas import (
     KTH_TIE_TOL,
-    NEG_INF,
-    _mxu_pair,
-    _pad_classes,
     _phi_prime,
     _phi_target,
-    _tile_modified,
 )
 from vlsfr_tpu.ops.twin_margin import (
-    _effective_views,
-    _gather_plane,
-    _view_dcos,
-    effective_tile_views,
     pallas_twin_partial_bwd,
     pallas_twin_partial_fwd,
-    twin_write_values,
 )
-
-AXIS = "model"
+from vlsfr_tpu.parallel._shard_common import (
+    AXIS,
+    carriers,
+    collective_merge,
+    localize,
+    scan_bwd,
+    scan_partials,
+    shard_gts,
+    shard_write_values,
+)
 
 
 def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
@@ -87,126 +92,37 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
     k = hard_neg
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
+              mask_svfc=mask_svfc, tile=tile)
 
     @jax.custom_vjp
     def shard_loss(emb_l, q_l, g, rows, cols, seen, labels_l):
         out, _ = _shard_fwd(emb_l, q_l, g, rows, cols, seen, labels_l)
         return out
 
-    def _carriers(g, rows, cols, seen):
-        return (g.astype(jnp.float32), rows.astype(jnp.int32),
-                cols.astype(jnp.int32), seen.astype(jnp.float32))
-
-    def _localize(q_l, cols_i, labels_l):
-        """Shard-local coordinates: write columns (-1 = other shard) and
-        labels (-1 = global outlier, -2 = positive owned by another shard —
-        the split keeps the kernels' pos test right for outliers)."""
-        c_local = q_l.shape[1]
-        c0 = jax.lax.axis_index(AXIS) * c_local
-        lcol = cols_i - c0
-        in_range = (lcol >= 0) & (lcol < c_local)
-        lcol = jnp.where(in_range, lcol, -1)
-        ll = labels_l - c0
-        owned = (ll >= 0) & (ll < c_local)
-        ll = jnp.where(labels_l < 0, -1, jnp.where(owned, ll, -2))
-        return c0, c_local, lcol, in_range, ll, owned
-
-    def _gts(emb32, q_l, g32, rows_i, cols_i, seen_f, labels_l, owned, ll):
-        """Effective-view target cosines: the owner shard gathers its label
-        rows, applies the in-register write/blend, psum combines."""
-        safe = jnp.where(owned, ll, 0)
-        r0 = _gather_plane(q_l, 0, safe).astype(jnp.float32)
-        r1 = _gather_plane(q_l, 1, safe).astype(jnp.float32)
-        # global slot ids for the gathered rows → write matching stays global
-        gids = jnp.where(owned, labels_l, -1).astype(jnp.int32)
-        r0e, rbe = _effective_views(r0, r1, gids, g32, rows_i, cols_i, seen_f)
-        gt1 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * r0e, axis=-1), 0.0), AXIS)
-        gt2 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * rbe, axis=-1), 0.0), AXIS)
-        return gt1, gt2, r0e, rbe
-
-    def _write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range):
-        """Local-range q1 gather + shared twin_write_values
-        (ops/twin_margin.py): out-of-shard entries gather row 0 — never
-        selected, because no local column matches their slot. The same-slot
-        structure inside twin_write_values uses GLOBAL columns (exact)."""
-        q1_rows = _gather_plane(q_l, 1, jnp.where(in_range, lcol, 0))
-        return twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f)
-
-    def _scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b, labels_l_loc,
-                       gt1, gt2, c_local, mxu_bf16):
-        """Non-TPU fallback: same per-shard partials as the Pallas forward,
-        as a lax.scan over local plane-0 tiles."""
-        b = emb32.shape[0]
-        q0p, n_tiles = _pad_classes(q_l[0], c_local, tile)
-        w0s = q0p.reshape(n_tiles, tile, -1)
-        lab2 = labels_l_loc[:, None]
-
-        def one_view(carry, cos, col, valid, gt_col):
-            m_run, s_run, topk = carry
-            cos = jnp.where(valid, cos, NEG_INF)
-            is_target = col == lab2
-            mod = _tile_modified(cos, is_target, gt_col, valid, loss_type,
-                                 margin, mask_svfc)
-            z = scale * mod
-            m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
-            s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
-                jnp.exp(z - m_new[:, None]), axis=-1)
-            topk, _ = jax.lax.top_k(jnp.concatenate([topk, cos], axis=-1), k)
-            return (m_new, s_run, topk)
-
-        def body(carry, wt):
-            c1, c2 = carry
-            w0_t, t = wt
-            col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-            valid = col < c_local
-            w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col[0],
-                                            g32, rows_i, lcol, v, blend_b,
-                                            mxu_bf16=mxu_bf16)
-            e1, w1 = _mxu_pair(emb32, w0e, mxu_bf16)
-            _, w2 = _mxu_pair(emb32, wbe, mxu_bf16)
-            cos1 = jnp.dot(e1, w1.T, preferred_element_type=jnp.float32)
-            cos2 = jnp.dot(e1, w2.T, preferred_element_type=jnp.float32)
-            c1 = one_view(c1, cos1, col, valid, gt1[:, None])
-            c2 = one_view(c2, cos2, col, valid, gt2[:, None])
-            return (c1, c2), None
-
-        init = lambda: (jnp.full((b,), NEG_INF, jnp.float32),  # noqa: E731
-                        jnp.zeros((b,), jnp.float32),
-                        jnp.full((b, k), NEG_INF, jnp.float32))
-        (p1, p2), _ = jax.lax.scan(body, (init(), init()),
-                                   (w0s, jnp.arange(n_tiles)))
-        return p1, p2
-
     def _shard_fwd(emb_l, q_l, g, rows, cols, seen, labels_l):
-        b = emb_l.shape[0]
         mxu_bf16 = q_l.dtype == jnp.bfloat16
         emb32 = emb_l.astype(jnp.float32)
-        g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
-        c0, c_local, lcol, in_range, ll, owned = _localize(q_l, cols_i, labels_l)
-        gt1, gt2, _, _ = _gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
-                              labels_l, owned, ll)
-        v, blend_b = _write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range)
+        g32, rows_i, cols_i, seen_f = carriers(g, rows, cols, seen)
+        _, c_local, lcol, in_range, ll, owned = localize(q_l, cols_i, labels_l)
+        gt1, gt2, _, _ = shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
+                                   labels_l, owned, ll)
+        v, blend_b = shard_write_values(q_l, g32, rows_i, cols_i, seen_f,
+                                        lcol, in_range)
 
-        kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
-                  mask_svfc=mask_svfc, tile=tile)
         if use_pallas:
             p1, p2 = pallas_twin_partial_fwd(
                 emb32, q_l, v, blend_b, g32, rows_i, lcol, ll, gt1, gt2,
                 interpret=interpret, mxu_bf16=mxu_bf16, **kw)
         else:
-            p1, p2 = _scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b,
-                                    ll, gt1, gt2, c_local, mxu_bf16)
+            p1, p2 = scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b,
+                                   ll, gt1, gt2, c_local, mxu_bf16, **kw)
         (m1, s1, t1), (m2, s2, t2) = p1, p2
 
         pos = labels_l >= 0
 
         def merge(m_l, s_l, topk_l, gt):
-            gmax = jax.lax.pmax(m_l, AXIS)
-            s = jax.lax.psum(s_l * jnp.exp(m_l - gmax), AXIS)
-            logz = gmax + jnp.log(s)
-            topk_all = jax.lax.all_gather(topk_l, AXIS)  # [m, B, k]
-            topk_all = jnp.moveaxis(topk_all, 0, 1).reshape(b, -1)
-            topk, _ = jax.lax.top_k(topk_all, k)
+            logz, topk = collective_merge(m_l, s_l, topk_l, k)
             phi = _phi_target(gt, loss_type, margin, mask_svfc)
             ce = jnp.where(pos, logz - scale * phi, 0.0)
             neg = jnp.where(pos, 0.0, jnp.mean(jnp.maximum(topk, 0.0), axis=-1))
@@ -225,13 +141,11 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         (emb_l, q_l, g, rows, cols, seen, labels_l,
          gt1, gt2, logz1, logz2, topk1, topk2) = res
         d_ce1, d_neg1, d_ce2, d_neg2, _d_hit = cots
-        b, d = emb_l.shape
         mxu_bf16 = q_l.dtype == jnp.bfloat16
         emb32 = emb_l.astype(jnp.float32)
-        g32, rows_i, cols_i, seen_f = _carriers(g, rows, cols, seen)
-        c0, c_local, lcol, in_range, ll, owned = _localize(q_l, cols_i, labels_l)
+        g32, rows_i, cols_i, seen_f = carriers(g, rows, cols, seen)
+        _, c_local, lcol, in_range, ll, owned = localize(q_l, cols_i, labels_l)
         pos = labels_l >= 0
-        pos2 = pos[:, None]
         # replicated-over-model outputs: shard_map's transpose splits their
         # cotangents across the model shards — reassemble, then return LOCAL
         # partials and let the transpose psum d_emb over "model"
@@ -242,54 +156,27 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         d_neg2 = jnp.where(pos, 0.0, jax.lax.psum(d_neg2, AXIS))
         kth1 = topk1[:, -1]
         kth2 = topk2[:, -1]
-        kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
-                  mask_svfc=mask_svfc)
-        v, blend_b = _write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range)
+        v, blend_b = shard_write_values(q_l, g32, rows_i, cols_i, seen_f,
+                                        lcol, in_range)
 
         if use_pallas:
             d_emb, dgt1, dgt2 = pallas_twin_partial_bwd(
                 emb32, q_l, v, blend_b, g32, rows_i, lcol, ll, gt1, gt2,
                 logz1, logz2, kth1, kth2, (d_ce1, d_neg1), (d_ce2, d_neg2),
-                tile=tile, interpret=interpret, mxu_bf16=mxu_bf16, **kw)
+                interpret=interpret, mxu_bf16=mxu_bf16, **kw)
         else:
-            lab2 = ll[:, None]
-            q0p, n_tiles = _pad_classes(q_l[0], c_local, tile)
-            w0s = q0p.reshape(n_tiles, tile, d)
-
-            def body(carry, wt):
-                d_emb, dgt1, dgt2 = carry
-                w0_t, t = wt
-                col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-                valid = col < c_local
-                w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col[0],
-                                                g32, rows_i, lcol, v, blend_b,
-                                                mxu_bf16=mxu_bf16)
-                e1, w1 = _mxu_pair(emb32, w0e, mxu_bf16)
-                _, w2 = _mxu_pair(emb32, wbe, mxu_bf16)
-                cos1 = jnp.dot(e1, w1.T, preferred_element_type=jnp.float32)
-                cos2 = jnp.dot(e1, w2.T, preferred_element_type=jnp.float32)
-                dc1, dg1 = _view_dcos(cos1, col, valid, lab2, pos2,
-                                      gt1[:, None], logz1[:, None], kth1[:, None],
-                                      d_ce1[:, None], d_neg1[:, None], **kw)
-                dc2, dg2 = _view_dcos(cos2, col, valid, lab2, pos2,
-                                      gt2[:, None], logz2[:, None], kth2[:, None],
-                                      d_ce2[:, None], d_neg2[:, None], **kw)
-                d_emb = d_emb + dc1 @ w0e + dc2 @ wbe
-                return (d_emb, dgt1 + dg1[:, 0], dgt2 + dg2[:, 0]), None
-
-            (d_emb, dgt1, dgt2), _ = jax.lax.scan(
-                body,
-                (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
-                 jnp.zeros((b,), jnp.float32)),
-                (w0s, jnp.arange(n_tiles)))
+            d_emb, dgt1, dgt2 = scan_bwd(
+                emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, pos, gt1, gt2,
+                logz1, logz2, kth1, kth2, d_ce1, d_neg1, d_ce2, d_neg2,
+                c_local, mxu_bf16, **kw)
 
         # φ'(gt) routing through the effective label rows (owner shard only;
         # d_emb's model-psum in the transpose completes it) — the sharded
         # _twin_gt_tail (ops/twin_margin.py).
         dgt1 = jax.lax.psum(dgt1, AXIS) * _phi_prime(gt1, loss_type, margin)
         dgt2 = jax.lax.psum(dgt2, AXIS) * _phi_prime(gt2, loss_type, margin)
-        _, _, r0e, rbe = _gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
-                              labels_l, owned, ll)
+        _, _, r0e, rbe = shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
+                                   labels_l, owned, ll)
         own1 = (owned & pos).astype(jnp.float32)[:, None]
         d_emb = d_emb + dgt1[:, None] * r0e * own1
         d_emb = d_emb + dgt2[:, None] * rbe * own1
