@@ -195,3 +195,27 @@ def test_trainer_routes_sharded_sparse(rng, tmp_path):
     for lab in np.asarray(labels):
         assert changed[lab], f"target row {lab} did not update"
     assert changed.sum() < c, "some rows must remain untouched at rate 0.05"
+
+
+def test_pallas_leg_matches_scan(rng):
+    """The TPU leg (full Pallas kernels per shard, interpret mode) must
+    reproduce the scan leg's exact outputs — ce, gt, d_emb, AND the
+    selected-rows d_w (selection is deterministic given the key)."""
+    mesh = make_mesh(2, 4)
+    emb, w, labels = make_case(rng)
+    b = emb.shape[0]
+    kw = dict(batch=b, feat_dim=emb.shape[1], num_classes=w.shape[0],
+              sparse_grad_rate=0.2, loss_type="Arc", margin=0.5, scale=24.0,
+              mask_svfc=1.2, tile=16)
+    d_ce = np.full((b,), 1.0 / b, np.float32)
+    d_neg = np.zeros((b,), np.float32)
+    key = jax.random.PRNGKey(5)
+    placed = place(mesh, emb, w, labels, d_ce, d_neg)
+    out_scan = jax.jit(make_sharded_sparse_streaming_grads(
+        mesh, use_pallas=False, **kw))(*placed, key)
+    out_pallas = jax.jit(make_sharded_sparse_streaming_grads(
+        mesh, use_pallas=True, interpret=True, **kw))(*placed, key)
+    names = ["ce", "neg", "topk", "gt", "d_emb", "row_idx", "d_w_rows"]
+    for name, a, p in zip(names, out_scan, out_pallas):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(p), atol=3e-5,
+                                   err_msg=name)

@@ -71,17 +71,18 @@ def full_eval(trainer, n_pairs=3000, bin_path=None):
         else:
             probe_idx.append(j)
     if probe_idx:
-        r1, r5 = identification_topk(
-            embeddings[np.asarray(probe_idx)], labels[np.asarray(probe_idx)],
-            embeddings[np.asarray(gallery_idx)], labels[np.asarray(gallery_idx)],
-            ks=(1, 5))
-        out["ident_rank1"] = round(float(r1), 4)
-        out["ident_rank5"] = round(float(r5), 4)
+        gi, pi = np.asarray(gallery_idx), np.asarray(probe_idx)
+        for kk, name in ((1, "ident_rank1"), (5, "ident_rank5")):
+            out[name] = round(identification_topk(
+                embeddings[gi], labels[gi], embeddings[pi], labels[pi], k=kk), 4)
     if bin_path and os.path.exists(bin_path):
-        from vlsfr_tpu.eval.verification import evaluate_bin
+        try:
+            from vlsfr_tpu.eval.verification import evaluate_bin
 
-        res = evaluate_bin(emb, bin_path, trainer.image_size)
-        out.update({f"bin_{k}": round(float(v), 4) for k, v in res.items()})
+            res = evaluate_bin(emb, bin_path, trainer.image_size)
+            out.update({f"bin_{k}": round(float(v), 4) for k, v in res.items()})
+        except Exception as e:  # noqa: BLE001 — report, don't lose the run
+            out["bin_error"] = str(e)[:200]
     return out
 
 
@@ -132,7 +133,7 @@ def main():
         cfg.pool.head = head
         cfg.pool.queue_size = args.queue
         cfg.pool.num_classes = args.ids
-        cfg.train.saved_dir = f"/tmp/casia_study_{head}"
+        cfg.train.saved_dir = f"/tmp/casia_study_{head}_{args.epochs}ep"
         cfg.train.print_freq = 200
         cfg.train.save_freq = 10**9  # no mid-run checkpoints needed
         cfg.train.holdout_records = holdout

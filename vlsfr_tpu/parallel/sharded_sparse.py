@@ -56,7 +56,7 @@ def make_sharded_sparse_streaming_grads(
     mesh, *, batch, feat_dim, num_classes, sparse_grad_rate=0.05,
     loss_type="Arc", margin=0.5, scale=32.0, hard_neg=1, mask_svfc=1.2,
     normalize_w=True, tile=512, random_frac=0.5, exact_demb=True,
-    use_pallas="auto", data_axis="data",
+    use_pallas="auto", data_axis="data", interpret=False,
 ):
     """Returns fn(emb, w, labels, d_ce, d_neg, key) ->
     (ce, neg, topk, gt, d_emb, row_idx, d_w_rows).
@@ -116,9 +116,10 @@ def make_sharded_sparse_streaming_grads(
         gt_part = jnp.sum(emb32 * wl.astype(jnp.float32), axis=-1)
         gt = jax.lax.psum(jnp.where(owned, gt_part, 0.0), AXIS)
 
+        pkw = dict(interpret=interpret) if pallas else {}
         fwd = pallas_margin_ce_fwd if pallas else _stream_fwd
         _, _, logz_l, topk_l, maxz, maxcos = fwd(
-            emb_l, w_l, local_labels, gt, with_stats=True, **kw)
+            emb_l, w_l, local_labels, gt, with_stats=True, **kw, **pkw)
 
         # collective logsumexp + top-k merge (parallel/sharded_margin.py)
         gmax = jax.lax.pmax(logz_l, AXIS)
@@ -161,13 +162,13 @@ def make_sharded_sparse_streaming_grads(
         bwd_sparse = pallas_margin_ce_bwd_sparse if pallas else _sparse_bwd_gather
         d_emb_trunc, d_w_rows = bwd_sparse(
             emb_l, w_l, local_labels, gt, logz, topk, d_ce_m, d_neg_m,
-            tile_idx, **kw)
+            tile_idx, **kw, **pkw)
         d_w_rows = d_w_rows * jnp.repeat(tile_weight, tile_eff)[:, None]
         d_w_rows = jax.lax.psum(d_w_rows, data_axis)
         if exact_demb:
             bwd_full = pallas_margin_ce_bwd if pallas else _stream_bwd
             d_emb, _ = bwd_full(emb_l, w_l, local_labels, gt, logz, topk,
-                                d_ce_m, d_neg_m, grad_w=False, **kw)
+                                d_ce_m, d_neg_m, grad_w=False, **kw, **pkw)
         else:
             d_emb = d_emb_trunc
         # each shard holds a PARTIAL d_emb (its columns' pushes + the
