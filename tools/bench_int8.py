@@ -101,6 +101,10 @@ def q2_drift(net="mobile"):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((32, size, size, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # calibrate BN running stats — random-init nets explode in eval mode
+    # (same trick as tools/compare_reference.py)
+    _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = dict(variables, batch_stats=mut["batch_stats"])
 
     def quant(v):
         s = jnp.max(jnp.abs(v)) / 127.0
