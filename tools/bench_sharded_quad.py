@@ -80,7 +80,7 @@ def main():
               f"max|dy|={float(jnp.max(jnp.abs(gy_sh-gy_si))):.2e}", flush=True)
 
         for name, f in (("sharded", f_sh), ("single", f_si)):
-            jax.block_until_ready(f(ex, ey, queue))
+            _ = float(f(ex, ey, queue)[0])  # value-fetch sync
             n = 30
             t0 = time.time()
             for _ in range(n):

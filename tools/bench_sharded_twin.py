@@ -67,22 +67,25 @@ def main():
                                           **kw), argnums=0))
 
         t0 = time.time()
-        l_sh, g_sh = jax.block_until_ready(f_sh(emb, queue))
+        l_sh, g_sh = f_sh(emb, queue)
+        l_sh = float(l_sh)
         print(f"q={q} {np.dtype(qdtype).name}: sharded compile+run "
-              f"{time.time()-t0:.1f}s loss={float(l_sh):.6f}")
+              f"{time.time()-t0:.1f}s loss={l_sh:.6f}")
         t0 = time.time()
-        l_si, g_si = jax.block_until_ready(f_single(emb, queue))
-        print(f"  single compile+run {time.time()-t0:.1f}s loss={float(l_si):.6f}")
+        l_si, g_si = f_single(emb, queue)
+        l_si = float(l_si)
+        print(f"  single compile+run {time.time()-t0:.1f}s loss={l_si:.6f}")
         gd = float(jnp.max(jnp.abs(g_sh - g_si)))
-        print(f"  |loss diff|={abs(float(l_sh-l_si)):.2e} max|d_emb diff|={gd:.2e}")
+        print(f"  |loss diff|={abs(l_sh-l_si):.2e} max|d_emb diff|={gd:.2e}")
 
         for name, f in (("sharded", f_sh), ("single", f_single)):
-            jax.block_until_ready(f(emb, queue))
+            _ = float(f(emb, queue)[0])  # value-fetch sync (tunnel
+            # block_until_ready is unreliable for non-donating graphs)
             n = 30
             t0 = time.time()
             for _ in range(n):
                 out = f(emb, queue)
-            jax.block_until_ready(out)
+            _ = float(out[0])
             dt = (time.time() - t0) / n * 1e3
             print(f"  {name} head fwd+bwd: {dt:.2f} ms/iter")
 
