@@ -8,7 +8,9 @@ the q16k dense-head headline LAST (it is the row tracked across rounds):
        in-register queue writes): the round-2/3 kernel work.
     2. softmax 1M-identity bf16 dense-streaming — the full-softmax
        BASELINE headline at 1M ids on one chip.
-    3. ffc q=16384 (dense head) — the round-over-round headline row.
+    3. ffc q=1M f32 forced-sharded — the multi-chip head's compiled
+       artifact (shard_map quad composition) on a (1,1) mesh.
+    4. ffc q=16384 (dense head) — the round-over-round headline row.
 
 With BENCH_MODE set, runs that single config and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -46,7 +48,8 @@ SUITE = [
     {"BENCH_MODE": "softmax", "BENCH_CLASSES": str(1 << 20),
      "BENCH_CLS_DTYPE": "bfloat16", "BENCH_FUSED": "on"},
     # the multi-chip head's compiled artifact on one chip: shard_map over a
-    # (1,1) mesh routing the per-shard Pallas twin kernels
+    # (1,1) mesh routing the per-shard Pallas QUAD composition (fused
+    # configs route make_sharded_quad_loss — both directions, one pass)
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
      "BENCH_QUEUE_DTYPE": "float32", "BENCH_FORCE_SHARDED": "1"},
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": "16384"},

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -28,29 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the shared overhead-cancelling chained-in-jit timing harness (single
+# source of truth — the tunnel-sync methodology must not fork)
+from bench_conv import bench_chain  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.vlsfr_jax_cache")
-
-N_LONG, N_SHORT = 60, 12
-
-
-def bench_chain(fn, x, w):
-    def make(iters):
-        @jax.jit
-        def chain(x0, wt):
-            return jax.lax.fori_loop(0, iters, lambda i, y: fn(y, wt), x0)
-        return chain
-
-    times = {}
-    for iters in (N_SHORT, N_LONG):
-        ch = make(iters)
-        _ = float(jnp.sum(ch(x, w).astype(jnp.float32)))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(ch(x, w).astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
-    return (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT)
 
 
 def conv_bf16(x, w):

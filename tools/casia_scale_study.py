@@ -141,33 +141,8 @@ def main():
         trainer = Trainer(cfg)
         if not os.path.exists(bin_path):
             # foreign-format bin over the holdout tail (indices >= limit)
-            from vlsfr_tpu.data.records import FaceRecordReader
-
-            r = FaceRecordReader(args.store)
-            lab = np.asarray(r.labels)
-            lo = trainer.record_limit
-            by_id = {}
-            for i in range(lo, len(lab)):
-                by_id.setdefault(int(lab[i]), []).append(i)
-            import pickle
-            rng = np.random.default_rng(7)
-            multi = [l for l, v in by_id.items() if len(v) >= 2]
-            ids = list(by_id)
-            payloads, issame = [], []
-            for k in range(1000):
-                if k % 2 == 0:
-                    l = multi[rng.integers(len(multi))]
-                    i, j = rng.choice(by_id[l], 2, replace=False)
-                    issame.append(True)
-                else:
-                    la, lb = rng.choice(len(ids), 2, replace=False)
-                    i = by_id[ids[la]][rng.integers(len(by_id[ids[la]]))]
-                    j = by_id[ids[lb]][rng.integers(len(by_id[ids[lb]]))]
-                    issame.append(False)
-                payloads += [r.payload(int(i)), r.payload(int(j))]
-            with open(bin_path, "wb") as f:
-                pickle.dump((payloads, issame), f, protocol=2)
-            r.close()
+            build_pair_bin(args.store, bin_path, 1000, seed=7,
+                           start=trainer.record_limit)
         print(f"=== training head={head} ===", flush=True)
         t0 = time.time()
         summary = trainer.train()

@@ -42,17 +42,19 @@ def pack_bin_insightface_style(path, payloads, issame):
         pickle.dump((payloads, [bool(v) for v in issame]), f, protocol=2)
 
 
-def build_pair_bin(store_dir, out_path, n_pairs, seed=0):
+def build_pair_bin(store_dir, out_path, n_pairs, seed=0, start=0):
     """Sample same/different pairs from a FaceRecordWriter store and pack
-    them with the foreign-style packer. Returns the issame array."""
+    them with the foreign-style packer. Returns the issame array.
+    ``start`` restricts sampling to record indices >= start (e.g. the
+    holdout tail — tools/casia_scale_study.py)."""
     from vlsfr_tpu.data.records import FaceRecordReader
 
     rng = np.random.default_rng(seed)
     reader = FaceRecordReader(store_dir)
     labels = np.asarray(reader.labels)
     by_id = {}
-    for i, l in enumerate(labels):
-        by_id.setdefault(int(l), []).append(i)
+    for i in range(start, len(labels)):
+        by_id.setdefault(int(labels[i]), []).append(i)
     multi = [l for l, idxs in by_id.items() if len(idxs) >= 2]
     ids = list(by_id)
     payloads, issame = [], []

@@ -133,6 +133,15 @@ def directional_loss(
             # custom-call site would materialize [Q/m, D] copies; see
             # twin_margin._gather_plane)
             out = sharded_loss_fn(p, queue, g, rows, cols, seen, fake_labels)
+            # with_acc must be set in LOCKSTEP with the sharded fn's own
+            # with_acc (make_sharded_twin_loss / make_sharded_quad_loss
+            # default to a bare scalar): fail loudly at trace time instead
+            # of unpacking a 0-d array below.
+            if with_acc and not isinstance(out, tuple):
+                raise TypeError(
+                    "with_acc=True but sharded_loss_fn returned a bare loss "
+                    "— construct it with with_acc=True as well "
+                    "(parallel/sharded_twin.py, sharded_quad.py)")
         else:
             from vlsfr_tpu.ops.twin_margin import twin_add_margin
 

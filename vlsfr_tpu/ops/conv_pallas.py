@@ -100,6 +100,11 @@ def conv3x3_pallas(x, w, *, mode="taps9", strip=28, with_stats=False,
     b, h, wd, c = x.shape
     cout = w.shape[-1]
     assert h % strip == 0, (h, strip)
+    # The halo BlockSpec below indexes in 2-row block units ((si+1)·S/2),
+    # which only lands on row (si+1)·S when S is even — an odd strip would
+    # silently read the wrong two halo rows.
+    assert strip % 2 == 0, ("strip must be even (halo block index is in "
+                            "2-row units)", strip)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * c, cout).astype(x.dtype)
     kernel = _make_conv_kernel(strip, h, wd, c, cout, mode, with_stats)

@@ -830,6 +830,27 @@ def _twin_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile, use_palla
 fused_twin_margin.defvjp(_twin_vjp_fwd, _twin_vjp_bwd)
 
 
+def reduce_margin_dir(ce1, neg1, ce2, neg2, labels):
+    """The exact per-direction scalar reduction of the FFC twin loss
+    (reference ffc.py:140-151 class/outlier split): mean CE over in-pool
+    rows + mean hard-neg hinge over outlier rows, summed over the two
+    views. Single source of truth — the sharded compositions
+    (parallel/sharded_twin.py, sharded_quad.py) pin sharded-vs-single
+    parity against this reduction, so it must not fork."""
+    pos = (labels >= 0).astype(jnp.float32)
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
+    any_pos = jnp.sum(pos) > 0
+    any_out = jnp.sum(1.0 - pos) > 0
+
+    def reduce(ce, neg):
+        cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
+        ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
+        return cls + ngl
+
+    return reduce(ce1, neg1) + reduce(ce2, neg2)
+
+
 def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
                     margin=0.5, scale=32.0, hard_neg=10, mask_svfc=1.2,
                     tile=512, use_pallas="auto", with_acc=False):
@@ -843,19 +864,9 @@ def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
         emb, queue, g, rows, cols, seen, labels, loss_type, margin, scale,
         hard_neg, mask_svfc, tile, use_pallas,
     )
-    pos = (labels >= 0).astype(jnp.float32)
-    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
-    n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
-    any_pos = jnp.sum(pos) > 0
-    any_out = jnp.sum(1.0 - pos) > 0
-
-    def reduce(ce, neg):
-        cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
-        ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
-        return cls + ngl
-
-    loss = reduce(ce1, neg1) + reduce(ce2, neg2)
+    loss = reduce_margin_dir(ce1, neg1, ce2, neg2, labels)
     if with_acc:
+        n_pos = jnp.maximum(jnp.sum((labels >= 0).astype(jnp.float32)), 1.0)
         return loss, jnp.sum(hit1) / n_pos
     return loss
 
@@ -1502,22 +1513,8 @@ def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                             tile, use_pallas)
     ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b, hit_a, hit_b = out
 
-    def reduce_dir(ce1, neg1, ce2, neg2, labels):
-        pos = (labels >= 0).astype(jnp.float32)
-        n_pos = jnp.maximum(jnp.sum(pos), 1.0)
-        n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
-        any_pos = jnp.sum(pos) > 0
-        any_out = jnp.sum(1.0 - pos) > 0
-
-        def reduce(ce, neg):
-            cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
-            ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
-            return cls + ngl
-
-        return reduce(ce1, neg1) + reduce(ce2, neg2)
-
-    losses = (reduce_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
-              reduce_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
+    losses = (reduce_margin_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
+              reduce_margin_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
     if with_acc:
         n_pos = jnp.maximum(jnp.sum((labels_a >= 0).astype(jnp.float32))
                             + jnp.sum((labels_b >= 0).astype(jnp.float32)), 1.0)

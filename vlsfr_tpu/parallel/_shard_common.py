@@ -50,15 +50,25 @@ def localize(q_l, cols_i, labels_l):
     return c0, c_local, lcol, in_range, ll, owned
 
 
-def shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f, labels_l, owned, ll):
-    """Effective-view target cosines: the owner shard gathers its label
-    rows, applies the in-register write/blend, psum combines."""
+def effective_label_rows(q_l, g32, rows_i, cols_i, seen_f, labels_l, owned,
+                         ll):
+    """Owner-shard effective label rows (r0e, rbe): gather the label rows,
+    apply the in-register write/blend. Collective-free — the backward needs
+    only these (gts come from residuals), so it must not pay shard_gts's
+    psums."""
     safe = jnp.where(owned, ll, 0)
     r0 = _gather_plane(q_l, 0, safe).astype(jnp.float32)
     r1 = _gather_plane(q_l, 1, safe).astype(jnp.float32)
     # global slot ids for the gathered rows → write matching stays global
     gids = jnp.where(owned, labels_l, -1).astype(jnp.int32)
-    r0e, rbe = _effective_views(r0, r1, gids, g32, rows_i, cols_i, seen_f)
+    return _effective_views(r0, r1, gids, g32, rows_i, cols_i, seen_f)
+
+
+def shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f, labels_l, owned, ll):
+    """Effective-view target cosines: the owner shard gathers its label
+    rows, applies the in-register write/blend, psum combines."""
+    r0e, rbe = effective_label_rows(q_l, g32, rows_i, cols_i, seen_f,
+                                    labels_l, owned, ll)
     gt1 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * r0e, axis=-1), 0.0), AXIS)
     gt2 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * rbe, axis=-1), 0.0), AXIS)
     return gt1, gt2, r0e, rbe

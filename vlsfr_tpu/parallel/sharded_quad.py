@@ -43,11 +43,13 @@ from vlsfr_tpu.ops.margin_pallas import (
 from vlsfr_tpu.ops.twin_margin import (
     pallas_quad_partial_bwd,
     pallas_quad_partial_fwd,
+    reduce_margin_dir,
 )
 from vlsfr_tpu.parallel._shard_common import (
     AXIS,
     carriers,
     collective_merge,
+    effective_label_rows,
     localize,
     scan_bwd,
     scan_partials,
@@ -84,12 +86,19 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                             rowsB, colsB, seenB, labA, labB)
         return out
 
-    def _dir_pack(emb32, q_l, g, rows, cols, seen, labels_l):
-        """Localized carrier pack for one direction."""
+    def _dir_pack(emb32, q_l, g, rows, cols, seen, labels_l, *, gts=True):
+        """Localized carrier pack for one direction. ``gts=False`` (the
+        backward, which reads gt1/gt2 from residuals) skips shard_gts's two
+        psum collectives and computes only the effective label rows."""
         g32, rows_i, cols_i, seen_f = carriers(g, rows, cols, seen)
         _, c_local, lcol, in_range, ll, owned = localize(q_l, cols_i, labels_l)
-        gt1, gt2, r0e, rbe = shard_gts(emb32, q_l, g32, rows_i, cols_i,
-                                       seen_f, labels_l, owned, ll)
+        if gts:
+            gt1, gt2, r0e, rbe = shard_gts(emb32, q_l, g32, rows_i, cols_i,
+                                           seen_f, labels_l, owned, ll)
+        else:
+            gt1 = gt2 = None
+            r0e, rbe = effective_label_rows(q_l, g32, rows_i, cols_i, seen_f,
+                                            labels_l, owned, ll)
         v, blend_b = shard_write_values(q_l, g32, rows_i, cols_i, seen_f,
                                         lcol, in_range)
         return dict(g32=g32, rows_i=rows_i, cols_i=cols_i, seen_f=seen_f,
@@ -166,8 +175,8 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         mxu_bf16 = q_l.dtype == jnp.bfloat16
         ex32 = emb_x.astype(jnp.float32)
         ey32 = emb_y.astype(jnp.float32)
-        pa = _dir_pack(ex32, q_l, g_a, rowsA, colsA, seenA, labA)
-        pb = _dir_pack(ey32, q_l, g_b, rowsB, colsB, seenB, labB)
+        pa = _dir_pack(ex32, q_l, g_a, rowsA, colsA, seenA, labA, gts=False)
+        pb = _dir_pack(ey32, q_l, g_b, rowsB, colsB, seenB, labB, gts=False)
         gt1a, gt2a, gt1b, gt2b = gts
         logz1a, logz2a, logz1b, logz2b = logzs
         topk1a, topk2a, topk1b, topk2b = topks
@@ -252,22 +261,8 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         (ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b,
          hit_a, hit_b) = out
 
-        def reduce_dir(ce1, neg1, ce2, neg2, labels):
-            pos = (labels >= 0).astype(jnp.float32)
-            n_pos = jnp.maximum(jnp.sum(pos), 1.0)
-            n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
-            any_pos = jnp.sum(pos) > 0
-            any_out = jnp.sum(1.0 - pos) > 0
-
-            def reduce(ce, neg):
-                cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
-                ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
-                return cls + ngl
-
-            return reduce(ce1, neg1) + reduce(ce2, neg2)
-
-        losses = (reduce_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
-                  reduce_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
+        losses = (reduce_margin_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
+                  reduce_margin_dir(ce1b, neg1b, ce2b, neg2b, labels_b))
         if with_acc:
             n_pos = jnp.maximum(
                 jnp.sum((labels_a >= 0).astype(jnp.float32))

@@ -60,12 +60,14 @@ from vlsfr_tpu.ops.margin_pallas import (
 from vlsfr_tpu.ops.twin_margin import (
     pallas_twin_partial_bwd,
     pallas_twin_partial_fwd,
+    reduce_margin_dir,
 )
 from vlsfr_tpu.parallel._shard_common import (
     AXIS,
     carriers,
     collective_merge,
     localize,
+    effective_label_rows,
     scan_bwd,
     scan_partials,
     shard_gts,
@@ -175,8 +177,10 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         # _twin_gt_tail (ops/twin_margin.py).
         dgt1 = jax.lax.psum(dgt1, AXIS) * _phi_prime(gt1, loss_type, margin)
         dgt2 = jax.lax.psum(dgt2, AXIS) * _phi_prime(gt2, loss_type, margin)
-        _, _, r0e, rbe = shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f,
-                                   labels_l, owned, ll)
+        # collective-free: gts come from residuals, so only the effective
+        # rows are needed here (shard_gts would re-psum gt1/gt2 for nothing)
+        r0e, rbe = effective_label_rows(q_l, g32, rows_i, cols_i, seen_f,
+                                        labels_l, owned, ll)
         own1 = (owned & pos).astype(jnp.float32)[:, None]
         d_emb = d_emb + dgt1[:, None] * r0e * own1
         d_emb = d_emb + dgt2[:, None] * rbe * own1
@@ -200,19 +204,10 @@ def make_sharded_twin_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
     def loss_fn(emb, queue, g, rows, cols, seen, labels):
         ce1, neg1, ce2, neg2, hit1 = inner(emb, queue, jax.lax.stop_gradient(g),
                                            rows, cols, seen, labels)
-        pos = (labels >= 0).astype(jnp.float32)
-        n_pos = jnp.maximum(jnp.sum(pos), 1.0)
-        n_out = jnp.maximum(jnp.sum(1.0 - pos), 1.0)
-        any_pos = jnp.sum(pos) > 0
-        any_out = jnp.sum(1.0 - pos) > 0
-
-        def reduce(ce, neg):
-            cls = jnp.where(any_pos, jnp.sum(ce) / n_pos, 0.0)
-            ngl = jnp.where(any_out, jnp.sum(neg) / n_out, 0.0)
-            return cls + ngl
-
-        loss = reduce(ce1, neg1) + reduce(ce2, neg2)
+        loss = reduce_margin_dir(ce1, neg1, ce2, neg2, labels)
         if with_acc:
+            n_pos = jnp.maximum(jnp.sum((labels >= 0).astype(jnp.float32)),
+                                1.0)
             return loss, jnp.sum(hit1) / n_pos
         return loss
 
