@@ -224,7 +224,17 @@ def main():
         rng0 = np.random.default_rng(0)
         x = jnp.asarray(rng0.standard_normal((batch, size, size, 3)), jnp.float32)
         variables = model_i.init(jax.random.PRNGKey(0), x, train=False)
-        fwd = jax.jit(lambda im: model_i.apply(variables, im, train=False))
+        infer_int8 = os.environ.get("BENCH_INT8", "0") == "1"
+        if infer_int8:
+            # int8 serving (ops/quant.py) — trace under the context
+            from vlsfr_tpu.ops.quant import int8_conv_inference
+
+            def _fwd(im):
+                with int8_conv_inference():
+                    return model_i.apply(variables, im, train=False)
+            fwd = jax.jit(_fwd)
+        else:
+            fwd = jax.jit(lambda im: model_i.apply(variables, im, train=False))
         lowered = fwd.lower(x)
         compiled = lowered.compile()
         try:
@@ -241,7 +251,8 @@ def main():
         dt = time.perf_counter() - t0
         sps = n_steps / dt
         print(json.dumps({
-            "metric": f"infer_{net_type}_embeddings_per_sec_chip_b{batch}",
+            "metric": (f"infer{'_int8' if infer_int8 else ''}_"
+                       f"{net_type}_embeddings_per_sec_chip_b{batch}"),
             "value": round(sps * batch, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(sps * step_flops / peak, 4) if step_flops else 0.0,
@@ -302,6 +313,9 @@ def main():
         }))
         return
 
+    # BENCH_INT8=1: gallery (EMA) forward with int8×int8→int32 convs
+    # (ops/quant.py — per-channel weights, dynamic per-tensor activations)
+    cfg.pool.gallery_int8 = os.environ.get("BENCH_INT8", "0") == "1"
     model = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
                        bn_stats_rows=cfg.model.bn_stats_rows)
     optimizer = make_optimizer(cfg.optim)
@@ -354,7 +368,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": (f"ffc{'_sharded' if mesh is not None else ''}_"
+                "metric": (f"ffc{'_sharded' if mesh is not None else ''}"
+                           f"{'_int8g' if cfg.pool.gallery_int8 else ''}_"
                            f"{net_type}_train_images_per_sec_chip_b{batch}_q{queue_size}"),
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",

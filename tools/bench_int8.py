@@ -102,11 +102,39 @@ def q2_drift(net="mobile"):
           f"mean={cos.mean():.5f}", flush=True)
 
 
+def q3_real_path_drift(net="ir50"):
+    """Drift of the SHIPPED int8 path (ops/quant.py: per-channel weights +
+    dynamic per-tensor activations, depthwise fall-through) — the number
+    that gates cfg.pool.gallery_int8 against the 0.999 cosine bar."""
+    from vlsfr_tpu.models import create_net, native_image_size
+    from vlsfr_tpu.ops.quant import int8_conv_inference
+
+    size = native_image_size(net)
+    fd = 128 if net == "mobile" else 512
+    model = create_net(net, feat_dim=fd)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, size, size, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = dict(variables, batch_stats=mut["batch_stats"])
+    e0 = np.asarray(model.apply(variables, x, train=False), np.float32)
+    with int8_conv_inference():
+        e1 = np.asarray(
+            jax.jit(lambda v, d: model.apply(v, d, train=False))(variables, x),
+            np.float32)
+    cos = np.sum(e0 * e1, -1) / (np.linalg.norm(e0, axis=-1)
+                                 * np.linalg.norm(e1, axis=-1))
+    print(f"{net}: REAL int8 path drift (per-channel w + dyn act): "
+          f"cosine min={cos.min():.5f} mean={cos.mean():.5f}", flush=True)
+
+
 def main():
     print("device:", jax.devices()[0], flush=True)
     q1_throughput()
     q2_drift("mobile")
     q2_drift("ir50")
+    q3_real_path_drift("mobile")
+    q3_real_path_drift("ir50")
 
 
 if __name__ == "__main__":

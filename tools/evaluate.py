@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--ema", action="store_true",
                     help="FFC checkpoints: evaluate the EMA gallery net "
                          "instead of the probe net")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the forward with int8 convs (ops/quant.py "
+                         "— 1.5-3.6x conv throughput on v5e, drift within "
+                         "the 0.999 cosine gate)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +74,8 @@ def main():
         "batch_stats": restored[f"{which}_stats"],
     }
 
-    emb = Embedder(model, variables, batch_size=args.batch_size)
+    emb = Embedder(model, variables, batch_size=args.batch_size,
+                   int8=args.int8)
     report = {"checkpoint_step": int(step)}
 
     if args.store:

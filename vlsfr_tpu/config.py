@@ -148,6 +148,13 @@ class PoolConfig:
     # faster on TPU; BN batch stats then span 2B samples (perf mode, not
     # bit-equivalent to the reference's per-pass statistics)
     fuse_forward: bool = False
+    # run the gallery (EMA) backbone forward with int8×int8→int32 convs
+    # (ops/quant.py: per-channel weights, dynamic per-tensor activations).
+    # v5e runs int8 convs 1.5-3.6× faster than bf16 (docs/PERF.md round 3);
+    # the gallery needs no gradients, so only embedding drift is at stake
+    # (measured within the 0.999 cosine fidelity gate with per-channel
+    # scales). Perf flag, default off.
+    gallery_int8: bool = False
 
 
 @dataclass

@@ -26,6 +26,7 @@ device→host ``.tolist()`` syncs per step (ffc.py:160,190).
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Any, Callable
 
@@ -235,6 +236,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     )
     m = cfg.pool.momentum
     fuse_fwd = cfg.pool.fuse_forward
+    gallery_int8 = cfg.pool.gallery_int8
 
     def loss_fn(probe_params, state: FFCState, x, y, idx: StepIndices):
         # EMA gallery update happens once, before any gallery forward
@@ -253,10 +255,19 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             return out, mut["batch_stats"]
 
         def gallery_fwd(data, stats):
-            out, mut = model.apply(
-                {"params": gallery_params, "batch_stats": stats},
-                data, train=True, mutable=["batch_stats"],
-            )
+            if gallery_int8:
+                # int8×int8→int32 convs for the no-gradient EMA forward
+                # (ops/quant.py; flag cfg.pool.gallery_int8) — trace-time
+                # context, the param tree is untouched
+                from vlsfr_tpu.ops.quant import int8_conv_inference
+                ctx = int8_conv_inference()
+            else:
+                ctx = contextlib.nullcontext()
+            with ctx:
+                out, mut = model.apply(
+                    {"params": gallery_params, "batch_stats": stats},
+                    data, train=True, mutable=["batch_stats"],
+                )
             return jax.lax.stop_gradient(out), jax.tree.map(jax.lax.stop_gradient, mut["batch_stats"])
 
         if fuse_fwd:

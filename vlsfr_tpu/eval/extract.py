@@ -18,8 +18,14 @@ from vlsfr_tpu.models.layers import l2_normalize
 
 
 class Embedder:
-    def __init__(self, model, variables, batch_size: int = 64, flip_average: bool = True):
-        """``variables`` = {"params": ..., "batch_stats": ...} of a backbone."""
+    def __init__(self, model, variables, batch_size: int = 64,
+                 flip_average: bool = True, int8: bool = False):
+        """``variables`` = {"params": ..., "batch_stats": ...} of a backbone.
+
+        ``int8`` serves the forward with int8×int8→int32 convs
+        (ops/quant.py — per-channel weights, dynamic per-tensor
+        activations): 1.5-3.6× conv throughput on v5e at a measured
+        embedding drift inside the 0.999 cosine gate (docs/PERF.md)."""
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
@@ -32,7 +38,15 @@ class Embedder:
                 emb = l2_normalize(emb + emb2)
             return emb
 
-        self._fn = jax.jit(forward)
+        if int8:
+            from vlsfr_tpu.ops.quant import int8_conv_inference
+
+            def forward_traced(images, _inner=forward):
+                with int8_conv_inference():
+                    return _inner(images)
+            self._fn = jax.jit(forward_traced)
+        else:
+            self._fn = jax.jit(forward)
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         """[N, H, W, 3] float32 (normalized pixels) → [N, D] fp32 embeddings."""
