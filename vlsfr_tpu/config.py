@@ -115,9 +115,10 @@ class PoolConfig:
     # "auto" switches it on once the class axis reaches streaming_threshold
     use_fused: str = "auto"  # auto | on | off
     streaming_threshold: int = 131072
-    # route the fused FFC head through the model-sharded twin composition
-    # (parallel/sharded_twin.py) even when the mesh model axis is 1 —
-    # validates/benches the multi-chip path on a single chip
+    # route the fused FFC head through the model-sharded composition (the
+    # QUAD both-directions-one-pass lift, parallel/sharded_quad.py) even
+    # when the mesh model axis is 1 — validates/benches the multi-chip
+    # path on a single chip
     force_sharded: bool = False
     # partial-FC negative sampling (arXiv 2010.05222) for the full_softmax
     # head: fraction of classes in each step's CE denominator (0 = off).
