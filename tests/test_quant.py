@@ -119,6 +119,27 @@ def test_embedder_int8_serving(rng):
     assert not np.array_equal(e_fp, e_q)
 
 
+def test_int8_export_roundtrip(rng):
+    """The int8 path survives jax.export serialize/deserialize (the
+    tools/export.py --int8 artifact): the deserialized graph carries the
+    baked int8 convs and reproduces the live int8 output."""
+    from jax import export as jexport
+
+    net, x, variables = _init(rng)
+
+    def forward(images):
+        with int8_conv_inference():
+            return net.apply(variables, images, train=False)
+
+    exported = jexport.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    blob = exported.serialize()
+    reloaded = jexport.deserialize(blob)
+    y_rt = np.asarray(reloaded.call(x))
+    y_live = np.asarray(forward(x))
+    np.testing.assert_allclose(y_rt, y_live, atol=1e-5)
+
+
 def test_ffc_gallery_int8_wiring(rng):
     """make_ffc_loss_fn with pool.gallery_int8: loss finite, differs from
     the fp path only through the gallery embeddings."""

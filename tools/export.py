@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--format", choices=["orbax", "stablehlo"], default="orbax")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--step", type=int, default=-1)
+    ap.add_argument("--int8", action="store_true",
+                    help="bake the int8 inference path (ops/quant.py) into "
+                         "the exported function — +27%% serving throughput "
+                         "on v5e for ir*/r* backbones (docs/PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -50,8 +54,15 @@ def main():
 
         model = create_net(args.net_type, feat_dim=args.feat_dim, dtype=jnp.bfloat16)
 
-        def forward(images):
-            return model.apply(variables, images, train=False)
+        if args.int8:
+            from vlsfr_tpu.ops.quant import int8_conv_inference
+
+            def forward(images):
+                with int8_conv_inference():
+                    return model.apply(variables, images, train=False)
+        else:
+            def forward(images):
+                return model.apply(variables, images, train=False)
 
         exported = jexport.export(jax.jit(forward))(
             jax.ShapeDtypeStruct((args.batch, size, size, 3), jnp.float32)
