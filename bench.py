@@ -10,7 +10,9 @@ the q16k dense-head headline LAST (it is the row tracked across rounds):
        BASELINE headline at 1M ids on one chip.
     3. ffc q=1M f32 forced-sharded — the multi-chip head's compiled
        artifact (shard_map quad composition) on a (1,1) mesh.
-    4. ffc q=16384 (dense head) — the round-over-round headline row.
+    4. serving ir50 bf16 and 5. serving ir50 int8 (ops/quant.py — the
+       +27% int8 inference path).
+    6. ffc q=16384 (dense head) — the round-over-round headline row.
 
 With BENCH_MODE set, runs that single config and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -52,6 +54,9 @@ SUITE = [
     # configs route make_sharded_quad_loss — both directions, one pass)
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
      "BENCH_QUEUE_DTYPE": "float32", "BENCH_FORCE_SHARDED": "1"},
+    # serving: bf16 vs the int8 path (ops/quant.py; +27% measured on ir50)
+    {"BENCH_MODE": "infer"},
+    {"BENCH_MODE": "infer", "BENCH_INT8": "1"},
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": "16384"},
 ]
 
