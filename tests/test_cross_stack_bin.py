@@ -33,6 +33,27 @@ def case(tmp_path_factory):
     return bin_path, issame, tm
 
 
+def test_build_pair_bin_start_restricts_to_tail(case, tmp_path):
+    """start= (the holdout-tail mode tools/casia_scale_study.py uses) must
+    sample ONLY record indices >= start."""
+    from cross_stack_eval import build_pair_bin
+
+    from vlsfr_tpu.data.records import FaceRecordReader
+
+    bin_path, _, _ = case
+    store = os.path.join(os.path.dirname(bin_path), "store")
+    r = FaceRecordReader(store)
+    start = len(r) // 2
+    tail_payloads = {bytes(r.payload(i)) for i in range(start, len(r))}
+    r.close()
+    out = str(tmp_path / "tail.bin")
+    issame = build_pair_bin(store, out, 20, seed=3, start=start)
+    with open(out, "rb") as f:
+        payloads, labels = pickle.load(f, encoding="bytes")
+    assert len(payloads) == 2 * len(issame) == 40
+    assert all(bytes(p) in tail_payloads for p in payloads)
+
+
 def test_foreign_bin_loads(case):
     from vlsfr_tpu.eval.verification import load_insightface_bin
 
