@@ -76,13 +76,23 @@ def stream_int8(emb, wq, scale):
 
 
 def bench(fn, *args, iters=(4, 16)):
-    """Chained-in-jit overhead-cancelled seconds per application."""
+    """Chained-in-jit overhead-cancelled seconds per application.
+
+    The chain must be DATA-DEPENDENT iteration to iteration — a
+    loop-invariant body is CSE'd out of the fori_loop by XLA (measured:
+    negative per-iter time after the two-length subtraction). Here each
+    iteration perturbs the embedding by the previous logsumexp (scaled to
+    numerical no-op) so the dots cannot be hoisted."""
     def make(n):
         @jax.jit
-        def chain(*a):
-            def body(i, acc):
-                return acc + jnp.sum(fn(*a))
-            return jax.lax.fori_loop(0, n, body, 0.0)
+        def chain(emb, *rest):
+            def body(i, carry):
+                acc, prev = carry
+                out = fn(emb + (prev[:, None] * 1e-30).astype(emb.dtype), *rest)
+                return (acc + jnp.sum(out), out)
+            acc, _ = jax.lax.fori_loop(
+                0, n, body, (0.0, jnp.zeros((emb.shape[0],), jnp.float32)))
+            return acc
         return chain
 
     t = {}
