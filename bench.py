@@ -181,6 +181,7 @@ def main():
         cfg.pool.sparse_update = os.environ.get("BENCH_SPARSE", "0") == "1"
         cfg.pool.sparse_grad_rate = float(os.environ.get("BENCH_SPARSE_RATE", 0.05))
         cfg.pool.classifier_dtype = os.environ.get("BENCH_CLS_DTYPE", "float32")
+        cfg.pool.fused_update = os.environ.get("BENCH_FUSED_UPDATE", "auto")
         model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
                              bn_stats_rows=cfg.model.bn_stats_rows)
         optimizer_s = make_optimizer(cfg.optim)
@@ -199,11 +200,16 @@ def main():
         for _ in range(3):
             state, m = compiled(state, images, labels, 1.0)
         float(m["loss"])  # value-fetch sync (tunnel block_until_ready is unreliable)
+        profile_dir = os.environ.get("BENCH_PROFILE", "")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, m = compiled(state, images, labels, 1.0)
         float(m["loss"])
         dt = time.perf_counter() - t0
+        if profile_dir:
+            jax.profiler.stop_trace()
         sps = n_steps / dt
         step_flops, mfu, hbm_frac = _roofline(compiled, dt / n_steps, peak, peak_bw)
         tag = "sampled_softmax" if cfg.pool.sample_rate > 0 else "softmax"
@@ -218,6 +224,7 @@ def main():
                        "num_classes": num_classes, "loss": float(m["loss"]),
                        "train_acc": float(m.get("train_acc", -1.0)),
                        "classifier_dtype": cfg.pool.classifier_dtype,
+                       "fused_update": cfg.pool.fused_update,
                        "step_flops": step_flops, "peak_flops": peak,
                        "hbm_roofline_frac": hbm_frac},
         }))

@@ -1,0 +1,280 @@
+"""Fused-SGD streaming backward: the classifier update applied inside the
+streaming pass (ops/margin_pallas.py fused-SGD section).
+
+Equivalence ladder:
+  dense streaming backward (_stream_bwd, itself golden-tested) + the optax
+  SGD chain replayed in jnp (apply_sgd_dense)
+    == pallas_margin_ce_bwd_fused_sgd (interpreter mode)   [kernel]
+    == streaming_margin_grads_fused_sgd CPU fallback        [op]
+  dense-streaming-head train step + optax
+    == fused-update train step                              [trajectory]
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlsfr_tpu.ops.margin_pallas import (
+    _stream_bwd,
+    _stream_fwd,
+    apply_sgd_dense,
+    compute_gt,
+    pallas_margin_ce_bwd_fused_sgd,
+    streaming_margin_grads_fused_sgd,
+)
+
+
+def make_case(rng, b=8, c=128, d=128, frac_outlier=0.0):
+    emb = rng.standard_normal((b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    mom = (0.1 * rng.standard_normal((c, d))).astype(np.float32)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+    labels[rng.random(b) < frac_outlier] = -1
+    return jnp.asarray(emb), jnp.asarray(w), jnp.asarray(mom), jnp.asarray(labels)
+
+
+def oracle(emb, w, mom, labels, d_ce, d_neg, lr, *, momentum, nesterov,
+           weight_decay, **kw):
+    """Dense streaming backward + the optax chain replayed in jnp."""
+    gt = compute_gt(emb, w, labels, kw["normalize_w"])
+    ce, neg, logz, topk = _stream_fwd(emb, w, labels, gt, **kw)
+    d_emb, d_w = _stream_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg,
+                             grad_w=True, **kw)
+    new_w, new_mom = apply_sgd_dense(w, mom, d_w, lr, momentum=momentum,
+                                     nesterov=nesterov, weight_decay=weight_decay)
+    return ce, topk, gt, d_emb, new_w, new_mom, logz
+
+
+KW = dict(margin=0.4, scale=24.0, k=3, mask_svfc=1.2, normalize_w=True, tile=128)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "AM", "SV"])
+@pytest.mark.parametrize("momentum,nesterov,wd", [
+    (0.9, True, 1e-4),   # the reference's SGD config
+    (0.9, False, 0.0),   # heavy-ball, no decay
+    (0.0, False, 1e-4),  # plain SGD + decay
+])
+def test_fused_kernel_matches_dense_plus_optax(loss_type, momentum, nesterov,
+                                               wd, rng):
+    emb, w, mom, labels = make_case(rng)
+    b = emb.shape[0]
+    d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
+    d_neg = jnp.zeros((b,), jnp.float32)
+    lr = 0.05
+    kw = dict(KW, loss_type=loss_type)
+    ce, topk, gt, d_emb_o, new_w_o, new_mom_o, logz = oracle(
+        emb, w, mom, labels, d_ce, d_neg, lr,
+        momentum=momentum, nesterov=nesterov, weight_decay=wd, **kw)
+    d_emb, new_w, new_mom = pallas_margin_ce_bwd_fused_sgd(
+        emb, w, mom, labels, gt, logz, topk, d_ce, d_neg, lr,
+        momentum=momentum, nesterov=nesterov, weight_decay=wd,
+        interpret=True, **kw)
+    np.testing.assert_allclose(d_emb, d_emb_o, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(new_mom, new_mom_o, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(new_w, new_w_o, atol=2e-6, rtol=1e-5)
+
+
+def test_fused_kernel_outlier_rows(rng):
+    """Outlier (-1) rows: hard-neg cotangents flow, no target-row tail."""
+    emb, w, mom, labels = make_case(rng, frac_outlier=0.4)
+    b = emb.shape[0]
+    d_ce = jnp.where(labels >= 0, 1.0 / b, 0.0).astype(jnp.float32)
+    d_neg = jnp.where(labels < 0, 1.0 / b, 0.0).astype(jnp.float32)
+    kw = dict(KW, loss_type="Arc")
+    ce, topk, gt, d_emb_o, new_w_o, new_mom_o, logz = oracle(
+        emb, w, mom, labels, d_ce, d_neg, 0.1,
+        momentum=0.9, nesterov=True, weight_decay=1e-4, **kw)
+    d_emb, new_w, new_mom = pallas_margin_ce_bwd_fused_sgd(
+        emb, w, mom, labels, gt, logz, topk, d_ce, d_neg, 0.1,
+        momentum=0.9, nesterov=True, weight_decay=1e-4, interpret=True, **kw)
+    np.testing.assert_allclose(d_emb, d_emb_o, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(new_mom, new_mom_o, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(new_w, new_w_o, atol=2e-6, rtol=1e-5)
+
+
+def test_fused_kernel_bf16_classifier(rng):
+    """bf16 storage: kernel math in f32, one extra bf16 rounding allowed on
+    the B target rows (kernel write + linear correction add)."""
+    emb, w, mom, labels = make_case(rng)
+    w16 = w.astype(jnp.bfloat16)
+    b = emb.shape[0]
+    d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
+    d_neg = jnp.zeros((b,), jnp.float32)
+    kw = dict(KW, loss_type="Arc")
+    ce, topk, gt, d_emb_o, new_w_o, new_mom_o, logz = oracle(
+        emb, w16, mom, labels, d_ce, d_neg, 0.05,
+        momentum=0.9, nesterov=True, weight_decay=1e-4, **kw)
+    d_emb, new_w, new_mom = pallas_margin_ce_bwd_fused_sgd(
+        emb, w16, mom, labels, gt, logz, topk, d_ce, d_neg, 0.05,
+        momentum=0.9, nesterov=True, weight_decay=1e-4, interpret=True, **kw)
+    assert new_w.dtype == jnp.bfloat16
+    # bf16 classifiers route the kernel's dots through the MXU at bf16
+    # operand precision (mxu_bf16, as the dense pallas backward does); the
+    # scan oracle computes f32 — tolerance covers that known rounding
+    np.testing.assert_allclose(new_mom, new_mom_o, atol=2e-3, rtol=2e-2)
+    # one bf16 ulp of slack for the double rounding on target rows
+    np.testing.assert_allclose(
+        new_w.astype(np.float32), new_w_o.astype(np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_op_cpu_fallback_matches_oracle(rng):
+    """The public op's non-Pallas route == the oracle (it IS the same math,
+    this pins the plumbing: cotangent masking, gt tail, return order)."""
+    emb, w, mom, labels = make_case(rng)
+    b = emb.shape[0]
+    d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
+    d_neg = jnp.zeros((b,), jnp.float32)
+    kw = dict(KW, loss_type="Arc")
+    ce_o, topk_o, gt_o, d_emb_o, new_w_o, new_mom_o, _ = oracle(
+        emb, w, mom, labels, d_ce, d_neg, 0.05,
+        momentum=0.9, nesterov=True, weight_decay=1e-4, **kw)
+    okw = dict(loss_type="Arc", margin=0.4, scale=24.0, hard_neg=3,
+               mask_svfc=1.2, normalize_w=True, tile=128)
+    ce, _neg, topk, gt, d_emb, new_w, new_mom = streaming_margin_grads_fused_sgd(
+        emb, w, mom, labels, d_ce, d_neg, 0.05,
+        momentum=0.9, nesterov=True, weight_decay=1e-4, use_pallas=False, **okw)
+    np.testing.assert_allclose(ce, ce_o, atol=1e-6)
+    np.testing.assert_allclose(d_emb, d_emb_o, atol=1e-6)
+    np.testing.assert_allclose(new_w, new_w_o, atol=1e-7)
+    np.testing.assert_allclose(new_mom, new_mom_o, atol=1e-7)
+
+
+# ----------------------------------------------------------------------
+# head-level: fused-update train step == dense streaming + optax
+# ----------------------------------------------------------------------
+
+
+def _toy_setup(fused: str):
+    from vlsfr_tpu.config import Config
+    from vlsfr_tpu.models import create_net
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+    from vlsfr_tpu.train.softmax_head import (
+        create_softmax_state,
+        make_softmax_train_step,
+    )
+
+    cfg = Config()
+    cfg.model.net_type = "toy"
+    cfg.model.feat_dim = 32
+    cfg.model.dtype = "float32"
+    cfg.data.batch_size = 8
+    cfg.pool.head = "full_softmax"
+    cfg.pool.num_classes = 96
+    cfg.pool.use_fused = "on"  # streaming head regardless of class count
+    cfg.pool.fused_update = fused
+    cfg.optim.lr = 0.05
+    model = create_net("toy", feat_dim=32)
+    optimizer = make_optimizer(cfg.optim)
+    schedule = make_schedule(cfg.optim, steps_per_epoch=100)
+    state = create_softmax_state(
+        jax.random.PRNGKey(0), model, cfg, optimizer, 32, cfg.pool.num_classes)
+    step = make_softmax_train_step(model, cfg, optimizer, schedule)
+    return cfg, state, step
+
+
+def test_fused_train_step_matches_dense_optax(rng):
+    """3 steps of the fused-update head == 3 steps of dense streaming +
+    optax, on the same toy data: same classifier, backbone, and loss."""
+    cfg_f, state_f, step_f = _toy_setup("auto")
+    cfg_d, state_d, step_d = _toy_setup("off")
+    assert "classifier_mom" in state_f.opt_state  # fused layout
+    assert not isinstance(state_d.opt_state, dict)  # optax layout
+
+    npr = np.random.default_rng(7)
+    # one fixed batch: equivalence per step AND monotone descent on it
+    images = jnp.asarray(npr.standard_normal((8, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(npr.integers(0, 96, size=8), jnp.int32)
+    losses_f, losses_d = [], []
+    for i in range(3):
+        state_f, m_f = step_f(state_f, images, labels, 1.0)
+        state_d, m_d = step_d(state_d, images, labels, 1.0)
+        losses_f.append(float(m_f["loss"]))
+        losses_d.append(float(m_d["loss"]))
+    np.testing.assert_allclose(losses_f, losses_d, rtol=1e-5)
+    np.testing.assert_allclose(
+        state_f.params["classifier"], state_d.params["classifier"],
+        atol=1e-6, rtol=1e-5)
+    flat_f = jax.tree.leaves(state_f.params["backbone"])
+    flat_d = jax.tree.leaves(state_d.params["backbone"])
+    for a, b in zip(flat_f, flat_d):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+    assert losses_f[-1] < losses_f[0]  # it learns
+
+
+def test_fused_dp_mesh_matches_single():
+    """Under a data=8 mesh the shard_map all-gather head must reproduce the
+    unsharded fused trajectory (every chip computes the identical update)."""
+    from vlsfr_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    cfg, state_s, step_s = _toy_setup("auto")
+    mesh = make_mesh(8, 1)
+
+    from vlsfr_tpu.models import create_net
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+    from vlsfr_tpu.train.softmax_head import (
+        create_softmax_state,
+        make_softmax_train_step,
+    )
+
+    model = create_net("toy", feat_dim=32)
+    optimizer = make_optimizer(cfg.optim)
+    schedule = make_schedule(cfg.optim, steps_per_epoch=100)
+    state_m = create_softmax_state(
+        jax.random.PRNGKey(0), model, cfg, optimizer, 32, cfg.pool.num_classes,
+        mesh=mesh)
+    step_m = make_softmax_train_step(model, cfg, optimizer, schedule, mesh=mesh)
+    assert "classifier_mom" in state_m.opt_state
+
+    npr = np.random.default_rng(11)
+    sh = batch_sharding(mesh)
+    for _ in range(2):
+        images = npr.standard_normal((8, 32, 32, 3)).astype(np.float32)
+        labels = npr.integers(0, 96, size=8).astype(np.int32)
+        state_s, m_s = step_s(state_s, jnp.asarray(images), jnp.asarray(labels), 1.0)
+        state_m, m_m = step_m(
+            state_m, jax.device_put(jnp.asarray(images), sh),
+            jax.device_put(jnp.asarray(labels), sh), 1.0)
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_m["loss"]), rtol=1e-5)
+    # tolerance covers the data-sharded backbone's BN-stat reduction
+    # reordering (same bound as tests/test_sharding.py), amplified through
+    # two update steps — the head math itself matches at loss level above
+    np.testing.assert_allclose(
+        np.asarray(state_s.params["classifier"]),
+        np.asarray(state_m.params["classifier"]), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(state_s.opt_state["classifier_mom"]),
+        np.asarray(state_m.opt_state["classifier_mom"]), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_update_eligibility():
+    """'on' + ineligible config raises; 'auto' silently falls back."""
+    from vlsfr_tpu.config import Config
+    from vlsfr_tpu.train.softmax_head import _fused_update_on
+
+    cfg = Config()
+    cfg.pool.head = "full_softmax"
+    cfg.pool.num_classes = 96
+    cfg.pool.use_fused = "on"
+    assert _fused_update_on(cfg)
+    cfg.optim.grad_clip = 5.0
+    assert not _fused_update_on(cfg)  # auto: falls back
+    cfg.pool.fused_update = "on"
+    with pytest.raises(ValueError):
+        _fused_update_on(cfg)
+    cfg.optim.grad_clip = 0.0
+    cfg.optim.optim = "RMSprop"
+    with pytest.raises(ValueError):
+        _fused_update_on(cfg)
+    cfg.optim.optim = "SGD"
+    assert _fused_update_on(cfg)
+    cfg.pool.fused_update = "auto"
+    import jax.sharding as jsh
+
+    # pure-DP mesh: eligible (replicated head via shard_map all-gather)
+    devs = np.array(jax.devices()[:2]).reshape(2, 1)
+    assert _fused_update_on(cfg, jsh.Mesh(devs, ("data", "model")))
+    # model-sharded mesh: falls back (class rows belong to parallel/sharded_*)
+    devs = np.array(jax.devices()[:2]).reshape(1, 2)
+    assert not _fused_update_on(cfg, jsh.Mesh(devs, ("data", "model")))

@@ -88,6 +88,41 @@ def jax_leaves(tree):
     return [np.asarray(x) for x in jax.tree.leaves(tree)]
 
 
+def test_fused_update_trains_and_resumes(store, tmp_path):
+    """Fused-update softmax head (bare classifier_mom opt_state layout):
+    end-to-end train + checkpoint/resume equivalence vs uninterrupted."""
+
+    def cfg_for(path, epochs):
+        c = tiny_cfg(store, path, head="full_softmax")
+        c.pool.num_classes = 10
+        c.pool.use_fused = "on"       # streaming head at toy class count
+        c.pool.fused_update = "auto"  # -> on (SGD, no clip, model axis == 1;
+        # the conftest's 8 virtual devices make this a data=8 mesh, so the
+        # shard_map all-gather head path is what trains here)
+        c.optim.epochs = epochs
+        return c
+
+    t_a = Trainer(cfg_for(tmp_path / "a", 2))
+    assert "classifier_mom" in t_a.state.opt_state  # fused layout routed
+    t_a.train()
+    cls_a = np.asarray(t_a.state.params["classifier"])
+    mom_a = np.asarray(t_a.state.opt_state["classifier_mom"])
+    t_a.close()
+
+    t_b1 = Trainer(cfg_for(tmp_path / "b", 1))
+    t_b1.train()
+    t_b1.close()
+    t_b2 = Trainer(cfg_for(tmp_path / "b", 2))
+    assert t_b2.start_epoch == 1
+    t_b2.train()
+    cls_b = np.asarray(t_b2.state.params["classifier"])
+    mom_b = np.asarray(t_b2.state.opt_state["classifier_mom"])
+    t_b2.close()
+
+    np.testing.assert_allclose(cls_a, cls_b, atol=1e-6)
+    np.testing.assert_allclose(mom_a, mom_b, atol=1e-6)
+
+
 def test_fuse_forward_mode_trains(store, tmp_path):
     cfg = tiny_cfg(store, tmp_path / "fuse")
     cfg.pool.fuse_forward = True

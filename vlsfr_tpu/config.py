@@ -139,6 +139,14 @@ class PoolConfig:
     # fraction of class tiles kept by the sparse streaming backward
     # (targets + top-k tiles are always kept); the loss itself stays exact
     sparse_grad_rate: float = 0.05
+    # fuse the classifier's SGD-momentum update into the streaming
+    # backward kernel (ops/margin_pallas.streaming_margin_grads_fused_sgd):
+    # the dense [C, D] d_w never exists in HBM — it is consumed tile-by-
+    # tile in the same pass that computes it, saving the d_w store+load
+    # and one classifier read per step (~5.3 GB at C=1M). Exact optax
+    # semantics. "auto" = on for the dense streaming head on an unsharded
+    # mesh with SGD and no global-norm clipping; ignored elsewhere.
+    fused_update: str = "auto"  # auto | on | off
     # classifier (+ bare momentum buffer) storage dtype for the
     # full_softmax head. bfloat16 halves the 4 GB/1M-ids footprint and the
     # streaming forward's HBM read — the single-chip 4M-identity enabler

@@ -637,6 +637,323 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
 
 
 # ======================================================================
+# fused-SGD backward: classifier update applied inside the streaming pass
+# ======================================================================
+#
+# The dense streaming backward materializes d_w [C, D] f32 only for optax
+# to re-read it once and throw it away: at C=1M that is a 2.1 GB store +
+# 2.1 GB load + an extra 1 GB classifier read per step, on a path that is
+# already HBM-bound (0.82 of the roofline, docs/PERF.md round 3). The
+# SGD-momentum chain this repo uses for the classifier
+# (optim/optimizers.py: add_decayed_weights → trace(μ, nesterov) →
+# -lr) is elementwise per row, so it can run in the SAME pass that
+# computes each d_w tile — the gradient then never exists in HBM:
+#
+#   g     = d_w + wd·w
+#   mom'  = μ·mom + g
+#   upd   = g + μ·mom'   (nesterov)  |  mom'  (heavy-ball)  |  g  (μ=0)
+#   w'    = w − lr·upd
+#
+# Per-tile traffic drops from {w read, d_w write} + {d_w read, w read,
+# w write, mom read, mom write} to {w read, mom read, w write, mom write}.
+#
+# The gt-gather tail (target-row gradient, applied by the dense caller as
+# one B-row scatter-add into d_w) CANNOT stay a post-kernel scatter here:
+# XLA materializes a full copy of each scattered custom-call output
+# (measured 9.8 ms/step at C=1M bf16 — new_w 2.1 GB + new_mom 8.4 GB of
+# copy traffic, the 5-step xplane trace's copy.1347/1348). Instead the
+# tail is folded INTO the stream: d_gt is analytic from the forward
+# outputs —
+#
+#   z_target (in-tile) = scale·φ(gt)  exactly (_tile_modified substitutes
+#   φ(gt_col) at the target column), so
+#   d_gt_raw = (exp(scale·φ(gt) − logz) − 1) · d_ce · scale
+#
+# — which lets the caller build the full target-row parameter gradient
+# d_wl [B, D] (φ′ chain + w-normalization backprop on the gathered
+# PRE-update rows) BEFORE the kernel runs. Each tile owning a target row
+# adds it with one one-hot MXU dot, is_targetᵀ[T,B] @ d_wl[B,D], gated by
+# pl.when(has_target) — at most B of the C/tile tiles pay it.
+#
+# NOT eligible: global-norm gradient clipping (optim.grad_clip > 0 couples
+# the classifier update to backbone gradients that don't exist yet) and
+# RMSprop (per-element second-moment state would fuse the same way, but
+# the reference trains SGD; add it when needed). The train-step router
+# (train/softmax_head.py) checks both.
+
+
+def _make_bwd_fused_sgd_kernel(b, d, c, tile, k, loss_type, margin, scale,
+                               mask_svfc, normalize_w, mxu_bf16, w_dtype,
+                               momentum, nesterov, weight_decay):
+    def kernel(labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
+               lr_ref, emb_ref, dwl_ref, w_ref, mom_ref,
+               new_w_ref, new_mom_ref, demb_ref,
+               demb_scr):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            demb_scr[:] = jnp.zeros((b, d), jnp.float32)
+
+        labels = labels_ref[:]  # [B,1]
+        gt = gt_ref[:]
+        logz = logz_ref[:]
+        kth = kth_ref[:]
+        d_ce = dce_ref[:]
+        d_neg = dneg_ref[:]
+        lr = lr_ref[0, 0]
+        pos = labels >= 0
+
+        emb = emb_ref[:].astype(jnp.float32)
+        w_tile = w_ref[:].astype(jnp.float32)
+        if normalize_w:
+            n2 = jnp.maximum(jnp.sum(w_tile * w_tile, axis=-1, keepdims=True), 1e-24)
+            inv = jax.lax.rsqrt(n2)
+            wn = w_tile * inv
+        else:
+            inv = None
+            wn = w_tile
+        e_op, wn_op = _mxu_pair(emb, wn, mxu_bf16)
+        cos = jnp.dot(e_op, wn_op.T, preferred_element_type=jnp.float32)  # [B, T]
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c
+        cos_v = jnp.where(valid, cos, NEG_INF)
+        is_target = col == labels
+        mod = _tile_modified(cos_v, is_target, gt, valid, loss_type, margin, mask_svfc)
+        z = scale * mod
+
+        def _apply_update(d_w):
+            """SGD chain on this tile; d_w is the in-register gradient."""
+            g = d_w
+            if weight_decay:
+                g = g + weight_decay * w_tile
+            if momentum:
+                mom_new = momentum * mom_ref[:] + g
+                upd = g + momentum * mom_new if nesterov else mom_new
+            else:
+                mom_new = g
+                upd = g
+            new_mom_ref[:] = mom_new
+            new_w_ref[:] = (w_tile - lr * upd).astype(w_dtype)
+
+        def _dw_tile():
+            """The streamed part of this tile's d_w (target columns routed
+            separately via d_wl); accumulates d_emb as a side effect."""
+            p = jnp.exp(z - logz)
+            dz = (p - is_target.astype(jnp.float32)) * d_ce * scale
+            if loss_type == "SV":
+                hard = cos_v > (gt - margin)
+                col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+            else:
+                col_fac = 1.0
+            d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+            in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos)
+            d_cos2 = d_cos + jnp.where(in_topk, d_neg / k, 0.0)
+            d_cos2 = jnp.where(valid, d_cos2, 0.0)
+            dc_op, _ = _mxu_pair(d_cos2, d_cos2, mxu_bf16)
+            demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, wn_op, preferred_element_type=jnp.float32)
+            d_wn = jnp.dot(dc_op.T, e_op, preferred_element_type=jnp.float32)  # [T, D]
+            if normalize_w:
+                return inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+            return d_wn
+
+        # same tile-relevance gate as the dense backward: skip the
+        # exp/select/matmul block on tiles carrying no gradient mass —
+        # the momentum decay + weight decay still run (they must, every
+        # step, for optax equivalence)
+        ce_mass = jnp.any((jnp.max(z, axis=-1, keepdims=True) - logz > -20.0) & (d_ce != 0))
+        has_target = jnp.any(is_target & (d_ce != 0))
+        has_topk = jnp.any((cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & jnp.logical_not(pos) & (d_neg != 0))
+        needs_work = ce_mass | has_target | has_topk
+
+        # three-way split so the one-hot target-row dot runs ONLY on the
+        # ≤B tiles that own a target (is_target is exact 0/1 — the dot is
+        # an exact row-select of d_wl, f32 on the MXU)
+        @pl.when(needs_work & has_target)
+        def _heavy_target():
+            itf = is_target.astype(jnp.float32)
+            extra = jnp.dot(itf.T, dwl_ref[:], preferred_element_type=jnp.float32)
+            _apply_update(_dw_tile() + extra)
+
+        @pl.when(needs_work & jnp.logical_not(has_target))
+        def _heavy():
+            _apply_update(_dw_tile())
+
+        @pl.when(jnp.logical_not(needs_work))
+        def _skip():
+            _apply_update(jnp.zeros((tile, d), jnp.float32))
+
+        @pl.when(t == n_t - 1)
+        def _finalize():
+            demb_ref[:] = demb_scr[:]
+
+    return kernel
+
+
+def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
+                                   d_neg, lr, *, momentum, nesterov,
+                                   weight_decay, loss_type, margin, scale, k,
+                                   mask_svfc, normalize_w, tile=512,
+                                   interpret=False):
+    """Streaming backward with the classifier SGD-momentum update fused in.
+
+    Returns (d_emb [B, D], new_w [C, D] w.dtype, new_mom [C, D] f32) where
+    new_w/new_mom are exactly what optax's wd→trace(μ,nesterov)→(-lr)
+    chain would produce from the dense d_w. The target-row gradient is
+    computed analytically BEFORE the kernel and routed in as ``d_wl`` (see
+    the section comment) — post-kernel scatters on the [C, D] outputs are
+    forbidden: XLA copies the whole scattered custom-call output
+    (measured 9.8 ms/step at C=1M). ``lr`` may be a traced scalar
+    (schedules stay recompilation-free).
+    """
+    b, d = emb.shape
+    c = w.shape[0]
+    # VMEM: double-buffered per tile row — w in/out at its own dtype, mom
+    # in/out f32 — plus ~6 [B, tile] f32 working buffers
+    w_bufs = 16 + 4 * jnp.dtype(w.dtype).itemsize
+    max_tile = max(256, int((11 * 2**20) // (w_bufs * d + 24 * b)) // 128 * 128)
+    tile = _fit_tile(c, min(tile, max_tile))
+    wp, n_tiles = _pad_classes(w, c, tile)
+    mp, _ = _pad_classes(mom, c, tile)
+    kernel = _make_bwd_fused_sgd_kernel(
+        b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
+        mxu_bf16=w.dtype == jnp.bfloat16, w_dtype=w.dtype,
+        momentum=momentum, nesterov=nesterov, weight_decay=weight_decay)
+    pos = labels >= 0
+    d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
+    d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)
+    kth = topk[:, -1]
+    emb32 = emb.astype(jnp.float32)
+
+    # gt tail, analytic (the in-tile target logit is exactly scale·φ(gt)):
+    # raw dz at the target column, then the φ′ chain, then the
+    # w-normalization backprop on the gathered PRE-update target rows
+    p_t = jnp.exp(scale * _phi_target(gt, loss_type, margin, mask_svfc) - logz)
+    d_gt = jnp.where(pos, (p_t - 1.0) * d_ce * scale, 0.0)
+    d_gt = d_gt * _phi_prime(gt, loss_type, margin)
+    safe = jnp.maximum(labels, 0)
+    wl = w[safe].astype(jnp.float32)
+    wln = _normalize_rows(wl) if normalize_w else wl
+    pos1 = pos.astype(jnp.float32)[:, None]
+    d_wln = d_gt[:, None] * emb32 * pos1
+    if normalize_w:
+        n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)
+        inv = jax.lax.rsqrt(n2)
+        d_wl = inv * (d_wln - wln * jnp.sum(d_wln * wln, axis=-1, keepdims=True))
+    else:
+        d_wl = d_wln
+
+    vec = lambda v: v[:, None].astype(jnp.float32)  # noqa: E731
+    new_w_p, new_mom_p, d_emb = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # labels
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # gt
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # logz
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # kth
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # d_ce
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # d_neg
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),  # lr
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),  # emb
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),  # d_wl
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # w tile
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),  # mom tile
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * tile, d), w.dtype),
+            jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+        ],
+        # the update is IN-PLACE: w → new_w, mom → new_mom. Without this,
+        # XLA's buffer assignment reuses the donated state buffers for the
+        # outputs anyway and preserves the input values with full [C, D]
+        # copies at step start — measured 9.8 ms/step at C=1M bf16
+        # (copy.1347/1348 in the xplane trace). Only valid when no class
+        # padding happened (aliasing needs matching shapes; _fit_tile makes
+        # this the common case).
+        input_output_aliases=(
+            {9: 0, 10: 1} if n_tiles * tile == c else {}
+        ),
+        interpret=interpret,
+    )(labels.astype(jnp.int32)[:, None], vec(gt), vec(logz), vec(kth),
+      vec(d_ce), vec(d_neg), jnp.asarray(lr, jnp.float32).reshape(1, 1),
+      emb32, d_wl, wp, mp)
+    new_w = new_w_p[:c]
+    new_mom = new_mom_p[:c]
+    # d_emb's target-column term (d_gt routed into the embedding) — [B, D],
+    # cheap XLA elementwise
+    d_emb = d_emb + d_gt[:, None] * wln * pos1
+    return d_emb.astype(emb.dtype), new_w, new_mom
+
+
+def streaming_margin_grads_fused_sgd(
+    emb, w, mom, labels, d_ce, d_neg, lr, *, momentum, nesterov, weight_decay,
+    loss_type="Arc", margin=0.5, scale=32.0, hard_neg=1, mask_svfc=1.2,
+    normalize_w=True, tile=512, use_pallas="auto",
+):
+    """Explicit fwd+bwd with the classifier SGD update fused into the
+    backward stream — the dense [C, D] gradient never exists in HBM.
+
+    Like streaming_sparse_margin_grads this runs OUTSIDE jax.grad: the
+    caller supplies the output cotangents (d_ce/d_neg [B]), feeds d_emb
+    into the backbone via jax.vjp, and swaps (new_w, new_mom) into the
+    train state. Semantics == dense streaming + the optax SGD chain,
+    bit-exact in f32 (tests/test_fused_update.py); classifier_dtype
+    bfloat16 adds one extra bf16 rounding on the B target rows.
+
+    Returns (ce, neg, topk, gt, d_emb, new_w, new_mom).
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    gt = compute_gt(emb, w, labels, normalize_w)
+    kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
+              mask_svfc=mask_svfc, normalize_w=normalize_w, tile=tile)
+    fwd = pallas_margin_ce_fwd if use_pallas else _stream_fwd
+    ce, neg, logz, topk = fwd(emb, w, labels, gt, **kw)
+    if use_pallas:
+        d_emb, new_w, new_mom = pallas_margin_ce_bwd_fused_sgd(
+            emb, w, mom, labels, gt, logz, topk, d_ce, d_neg, lr,
+            momentum=momentum, nesterov=nesterov, weight_decay=weight_decay,
+            **kw)
+    else:
+        # CPU/test fallback: dense d_w (scan) + the same optax chain in jnp —
+        # the reference semantics the kernel is tested against
+        d_emb, d_w = _stream_bwd(
+            emb, w, labels, gt, logz, topk, d_ce, d_neg, grad_w=True, **kw)
+        new_w, new_mom = apply_sgd_dense(
+            w, mom, d_w, lr, momentum=momentum, nesterov=nesterov,
+            weight_decay=weight_decay)
+    return ce, neg, jax.lax.stop_gradient(topk), gt, d_emb, new_w, new_mom
+
+
+def apply_sgd_dense(w, mom, d_w, lr, *, momentum, nesterov, weight_decay):
+    """The optax wd → trace(μ, nesterov) → (-lr) chain as one jnp update
+    (optim/optimizers.py semantics; used by the fused path's CPU fallback
+    and as the test oracle for the fused kernel)."""
+    g = d_w.astype(jnp.float32)
+    if weight_decay:
+        g = g + weight_decay * w.astype(jnp.float32)
+    if momentum:
+        new_mom = momentum * mom + g
+        upd = g + momentum * new_mom if nesterov else new_mom
+    else:
+        new_mom = g
+        upd = g
+    new_w = (w.astype(jnp.float32) - lr * upd).astype(w.dtype)
+    return new_w, new_mom
+
+
+# ======================================================================
 # per-shard partial kernels (parallel/sharded_margin.py's hot path)
 # ======================================================================
 #

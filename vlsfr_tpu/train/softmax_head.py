@@ -33,6 +33,31 @@ def _streaming_on(cfg: Config) -> bool:
     return cfg.pool.use_fused == "on"
 
 
+def _fused_update_on(cfg: Config, mesh=None) -> bool:
+    """True when the classifier update runs INSIDE the streaming backward
+    (ops/margin_pallas.streaming_margin_grads_fused_sgd) — the dense [C, D]
+    d_w then never exists in HBM. Requires the dense streaming head, SGD,
+    no global-norm clipping (it couples the classifier update to backbone
+    grads that don't exist yet at stream time), and mesh model == 1. A
+    data axis > 1 is fine: the classifier is replicated under pure DP, so
+    every chip streams the full head on the all-gathered embeddings and
+    computes the identical update — the same replicated head compute the
+    dense+optax path does, minus the d_w materialization. A model axis > 1
+    shards the class rows; that path belongs to parallel/sharded_*."""
+    if cfg.pool.fused_update == "off":
+        return False
+    if not _streaming_on(cfg) or cfg.pool.sample_rate > 0 or cfg.pool.sparse_update:
+        return False
+    model_unsharded = mesh is None or mesh.shape.get("model", 1) == 1
+    eligible = (cfg.optim.optim == "SGD" and cfg.optim.grad_clip == 0
+                and model_unsharded)
+    if cfg.pool.fused_update == "on" and not eligible:
+        raise ValueError(
+            "pool.fused_update=on requires the dense streaming head, SGD, "
+            "optim.grad_clip=0 and mesh model == 1; use 'auto' to fall back")
+    return eligible
+
+
 def _sparse_classifier_mode(cfg: Config, mesh=None) -> bool:
     """True when the classifier is updated by hand with a bare momentum
     buffer (sparse rows) instead of living inside the optax state: either
@@ -67,7 +92,16 @@ def create_softmax_state(
         # every forward so only direction matters
         "classifier": _init_classifier(k_w, num_classes, cfg.model.feat_dim, cls_dtype),
     }
-    if _sparse_classifier_mode(cfg, mesh):
+    if _fused_update_on(cfg, mesh):
+        # fused-update mode: optax only owns the backbone; the classifier's
+        # SGD-momentum state is a bare f32 buffer updated inside the
+        # streaming backward kernel (no classifier_last — every row is
+        # visited every step, there is no catch-up to track)
+        opt_state = {
+            "backbone": optimizer.init(params["backbone"]),
+            "classifier_mom": jnp.zeros(params["classifier"].shape, jnp.float32),
+        }
+    elif _sparse_classifier_mode(cfg, mesh):
         # sparse-classifier mode: optax only owns the backbone; the
         # classifier gets a bare momentum buffer (train/sparse_classifier.py)
         opt_state = {
@@ -114,6 +148,12 @@ def make_softmax_train_step(model, cfg: Config, optimizer, schedule, mesh=None) 
         return _make_streaming_sparse_train_step(
             model, cfg, optimizer, schedule,
             mesh=mesh if model_sharded else None)
+
+    if _fused_update_on(cfg, mesh):
+        # dense streaming with the classifier SGD update fused into the
+        # backward stream — exact optax semantics, no [C, D] d_w in HBM
+        return _make_streaming_fused_train_step(model, cfg, optimizer, schedule,
+                                                mesh=mesh)
 
     if streaming and model_sharded:
         # BASELINE config 5 path: class shards × streaming via shard_map
@@ -248,6 +288,114 @@ def _make_sampled_train_step(model, cfg: Config, optimizer, schedule, num_sample
         return (
             state.replace(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt),
+            metrics,
+        )
+
+    return train_step
+
+
+def _make_streaming_fused_train_step(model, cfg: Config, optimizer, schedule,
+                                     mesh=None):
+    """Dense streaming full-softmax with the classifier SGD-momentum update
+    FUSED into the streaming backward (ops/margin_pallas.py fused-SGD
+    section). Identical trajectory to the dense streaming + optax path
+    (bit-exact in f32, tests/test_fused_update.py) at ~5.3 GB/step less
+    HBM traffic at C=1M: the [C, D] d_w is consumed in-register, tile by
+    tile, in the same pass that computes it.
+
+    Like the sparse step, the head runs OUTSIDE jax.grad (a custom_vjp
+    cannot return updated optimizer state through a cotangent): the
+    backbone is differentiated via jax.vjp on d_emb, the classifier's
+    (new_w, new_mom) come straight from the kernel.
+
+    With a data axis > 1 the head runs under shard_map: embeddings/labels
+    are all-gathered over "data" (a [B, D] transfer — tiny next to the
+    [C, D] stream) and every chip computes the IDENTICAL full-batch
+    update on its replicated classifier — the same replicated head
+    compute the dense+optax path's GSPMD partitioning produces, minus the
+    d_w materialization. d_emb is sliced back to the local batch rows.
+    """
+    from vlsfr_tpu.ops.margin_pallas import streaming_margin_grads_fused_sgd
+
+    loss_kw = dict(
+        loss_type=cfg.loss.loss_type,
+        margin=cfg.loss.margin,
+        scale=cfg.loss.scale,
+        mask_svfc=cfg.loss.mask_svfc,
+    )
+    sgd_kw = dict(
+        momentum=cfg.optim.momentum, nesterov=cfg.optim.nesterov,
+        weight_decay=cfg.optim.weight_decay,
+    )
+
+    def head_global(emb_g, w, mom, labels_g, lr):
+        bg = emb_g.shape[0]
+        # loss = mean(ce): analytic output cotangents (no outlier rows here)
+        d_ce = jnp.full((bg,), 1.0 / bg, jnp.float32)
+        d_neg = jnp.zeros((bg,), jnp.float32)
+        return streaming_margin_grads_fused_sgd(
+            emb_g.astype(jnp.float32), w, mom, labels_g, d_ce, d_neg, lr,
+            hard_neg=1, **sgd_kw, **loss_kw,
+        )
+
+    data_sharded = mesh is not None and mesh.shape.get("data", 1) > 1
+    if data_sharded:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def head_local(emb_l, w, mom, labels_l, lr):
+            emb_g = jax.lax.all_gather(emb_l, "data", axis=0, tiled=True)
+            labels_g = jax.lax.all_gather(labels_l, "data", axis=0, tiled=True)
+            ce, neg, topk, gt, d_emb_g, new_w, new_mom = head_global(
+                emb_g, w, mom, labels_g, lr)
+            i = jax.lax.axis_index("data")
+            d_emb_l = jax.lax.dynamic_slice_in_dim(
+                d_emb_g, i * emb_l.shape[0], emb_l.shape[0], axis=0)
+            return ce, neg, topk, gt, d_emb_l.astype(emb_l.dtype), new_w, new_mom
+
+        head = shard_map(
+            head_local, mesh=mesh,
+            in_specs=(P("data"), P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P(), P(), P("data"), P(), P()),
+            check_rep=False,
+        )
+    else:
+        head = head_global
+
+    def train_step(state: SoftmaxState, images, labels, lr_scale):
+        def backbone_fn(backbone_params):
+            emb, mut = model.apply(
+                {"params": backbone_params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            return emb, mut["batch_stats"]
+
+        emb, backbone_vjp, new_stats = jax.vjp(
+            backbone_fn, state.params["backbone"], has_aux=True
+        )
+        lr = schedule(state.step) * lr_scale
+        ce, _neg, topk, gt, d_emb, new_w, new_mom = head(
+            emb, state.params["classifier"],
+            state.opt_state["classifier_mom"], labels, lr,
+        )
+        loss = jnp.mean(ce)
+        (g_backbone,) = backbone_vjp(d_emb.astype(emb.dtype))
+        acc = jnp.mean((gt >= topk[:, 0]).astype(jnp.float32))
+
+        state.opt_state["backbone"].hyperparams["learning_rate"] = lr
+        upd_b, new_bopt = optimizer.update(
+            g_backbone, state.opt_state["backbone"], state.params["backbone"]
+        )
+        new_backbone = jax.tree.map(
+            lambda p, u: (p + u).astype(p.dtype), state.params["backbone"], upd_b)
+        metrics = {"loss": loss, "ce": loss, "train_acc": acc, "lr": lr}
+        return (
+            state.replace(
+                step=state.step + 1,
+                params={"backbone": new_backbone, "classifier": new_w},
+                batch_stats=new_stats,
+                opt_state={"backbone": new_bopt, "classifier_mom": new_mom},
+            ),
             metrics,
         )
 

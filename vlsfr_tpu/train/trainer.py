@@ -176,8 +176,9 @@ class Trainer:
                 # sparse-row classifier state rides with its rows
                 opt = dict(state.opt_state)
                 opt["classifier_mom"] = jax.device_put(opt["classifier_mom"], cls_sh)
-                opt["classifier_last"] = jax.device_put(
-                    opt["classifier_last"], class_vector_sharding(self.mesh))
+                if "classifier_last" in opt:
+                    opt["classifier_last"] = jax.device_put(
+                        opt["classifier_last"], class_vector_sharding(self.mesh))
                 state = state.replace(opt_state=opt)
         self.state = state
         self._step = jax.jit(step_fn, donate_argnums=0)
