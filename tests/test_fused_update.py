@@ -275,6 +275,148 @@ def test_fused_update_eligibility():
     # pure-DP mesh: eligible (replicated head via shard_map all-gather)
     devs = np.array(jax.devices()[:2]).reshape(2, 1)
     assert _fused_update_on(cfg, jsh.Mesh(devs, ("data", "model")))
-    # model-sharded mesh: falls back (class rows belong to parallel/sharded_*)
+    # model-sharded mesh: eligible since round 3 (parallel/sharded_fused.py)
     devs = np.array(jax.devices()[:2]).reshape(1, 2)
-    assert not _fused_update_on(cfg, jsh.Mesh(devs, ("data", "model")))
+    assert _fused_update_on(cfg, jsh.Mesh(devs, ("data", "model")))
+
+
+# ----------------------------------------------------------------------
+# model-sharded fused head (parallel/sharded_fused.py)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+@pytest.mark.parametrize("loss_type", ["Arc", "AM"])
+def test_sharded_fused_head_matches_single(mesh_shape, loss_type, rng):
+    """The (data, model)-sharded fused head == the single-chip fused op on
+    the assembled arrays: same ce/topk/gt, same d_emb, same updated
+    classifier + momentum (f32; collective logsumexp reassociation only)."""
+    from vlsfr_tpu.parallel.mesh import make_mesh
+    from vlsfr_tpu.parallel.sharded_fused import make_sharded_fused_sgd_head
+
+    b, c, d = 8, 64, 32
+    emb, w, mom, labels = make_case(rng, b=b, c=c, d=d, frac_outlier=0.25)
+    lr = 0.05
+    sgd = dict(momentum=0.9, nesterov=True, weight_decay=1e-4)
+    okw = dict(loss_type=loss_type, margin=0.4, scale=24.0, hard_neg=3,
+               mask_svfc=1.2, normalize_w=True, tile=16)
+
+    d_ce = jnp.where(labels >= 0, 1.0 / b, 0.0).astype(jnp.float32)
+    d_neg = jnp.zeros((b,), jnp.float32)
+    ce_o, _neg, topk_o, gt_o, d_emb_o, new_w_o, new_mom_o = (
+        streaming_margin_grads_fused_sgd(
+            emb, w, mom, labels, d_ce, d_neg, lr, use_pallas=False,
+            **sgd, **okw))
+
+    mesh = make_mesh(*mesh_shape)
+    head = make_sharded_fused_sgd_head(mesh, use_pallas=False, **sgd, **okw)
+    ce, neg, topk, gt, d_emb, new_w, new_mom = head(emb, w, mom, labels, lr)
+
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(ce_o), atol=1e-5)
+    # gt on outlier rows is junk in both paths (single-chip: clamped gather;
+    # sharded: zero from the owner psum) — compare where it is meaningful
+    pos = np.asarray(labels) >= 0
+    np.testing.assert_allclose(np.asarray(gt)[pos], np.asarray(gt_o)[pos],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(topk), np.asarray(topk_o), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_emb), np.asarray(d_emb_o),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_w), np.asarray(new_w_o),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_mom), np.asarray(new_mom_o),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_fused_head_pallas_leg(rng):
+    """The per-shard PALLAS leg (partial fwd kernel + fused bwd kernel,
+    interpret mode) == the scan leg on the same mesh — pins the kernel
+    plumbing the TPU path runs (pos_rows routing, local labels, owner
+    tail)."""
+    from vlsfr_tpu.parallel.mesh import make_mesh
+    from vlsfr_tpu.parallel.sharded_fused import make_sharded_fused_sgd_head
+
+    b, c, d = 8, 64, 32
+    emb, w, mom, labels = make_case(rng, b=b, c=c, d=d, frac_outlier=0.25)
+    sgd = dict(momentum=0.9, nesterov=True, weight_decay=1e-4)
+    okw = dict(loss_type="Arc", margin=0.4, scale=24.0, hard_neg=3,
+               mask_svfc=1.2, normalize_w=True, tile=16)
+    mesh = make_mesh(2, 4)
+    scan_head = make_sharded_fused_sgd_head(mesh, use_pallas=False, **sgd, **okw)
+    pallas_head = make_sharded_fused_sgd_head(mesh, use_pallas=True,
+                                              interpret=True, **sgd, **okw)
+    out_s = scan_head(emb, w, mom, labels, 0.05)
+    out_p = pallas_head(emb, w, mom, labels, 0.05)
+    names = ["ce", "neg", "topk", "gt", "d_emb", "new_w", "new_mom"]
+    for name, a, b_ in zip(names, out_s, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-5, err_msg=name)
+
+
+def test_sharded_fused_head_traced_lr(rng):
+    """lr arrives as a traced scalar under jit (schedules must not force
+    recompilation); bf16 classifier storage keeps its dtype through the
+    sharded update."""
+    from vlsfr_tpu.parallel.mesh import make_mesh
+    from vlsfr_tpu.parallel.sharded_fused import make_sharded_fused_sgd_head
+
+    b, c, d = 8, 64, 32
+    emb, w, mom, labels = make_case(rng, b=b, c=c, d=d)
+    w16 = w.astype(jnp.bfloat16)
+    sgd = dict(momentum=0.9, nesterov=True, weight_decay=1e-4)
+    okw = dict(loss_type="Arc", margin=0.4, scale=24.0, hard_neg=1,
+               mask_svfc=1.2, normalize_w=True, tile=16)
+    mesh = make_mesh(2, 4)
+    head = make_sharded_fused_sgd_head(mesh, use_pallas=False, **sgd, **okw)
+
+    @jax.jit
+    def run(emb, w, mom, labels, lr):
+        return head(emb, w, mom, labels, lr)
+
+    ce, _, _, _, d_emb, new_w, new_mom = run(emb, w16, mom, labels, 0.05)
+    assert new_w.dtype == jnp.bfloat16 and new_mom.dtype == jnp.float32
+    assert np.isfinite(np.asarray(ce)).all()
+    # a different traced lr must not retrace into a new result shape
+    ce2, *_ = run(emb, w16, mom, labels, 0.01)
+    assert np.allclose(np.asarray(ce), np.asarray(ce2))  # fwd is lr-free
+
+
+def test_fused_model_sharded_trainer_matches_single():
+    """Full train-step equivalence on a model-only mesh (data=1: BN stats
+    identical, so the trajectory must match the unsharded fused step to
+    f32-collective tolerance)."""
+    from vlsfr_tpu.models import create_net
+    from vlsfr_tpu.optim import make_optimizer, make_schedule
+    from vlsfr_tpu.parallel.mesh import batch_sharding, make_mesh
+    from vlsfr_tpu.train.softmax_head import (
+        create_softmax_state,
+        make_softmax_train_step,
+    )
+
+    cfg, state_s, step_s = _toy_setup("auto")
+    mesh = make_mesh(1, 8)
+    model = create_net("toy", feat_dim=32)
+    optimizer = make_optimizer(cfg.optim)
+    schedule = make_schedule(cfg.optim, steps_per_epoch=100)
+    state_m = create_softmax_state(
+        jax.random.PRNGKey(0), model, cfg, optimizer, 32, cfg.pool.num_classes,
+        mesh=mesh)
+    step_m = make_softmax_train_step(model, cfg, optimizer, schedule, mesh=mesh)
+    assert "classifier_mom" in state_m.opt_state
+
+    npr = np.random.default_rng(13)
+    sh = batch_sharding(mesh)
+    for _ in range(3):
+        images = npr.standard_normal((8, 32, 32, 3)).astype(np.float32)
+        labels = npr.integers(0, 96, size=8).astype(np.int32)
+        state_s, m_s = step_s(state_s, jnp.asarray(images), jnp.asarray(labels), 1.0)
+        state_m, m_m = step_m(
+            state_m, jax.device_put(jnp.asarray(images), sh),
+            jax.device_put(jnp.asarray(labels), sh), 1.0)
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_m["loss"]),
+                                   rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_s.params["classifier"]),
+        np.asarray(state_m.params["classifier"]), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(state_s.opt_state["classifier_mom"]),
+        np.asarray(state_m.opt_state["classifier_mom"]), atol=1e-4, rtol=1e-3)

@@ -795,7 +795,7 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
                                    d_neg, lr, *, momentum, nesterov,
                                    weight_decay, loss_type, margin, scale, k,
                                    mask_svfc, normalize_w, tile=512,
-                                   interpret=False):
+                                   interpret=False, pos_rows=None):
     """Streaming backward with the classifier SGD-momentum update fused in.
 
     Returns (d_emb [B, D], new_w [C, D] w.dtype, new_mom [C, D] f32) where
@@ -806,6 +806,13 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
     forbidden: XLA copies the whole scattered custom-call output
     (measured 9.8 ms/step at C=1M). ``lr`` may be a traced scalar
     (schedules stay recompilation-free).
+
+    ``pos_rows`` (sharded use, parallel/sharded_fused.py): rows that are
+    positive GLOBALLY but whose target column lives on another shard pass
+    ``labels=-1`` here (no local target, no local tail) while
+    ``pos_rows=True`` keeps their d_ce routing — the softmax column
+    gradient exists on every shard. Default (None) = ``labels >= 0``, the
+    single-chip semantics.
     """
     b, d = emb.shape
     c = w.shape[0]
@@ -820,7 +827,8 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
         b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
         mxu_bf16=w.dtype == jnp.bfloat16, w_dtype=w.dtype,
         momentum=momentum, nesterov=nesterov, weight_decay=weight_decay)
-    pos = labels >= 0
+    owned = labels >= 0  # rows whose target column lives in THIS w block
+    pos = owned if pos_rows is None else pos_rows
     d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
     d_neg = jnp.where(pos, 0.0, d_neg).astype(jnp.float32)
     kth = topk[:, -1]
@@ -828,14 +836,16 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
 
     # gt tail, analytic (the in-tile target logit is exactly scale·φ(gt)):
     # raw dz at the target column, then the φ′ chain, then the
-    # w-normalization backprop on the gathered PRE-update target rows
+    # w-normalization backprop on the gathered PRE-update target rows.
+    # Gated by ``owned``: the tail is the TARGET-COLUMN gradient, applied
+    # exactly once — on the shard (or single chip) holding that row.
     p_t = jnp.exp(scale * _phi_target(gt, loss_type, margin, mask_svfc) - logz)
-    d_gt = jnp.where(pos, (p_t - 1.0) * d_ce * scale, 0.0)
+    d_gt = jnp.where(owned, (p_t - 1.0) * d_ce * scale, 0.0)
     d_gt = d_gt * _phi_prime(gt, loss_type, margin)
     safe = jnp.maximum(labels, 0)
     wl = w[safe].astype(jnp.float32)
     wln = _normalize_rows(wl) if normalize_w else wl
-    pos1 = pos.astype(jnp.float32)[:, None]
+    pos1 = owned.astype(jnp.float32)[:, None]
     d_wln = d_gt[:, None] * emb32 * pos1
     if normalize_w:
         n2 = jnp.maximum(jnp.sum(wl * wl, axis=-1, keepdims=True), 1e-24)

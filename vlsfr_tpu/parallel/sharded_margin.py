@@ -88,6 +88,69 @@ def _local_partials(emb32, w, local_labels, gt, *, loss_type, margin, mask_svfc,
     return m, s, topk
 
 
+def dense_local_bwd_scan(emb32, w_l, ll, pos, gt, logz, kth, d_ce, d_neg, *,
+                         loss_type, margin, mask_svfc, scale, k, normalize_w,
+                         tile, grad_w=True):
+    """Scan twin of ``pallas_margin_partial_bwd``: stream one shard's local
+    weight block against the GLOBAL logz/gt/kth (non-TPU fallback; identical
+    math, tested equal). ``ll`` are shard-LOCAL labels (-1 = no target column
+    in this block); ``pos`` is the GLOBAL positive-row mask — a row can be
+    positive while its target lives on another shard, in which case its
+    softmax column gradients still flow here. d_ce/d_neg must already be
+    masked by ``pos``. Returns (d_emb [B, D] f32 local partial,
+    d_w [C_local, D] f32 | None, d_gt_raw [B])."""
+    b, d = emb32.shape
+    c_local = w_l.shape[0]
+    mxu_bf16 = w_l.dtype == jnp.bfloat16
+    wp, n_tiles = _pad_classes(w_l, c_local, tile)
+    wt = wp.reshape(n_tiles, tile, d)
+    gt_col = gt[:, None]
+    kth_col = kth[:, None]
+    d_ce_col = d_ce[:, None]
+
+    def body(d_emb, w_tile_idx):
+        w_tile, t = w_tile_idx
+        wn = _normalize_rows(w_tile) if normalize_w else w_tile.astype(jnp.float32)
+        e_op, w_op = _mxu_pair(emb32, wn, mxu_bf16)
+        cos = jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
+        col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        valid = col < c_local
+        cos_v = jnp.where(valid, cos, NEG_INF)
+        is_target = col == ll[:, None]
+        mod = _tile_modified(cos_v, is_target, gt_col, valid, loss_type, margin, mask_svfc)
+        p = jnp.exp(scale * mod - logz[:, None])
+        dz = (p - is_target.astype(jnp.float32)) * d_ce_col * scale
+        if loss_type == "SV":
+            hard = cos_v > (gt_col - margin)
+            col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
+        else:
+            col_fac = 1.0
+        d_cos = jnp.where(is_target, 0.0, dz * col_fac)
+        d_gt_part = jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1)
+        in_topk = (cos_v >= kth_col - KTH_TIE_TOL) & (cos_v > 0) & ~pos[:, None]
+        d_cos = d_cos + jnp.where(in_topk, d_neg[:, None] / k, 0.0)
+        d_cos = jnp.where(valid, d_cos, 0.0)
+        d_emb = d_emb + d_cos @ wn
+        if not grad_w:
+            return d_emb, (None, d_gt_part)
+        d_wn = d_cos.T @ emb32
+        if normalize_w:
+            w32 = w_tile.astype(jnp.float32)
+            n2 = jnp.maximum(jnp.sum(w32 * w32, axis=-1, keepdims=True), 1e-24)
+            inv = jax.lax.rsqrt(n2)
+            d_w_tile = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
+        else:
+            d_w_tile = d_wn
+        return d_emb, (d_w_tile, d_gt_part)
+
+    d_emb0 = jnp.zeros((b, d), jnp.float32)
+    d_emb, (d_w_tiles, d_gt_parts) = jax.lax.scan(
+        body, d_emb0, (wt, jnp.arange(n_tiles))
+    )
+    d_w = d_w_tiles.reshape(-1, d)[:c_local] if grad_w else None
+    return d_emb, d_w, jnp.sum(d_gt_parts, axis=0)
+
+
 def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                                 hard_neg=10, mask_svfc=1.2, normalize_w=True,
                                 tile=512, data_axis="data", grad_w=True,
@@ -155,7 +218,6 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
     def _shard_bwd(res, cots):
         emb_l, w_l, labels_l, gt, logz, topk = res
         d_ce, d_neg = cots
-        b, d = emb_l.shape
         c_local = w_l.shape[0]
         emb32 = emb_l.astype(jnp.float32)
         ll, owned = _local_label(labels_l, c_local)
@@ -169,10 +231,6 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
         d_neg = jax.lax.psum(d_neg, AXIS)
         d_ce = jnp.where(pos, d_ce, 0.0)
         d_neg = jnp.where(pos, 0.0, d_neg)
-        kth = topk[:, -1][:, None]
-        gt_col = gt[:, None]
-        k = kw["k"]
-        mxu_bf16 = w_l.dtype == jnp.bfloat16
 
         if use_pallas:
             d_emb, d_w, d_gt_raw = pallas_margin_partial_bwd(
@@ -181,51 +239,11 @@ def make_sharded_streaming_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0
             return _bwd_tail(emb_l, w_l, emb32, ll, owned, pos, gt, d_emb,
                              d_w, d_gt_raw)
 
-        wp, n_tiles = _pad_classes(w_l, c_local, tile)
-        wt = wp.reshape(n_tiles, tile, d)
-
-        def body(d_emb, w_tile_idx):
-            w_tile, t = w_tile_idx
-            wn = _normalize_rows(w_tile) if normalize_w else w_tile.astype(jnp.float32)
-            e_op, w_op = _mxu_pair(emb32, wn, mxu_bf16)
-            cos = jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
-            col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-            valid = col < c_local
-            cos_v = jnp.where(valid, cos, NEG_INF)
-            is_target = col == ll[:, None]
-            mod = _tile_modified(cos_v, is_target, gt_col, valid, loss_type, margin, mask_svfc)
-            p = jnp.exp(scale * mod - logz[:, None])
-            dz = (p - is_target.astype(jnp.float32)) * d_ce[:, None] * scale
-            if loss_type == "SV":
-                hard = cos_v > (gt_col - margin)
-                col_fac = jnp.where(hard & ~is_target, mask_svfc, 1.0)
-            else:
-                col_fac = 1.0
-            d_cos = jnp.where(is_target, 0.0, dz * col_fac)
-            d_gt_part = jnp.sum(jnp.where(is_target, dz, 0.0), axis=-1)
-            in_topk = (cos_v >= kth - KTH_TIE_TOL) & (cos_v > 0) & ~pos[:, None]
-            d_cos = d_cos + jnp.where(in_topk, d_neg[:, None] / k, 0.0)
-            d_cos = jnp.where(valid, d_cos, 0.0)
-            d_emb = d_emb + d_cos @ wn
-            if not grad_w:
-                return d_emb, (None, d_gt_part)
-            d_wn = d_cos.T @ emb32
-            if normalize_w:
-                w32 = w_tile.astype(jnp.float32)
-                n2 = jnp.maximum(jnp.sum(w32 * w32, axis=-1, keepdims=True), 1e-24)
-                inv = jax.lax.rsqrt(n2)
-                d_w_tile = inv * (d_wn - wn * jnp.sum(d_wn * wn, axis=-1, keepdims=True))
-            else:
-                d_w_tile = d_wn
-            return d_emb, (d_w_tile, d_gt_part)
-
-        d_emb0 = jnp.zeros((b, d), jnp.float32)
-        d_emb, (d_w_tiles, d_gt_parts) = jax.lax.scan(
-            body, d_emb0, (wt, jnp.arange(n_tiles))
-        )
-        d_w = d_w_tiles.reshape(-1, d)[:c_local] if grad_w else None
+        d_emb, d_w, d_gt_raw = dense_local_bwd_scan(
+            emb32, w_l, ll, pos, gt, logz, topk[:, -1], d_ce, d_neg,
+            grad_w=grad_w, **kw)
         return _bwd_tail(emb_l, w_l, emb32, ll, owned, pos, gt, d_emb, d_w,
-                         jnp.sum(d_gt_parts, axis=0))
+                         d_gt_raw)
 
     def _bwd_tail(emb_l, w_l, emb32, ll, owned, pos, gt, d_emb, d_w, d_gt_raw):
         # the target column lives on exactly one shard; its dz was only

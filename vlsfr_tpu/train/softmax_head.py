@@ -37,24 +37,22 @@ def _fused_update_on(cfg: Config, mesh=None) -> bool:
     """True when the classifier update runs INSIDE the streaming backward
     (ops/margin_pallas.streaming_margin_grads_fused_sgd) — the dense [C, D]
     d_w then never exists in HBM. Requires the dense streaming head, SGD,
-    no global-norm clipping (it couples the classifier update to backbone
-    grads that don't exist yet at stream time), and mesh model == 1. A
-    data axis > 1 is fine: the classifier is replicated under pure DP, so
-    every chip streams the full head on the all-gathered embeddings and
-    computes the identical update — the same replicated head compute the
-    dense+optax path does, minus the d_w materialization. A model axis > 1
-    shards the class rows; that path belongs to parallel/sharded_*."""
+    and no global-norm clipping (it couples the classifier update to
+    backbone grads that don't exist yet at stream time). Any mesh works:
+    a data axis > 1 replicates the head compute on all-gathered embeddings
+    (the classifier is replicated under DP, every chip computes the
+    identical update); a model axis > 1 shards the class rows and runs the
+    per-shard fused kernel with collective logsumexp merges
+    (parallel/sharded_fused.py)."""
     if cfg.pool.fused_update == "off":
         return False
     if not _streaming_on(cfg) or cfg.pool.sample_rate > 0 or cfg.pool.sparse_update:
         return False
-    model_unsharded = mesh is None or mesh.shape.get("model", 1) == 1
-    eligible = (cfg.optim.optim == "SGD" and cfg.optim.grad_clip == 0
-                and model_unsharded)
+    eligible = cfg.optim.optim == "SGD" and cfg.optim.grad_clip == 0
     if cfg.pool.fused_update == "on" and not eligible:
         raise ValueError(
-            "pool.fused_update=on requires the dense streaming head, SGD, "
-            "optim.grad_clip=0 and mesh model == 1; use 'auto' to fall back")
+            "pool.fused_update=on requires the dense streaming head, SGD and "
+            "optim.grad_clip=0; use 'auto' to fall back")
     return eligible
 
 
@@ -338,8 +336,17 @@ def _make_streaming_fused_train_step(model, cfg: Config, optimizer, schedule,
             hard_neg=1, **sgd_kw, **loss_kw,
         )
 
+    model_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
     data_sharded = mesh is not None and mesh.shape.get("data", 1) > 1
-    if data_sharded:
+    if model_sharded:
+        # class-sharded classifier: per-shard fused kernels + collective
+        # logsumexp merges (parallel/sharded_fused.py); handles any data
+        # axis internally (embeddings all-gathered over "data")
+        from vlsfr_tpu.parallel.sharded_fused import make_sharded_fused_sgd_head
+
+        head = make_sharded_fused_sgd_head(
+            mesh, hard_neg=1, normalize_w=True, **sgd_kw, **loss_kw)
+    elif data_sharded:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
