@@ -94,6 +94,71 @@ def test_face_index_search(rng):
     np.testing.assert_array_equal(top, labels[:6])
 
 
+def test_face_index_streaming_matches_dense(rng):
+    """tile smaller than the gallery forces the multi-step scan; results
+    must match a single-tile search bit-for-bit (same compute dtype)."""
+    from vlsfr_tpu.eval.index import FaceIndex
+
+    emb, labels = make_separable_embeddings(rng, n_ids=20, per_id=25, d=16)
+    one = FaceIndex(feat_dim=16, tile=1 << 20)  # clamps to 512: 1 scan step
+    tiled = FaceIndex(feat_dim=16, tile=128)    # 500 rows -> 4 scan steps
+    for idx in (one, tiled):
+        idx.add(emb, labels)
+    q = emb[: 7]
+    v1, r1, l1 = one.search(q, k=4)
+    v2, r2, l2 = tiled.search(q, k=4)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_face_index_k_exceeds_gallery(rng):
+    from vlsfr_tpu.eval.index import FaceIndex
+
+    emb, labels = make_separable_embeddings(rng, n_ids=3, per_id=1, d=16)
+    idx = FaceIndex(feat_dim=16)
+    idx.add(emb, labels)
+    vals, rows, got = idx.search(emb, k=5)
+    assert vals.shape == (3, 5)
+    # slots beyond the 3 real rows are -inf / -1
+    assert np.all(rows[:, 3:] == -1) and np.all(got[:, 3:] == -1)
+    assert np.all(np.isneginf(vals[:, 3:]))
+    np.testing.assert_array_equal(got[:, 0], labels)
+
+
+def test_face_index_int8(rng):
+    """Int8 gallery storage: ranking on separated identities is unchanged
+    and scores drift < 2e-2 (per-row symmetric quantization)."""
+    from vlsfr_tpu.eval.index import FaceIndex
+
+    emb, labels = make_separable_embeddings(rng, n_ids=12, per_id=4, d=64)
+    fp = FaceIndex(feat_dim=64)
+    q8 = FaceIndex(feat_dim=64, int8=True, tile=128)
+    for idx in (fp, q8):
+        idx.add(emb, labels)
+    v_f, _, l_f = fp.search(emb[:10], k=3)
+    v_q, _, l_q = q8.search(emb[:10], k=3)
+    np.testing.assert_array_equal(l_f[:, 0], l_q[:, 0])
+    np.testing.assert_allclose(v_f, v_q, atol=2e-2)
+    # storage really is ~1 byte/elem (+4-byte row scale) vs 2 (bf16)
+    assert q8.nbytes() < fp.nbytes()
+
+
+def test_face_index_sharded_int8(rng):
+    from vlsfr_tpu.eval.index import FaceIndex
+    from vlsfr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, 8)
+    emb, labels = make_separable_embeddings(rng, n_ids=16, per_id=4, d=32)
+    ref = FaceIndex(feat_dim=32, int8=True)
+    sh = FaceIndex(feat_dim=32, mesh=mesh, int8=True, tile=128)
+    for idx in (ref, sh):
+        idx.add(emb, labels)
+    v_r, _, l_r = ref.search(emb[:9], k=3)
+    v_s, _, l_s = sh.search(emb[:9], k=3)
+    np.testing.assert_array_equal(l_r, l_s)
+    np.testing.assert_allclose(v_r, v_s, atol=1e-6)
+
+
 def test_face_index_sharded(rng):
     from vlsfr_tpu.eval.index import FaceIndex
     from vlsfr_tpu.parallel.mesh import make_mesh

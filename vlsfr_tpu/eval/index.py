@@ -1,13 +1,31 @@
 """Gallery index for large-scale 1:N identification (serving path).
 
-Not present in the reference (no inference surface at all, SURVEY.md §3.5).
-Cosine-similarity search over an embedding gallery as one MXU matmul +
-top-k, optionally sharded over the mesh ``model`` axis for galleries that
-exceed one chip's HBM (the serving-side analogue of the partial-FC layout:
-each shard scores its slice, a global top-k merges candidates).
+Not present in the reference (no inference surface at all, SURVEY.md §3.5)
+— but "very large scale" identification is the deployment story the
+reference's 10M-identity training exists for, so the index is built to the
+same scale discipline as the training head:
+
+* **Streaming tiled search.** Cosine scores are computed tile-by-tile over
+  the gallery rows with a running top-k carry (``lax.scan``), so the
+  [Q, G] similarity matrix never exists in HBM — the same access pattern
+  as the streaming softmax forward (ops/margin_pallas.py). A 10M-row
+  search touches each gallery byte exactly once.
+* **Int8 gallery storage** (``int8=True``): rows are stored as symmetric
+  per-row int8 + f32 scale, dequantized inside the tile read. Measured on
+  one v5e (docs/PERF.md round 3, the classifier-storage study — identical
+  access pattern): 1.37-1.45× over bf16 on this HBM-bound read, and 2×
+  rows per chip (10M × 512 int8 ≈ 5 GB). Cosine scores drift ≤ ~1e-2
+  absolute; ranking on separated identities is unchanged
+  (tests/test_eval.py).
+* **Mesh sharding** (``mesh=``): gallery rows are sharded over the
+  ``model`` axis; each shard streams its local tiles and emits its local
+  top-k, merged with one global top-k over the m·k candidates — the
+  serving-side analogue of the partial-FC class-axis layout.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -15,22 +33,48 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-class FaceIndex:
-    """Append-then-search cosine index over L2-normalized embeddings."""
+def _quantize_rows(g: np.ndarray):
+    """[G, D] float rows -> (int8 rows, f32 per-row scale)."""
+    absmax = np.abs(g).max(axis=-1)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    q = np.clip(np.round(g / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
 
-    def __init__(self, feat_dim: int, mesh=None, batch_k: int = 10):
+
+class FaceIndex:
+    """Append-then-search cosine index over L2-normalized embeddings.
+
+    Args:
+      feat_dim: embedding dimension.
+      mesh: optional ``jax.sharding.Mesh`` with a ``model`` axis; gallery
+        rows are sharded over it.
+      int8: store the gallery int8 + per-row scale (half the bytes of
+        bf16, quarter of f32; dequant fused into the tile read).
+      tile: gallery rows scored per scan step (VMEM working set is
+        ``tile × feat_dim`` plus the [Q, tile] score block).
+      compute_dtype: matmul operand dtype (bf16 = MXU rate on TPU;
+        accumulation is always f32).
+    """
+
+    def __init__(self, feat_dim: int, mesh=None, int8: bool = False,
+                 tile: int = 65536, compute_dtype=jnp.bfloat16):
         self.feat_dim = feat_dim
         self.mesh = mesh
+        self.int8 = int8
+        self.tile = tile
+        self.compute_dtype = compute_dtype
         self._embs: list[np.ndarray] = []
         self._labels: list[np.ndarray] = []
         self._gallery = None
+        self._scales = None
         self._gallery_labels = None
+        self._n_rows = 0
         self._search = None
-        self.batch_k = batch_k
 
     def add(self, embeddings: np.ndarray, labels: np.ndarray) -> None:
         assert embeddings.shape[1] == self.feat_dim
-        e = embeddings / np.maximum(np.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-12)
+        e = embeddings / np.maximum(
+            np.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-12)
         self._embs.append(e.astype(np.float32))
         self._labels.append(np.asarray(labels, np.int64))
         self._gallery = None  # invalidate
@@ -38,45 +82,115 @@ class FaceIndex:
     def __len__(self) -> int:
         return sum(len(x) for x in self._labels)
 
-    def _build(self):
-        gallery = np.concatenate(self._embs) if self._embs else np.zeros((0, self.feat_dim), np.float32)
-        self._gallery_labels = (
-            np.concatenate(self._labels) if self._labels else np.zeros(0, np.int64)
-        )
-        g = jnp.asarray(gallery)
-        if self.mesh is not None:
-            # pad to a multiple of the model-axis size, shard rows over it
-            m = self.mesh.shape["model"]
-            pad = (-g.shape[0]) % m
-            if pad:
-                g = jnp.concatenate([g, jnp.zeros((pad, self.feat_dim), g.dtype)])
-            g = jax.device_put(g, NamedSharding(self.mesh, P("model", None)))
-        self._gallery = g
-
-        def search(queries, k):
-            sims = jnp.einsum("qd,gd->qg", queries, self._gallery,
-                              preferred_element_type=jnp.float32)
-            if self.mesh is not None:
-                sims = jax.lax.with_sharding_constraint(
-                    sims, NamedSharding(self.mesh, P(None, "model"))
-                )
-            vals, idx = jax.lax.top_k(sims, k)
-            return vals, idx
-
-        self._search = jax.jit(search, static_argnums=1)
-
-    def search(self, queries: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (scores [Q,k], gallery_row [Q,k], labels [Q,k])."""
+    def nbytes(self) -> int:
+        """Device bytes the built gallery occupies (capacity planning)."""
         if self._gallery is None:
             self._build()
-        q = queries / np.maximum(np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
-        vals, idx = self._search(jnp.asarray(q, jnp.float32), k)
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        idx_clipped = np.minimum(idx, len(self._gallery_labels) - 1)
-        labels = self._gallery_labels[idx_clipped]
-        # padded rows (if any) have zero vectors: score 0; mark label -1
-        labels = np.where(idx < len(self._gallery_labels), labels, -1)
-        return vals, idx, labels
+        n = self._gallery.size * self._gallery.dtype.itemsize
+        if self._scales is not None:
+            n += self._scales.size * self._scales.dtype.itemsize
+        return n
+
+    def _build(self):
+        g = (np.concatenate(self._embs) if self._embs
+             else np.zeros((0, self.feat_dim), np.float32))
+        self._gallery_labels = (
+            np.concatenate(self._labels) if self._labels else np.zeros(0, np.int64))
+        self._n_rows = g.shape[0]
+        m = self.mesh.shape["model"] if self.mesh is not None else 1
+        tile = max(128, min(self.tile, -(-max(self._n_rows, 1) // (128 * m)) * 128))
+        pad = (-g.shape[0]) % (tile * m)
+        if pad:
+            g = np.concatenate([g, np.zeros((pad, self.feat_dim), np.float32)])
+        if self.int8:
+            gq, scale = _quantize_rows(g)
+            gallery, scales = jnp.asarray(gq), jnp.asarray(scale)
+        else:
+            gallery, scales = jnp.asarray(g, self.compute_dtype), None
+        if self.mesh is not None:
+            rows = NamedSharding(self.mesh, P("model", None))
+            gallery = jax.device_put(gallery, rows)
+            if scales is not None:
+                scales = jax.device_put(scales, NamedSharding(self.mesh, P("model")))
+        self._gallery = gallery
+        self._scales = scales
+        self._search = functools.partial(self._make_search(tile), gallery, scales)
+
+    def _make_search(self, tile: int):
+        cd, int8, n_rows = self.compute_dtype, self.int8, self._n_rows
+        mesh, D = self.mesh, self.feat_dim
+
+        def stream(q, g, s, row0, k, vary=False):
+            """Running top-k over local gallery tiles; [Q, G_local] never
+            materializes. Rows with global id >= n_rows are padding."""
+            n_t = g.shape[0] // tile
+            gt = g.reshape(n_t, tile, D)
+            xs = (jnp.arange(n_t), gt, s.reshape(n_t, tile)) if int8 else (
+                jnp.arange(n_t), gt)
+
+            def body(carry, xs_i):
+                vals, idx = carry
+                i, t = xs_i[0], xs_i[1]
+                w = t.astype(cd)
+                if int8:
+                    w = w * xs_i[2][:, None].astype(cd)
+                z = jnp.dot(q, w.T, preferred_element_type=jnp.float32)
+                gid = row0 + i * tile + jnp.arange(tile, dtype=jnp.int32)
+                z = jnp.where(gid[None, :] < n_rows, z, -1e30)
+                cand_v = jnp.concatenate([vals, z], axis=1)
+                cand_i = jnp.concatenate(
+                    [idx, jnp.broadcast_to(gid, z.shape)], axis=1)
+                v, pos = jax.lax.top_k(cand_v, k)
+                return (v, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+            init = (jnp.full((q.shape[0], k), -1e30, jnp.float32),
+                    jnp.full((q.shape[0], k), -1, jnp.int32))
+            if vary:  # inside shard_map the carry varies over the model axis
+                init = jax.lax.pcast(init, ("model",), to="varying")
+            (vals, idx), _ = jax.lax.scan(body, init, xs)
+            return vals, idx
+
+        if mesh is None:
+            def search(g, s, queries, k):
+                return stream(queries.astype(cd), g, s, jnp.int32(0), k)
+            return jax.jit(search, static_argnums=3)
+
+        def search(g, s, queries, k):
+            def shard_body(q, g, *s_opt):
+                row0 = (jax.lax.axis_index("model") * g.shape[0]).astype(jnp.int32)
+                vals, idx = stream(q, g, s_opt[0] if int8 else None, row0, k,
+                                   vary=True)
+                return vals[None], idx[None]
+
+            in_specs = (P(None, None), P("model", None)) + ((P("model"),) if int8 else ())
+            vals_m, idx_m = jax.shard_map(
+                shard_body, mesh=mesh, in_specs=in_specs,
+                out_specs=(P("model", None, None), P("model", None, None)),
+            )(queries.astype(cd), g, *((s,) if int8 else ()))
+            # [m, Q, k] -> global top-k over the m·k per-shard candidates
+            allv = jnp.swapaxes(vals_m, 0, 1).reshape(queries.shape[0], -1)
+            alli = jnp.swapaxes(idx_m, 0, 1).reshape(queries.shape[0], -1)
+            v, pos = jax.lax.top_k(allv, k)
+            return v, jnp.take_along_axis(alli, pos, axis=1)
+
+        return jax.jit(search, static_argnums=3)
+
+    def search(self, queries: np.ndarray, k: int = 1):
+        """Returns (scores [Q,k], gallery_row [Q,k], labels [Q,k]);
+        row/label are -1 for slots beyond the gallery size."""
+        if self._gallery is None:
+            self._build()
+        q = queries / np.maximum(
+            np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+        if self._n_rows == 0:
+            z = np.full((len(q), k), -1, np.int64)
+            return np.full((len(q), k), -np.inf, np.float32), z, z
+        vals, idx = self._search(jnp.asarray(q, np.float32), k)
+        vals, idx = np.asarray(vals), np.asarray(idx).astype(np.int64)
+        valid = idx >= 0
+        labels = np.where(
+            valid, self._gallery_labels[np.maximum(idx, 0)], -1)
+        return np.where(valid, vals, -np.inf), np.where(valid, idx, -1), labels
 
     def identify(self, queries: np.ndarray, threshold: float = 0.0) -> np.ndarray:
         """Top-1 label per query, -1 when below the accept threshold."""
