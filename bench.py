@@ -12,7 +12,9 @@ the q16k dense-head headline LAST (it is the row tracked across rounds):
        artifact (shard_map quad composition) on a (1,1) mesh.
     4. serving ir50 bf16 and 5. serving ir50 int8 (ops/quant.py — the
        +27% int8 inference path).
-    6. ffc q=16384 (dense head) — the round-over-round headline row.
+    6. serving 1:N search — 10M-identity int8 gallery, Q=1024, one chip
+       (eval/index.py approx_max_k streaming search; MXU-bound).
+    7. ffc q=16384 (dense head) — the round-over-round headline row.
 
 With BENCH_MODE set, runs that single config and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -57,6 +59,9 @@ SUITE = [
     # serving: bf16 vs the int8 path (ops/quant.py; +27% measured on ir50)
     {"BENCH_MODE": "infer"},
     {"BENCH_MODE": "infer", "BENCH_INT8": "1"},
+    # serving 1:N: 10M-identity int8 gallery search on one chip (MXU-bound
+    # at Q=1024 — vs_baseline is MFU for this row)
+    {"BENCH_MODE": "search"},
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": "16384"},
 ]
 
@@ -165,6 +170,74 @@ def main():
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
+
+    if mode == "search":
+        # serving 1:N identification: 10M-identity int8 gallery on ONE chip
+        # (eval/index.py streaming approx_max_k search; docs/PERF.md). The
+        # Q=1024 batch is MXU-bound (0.92 measured) — vs_baseline is MFU.
+        import functools as _ft
+
+        from vlsfr_tpu.eval.index import FaceIndex
+
+        g_rows = int(os.environ.get("BENCH_GALLERY", 10 << 20))
+        q_batch = int(os.environ.get("BENCH_PROBES", 1024))
+        k, d, tile = 10, cfg.model.feat_dim, 65536
+
+        @_ft.partial(jax.jit, static_argnums=1)
+        def _chunk(key, shape):
+            g = jax.random.normal(key, shape, jnp.float32)
+            g = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+            s = jnp.maximum(jnp.max(jnp.abs(g), -1), 1e-12) / 127.0
+            q = jnp.clip(jnp.round(g / s[:, None]), -127, 127).astype(jnp.int8)
+            return q, s.astype(jnp.float32)
+
+        parts = [_chunk(jax.random.PRNGKey(i), (1 << 20, d))
+                 for i in range(g_rows >> 20)]
+        gal = jnp.concatenate([p[0] for p in parts])
+        scales = jnp.concatenate([p[1] for p in parts])
+        del parts
+        idx = FaceIndex(feat_dim=d, int8=True, tile=tile)
+        idx._n_rows, idx._gallery, idx._scales = g_rows, gal, scales
+        idx._gallery_labels = np.arange(g_rows, dtype=np.int64)
+        sfn = idx._make_search(tile)
+        queries = jax.random.normal(jax.random.PRNGKey(7), (q_batch, d))
+        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+
+        def _chain(n):
+            @jax.jit
+            def chain(g, s, q):
+                def body(i, carry):
+                    acc, prev = carry
+                    sp = s * (1.0 + prev[0, 0] * 1e-30)
+                    v, _ = sfn(g, sp, q + prev[:, :1] * 1e-30, k)
+                    return (acc + jnp.sum(v), v)
+                acc, _ = jax.lax.fori_loop(
+                    0, n, body, (0.0, jnp.zeros((q_batch, k), jnp.float32)))
+                return acc
+            return chain
+
+        times = {}
+        for n in (2, 8):
+            ch = _chain(n)
+            float(ch(gal, scales, queries))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(ch(gal, scales, queries))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+        sec = (times[8] - times[2]) / 6
+        flops = 2.0 * q_batch * d * g_rows
+        print(json.dumps({
+            "metric": f"search_1n_int8_g{g_rows >> 20}m_q{q_batch}_probes_per_sec",
+            "value": round(q_batch / sec, 2),
+            "unit": "probes/sec/chip",
+            "vs_baseline": round(flops / sec / peak, 4),
+            "detail": {"device": str(kind), "batch_latency_ms": round(sec * 1e3, 2),
+                       "gallery_rows": g_rows, "k": k,
+                       "gallery_gb": round((g_rows * d + g_rows * 4) / 1e9, 2)},
+        }))
+        return
 
     if mode == "softmax":
         # BASELINE headline: 1M-identity ArcFace full-softmax training, one

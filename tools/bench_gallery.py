@@ -73,28 +73,39 @@ def _index_with_device_gallery(n_rows, gallery, scales, int8, dtype):
 
 
 def bench_search(idx, queries, iters=(2, 8)):
-    sfn = idx._search
+    # the gallery/scales MUST be chain-jit ARGUMENTS: binding them via the
+    # index's partial and tracing that inside the outer jit captures them
+    # as multi-GB compile-time constants (CLAUDE.md gotcha — hangs compile)
+    sfn = idx._make_search(idx.tile)
+    g, s = idx._gallery, idx._scales
+    s_args = (s,) if s is not None else (None,)
 
     def make(n):
         @jax.jit
-        def chain(q):
+        def chain(g, s, q):
             def body(i, carry):
                 acc, prev = carry
-                v, _ = sfn(q + (prev[:, :1] * 1e-30), K)
+                # perturb the SCALES too: with loop-invariant s, XLA hoists
+                # the int8 dequant out of the loop and every iteration reads
+                # a cached bf16 copy instead of the int8 gallery (measured:
+                # int8 "speedup" collapsed to 0.98x; f32 read an apparent
+                # 1445 GB/s — above roofline — via a hoisted bf16 convert)
+                sp = s * (1.0 + prev[0, 0] * 1e-30) if s is not None else None
+                v, _ = sfn(g, sp, q + (prev[:, :1] * 1e-30), K)
                 return (acc + jnp.sum(v), v)
             acc, _ = jax.lax.fori_loop(
-                0, n, body, (0.0, jnp.zeros((Q, K), jnp.float32)))
+                0, n, body, (0.0, jnp.zeros((q.shape[0], K), jnp.float32)))
             return acc
         return chain
 
     t = {}
     for n in iters:
         ch = make(n)
-        _ = float(ch(queries))
+        _ = float(ch(g, *s_args, queries))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = float(ch(queries))
+            _ = float(ch(g, *s_args, queries))
             best = min(best, time.perf_counter() - t0)
         t[n] = best
     return (t[iters[1]] - t[iters[0]]) / (iters[1] - iters[0])
@@ -146,10 +157,14 @@ def main():
         g[:8].astype(jnp.float32) * s[:8, None]))
     v, r, _ = idx.search(probe, k=2)
     assert (r[:, 0] == np.arange(8)).all(), r[:, 0]
-    sec = bench_search(idx, jnp.asarray(queries))
     nbytes = g_rows * D + g_rows * 4
-    print(f"G={g_rows>>20}M int8: {sec*1e3:7.2f} ms/search-batch "
-          f"({nbytes/sec/1e9:5.0f} GB/s, {Q/sec:8.0f} probes/s)", flush=True)
+    for q_batch in (Q, 1024):
+        qb = np.asarray(jax.device_get(
+            _make_gallery(jax.random.PRNGKey(1), (q_batch, D))))
+        sec = bench_search(idx, jnp.asarray(qb))
+        print(f"G={g_rows>>20}M int8 Q={q_batch}: {sec*1e3:7.2f} ms/search-"
+              f"batch ({nbytes/sec/1e9:5.0f} GB/s, {q_batch/sec:8.0f} "
+              f"probes/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -10,13 +10,25 @@ same scale discipline as the training head:
   [Q, G] similarity matrix never exists in HBM — the same access pattern
   as the streaming softmax forward (ops/margin_pallas.py). A 10M-row
   search touches each gallery byte exactly once.
+* **approx_max_k per tile** (``recall_target``, default 0.95): the
+  per-tile reduction is ``jax.lax.approx_max_k`` — the TPU PartialReduce
+  op built for exactly this MIPS shape — then an exact merge of the 2k
+  candidates. Measured on one v5e (tools/bench_search_variants.py,
+  G=1M bf16): 1.42 ms vs 6.40 ms for exact ``lax.top_k`` per tile —
+  **754 GB/s, 92% of HBM roofline** vs 168 GB/s sort-bound, at measured
+  recall@10 = 1.0000 on normalized embeddings. ``recall_target >= 1.0``
+  selects the exact sort-based path (``approx_max_k(recall_target=1.0)``
+  itself lowers to the slow sort — measured, don't use it for exact).
 * **Int8 gallery storage** (``int8=True``): rows are stored as symmetric
-  per-row int8 + f32 scale, dequantized inside the tile read. Measured on
-  one v5e (docs/PERF.md round 3, the classifier-storage study — identical
-  access pattern): 1.37-1.45× over bf16 on this HBM-bound read, and 2×
-  rows per chip (10M × 512 int8 ≈ 5 GB). Cosine scores drift ≤ ~1e-2
-  absolute; ranking on separated identities is unchanged
-  (tests/test_eval.py).
+  per-row int8 + f32 scale, dequantized inside the tile read. The win is
+  CAPACITY — 2× rows per chip (10M × 512 int8 ≈ 5.4 GB incl. scales; a
+  10M-row search runs on ONE v5e) — not speed: measured end-to-end the
+  int8 search times within ±7% of bf16 (docs/PERF.md round 3 — with the
+  approx_max_k reduction the Q=128 search sits near the MXU floor, and
+  the XLA-side dequant costs what the halved read saves; the 1.37-1.45×
+  classifier-study figure needed the dequant fused into a Pallas kernel).
+  Cosine scores drift ≤ ~1e-2 absolute; ranking on separated identities
+  is unchanged (tests/test_eval.py).
 * **Mesh sharding** (``mesh=``): gallery rows are sharded over the
   ``model`` axis; each shard streams its local tiles and emits its local
   top-k, merged with one global top-k over the m·k candidates — the
@@ -54,15 +66,20 @@ class FaceIndex:
         ``tile × feat_dim`` plus the [Q, tile] score block).
       compute_dtype: matmul operand dtype (bf16 = MXU rate on TPU;
         accumulation is always f32).
+      recall_target: per-tile top-k recall for ``jax.lax.approx_max_k``
+        (4.5× faster than exact at 1M rows — module docstring); values
+        >= 1.0 select the exact sort-based ``lax.top_k`` per tile.
     """
 
     def __init__(self, feat_dim: int, mesh=None, int8: bool = False,
-                 tile: int = 65536, compute_dtype=jnp.bfloat16):
+                 tile: int = 65536, compute_dtype=jnp.bfloat16,
+                 recall_target: float = 0.95):
         self.feat_dim = feat_dim
         self.mesh = mesh
         self.int8 = int8
         self.tile = tile
         self.compute_dtype = compute_dtype
+        self.recall_target = recall_target
         self._embs: list[np.ndarray] = []
         self._labels: list[np.ndarray] = []
         self._gallery = None
@@ -119,6 +136,7 @@ class FaceIndex:
     def _make_search(self, tile: int):
         cd, int8, n_rows = self.compute_dtype, self.int8, self._n_rows
         mesh, D = self.mesh, self.feat_dim
+        rt = self.recall_target
 
         def stream(q, g, s, row0, k, vary=False):
             """Running top-k over local gallery tiles; [Q, G_local] never
@@ -137,9 +155,17 @@ class FaceIndex:
                 z = jnp.dot(q, w.T, preferred_element_type=jnp.float32)
                 gid = row0 + i * tile + jnp.arange(tile, dtype=jnp.int32)
                 z = jnp.where(gid[None, :] < n_rows, z, -1e30)
-                cand_v = jnp.concatenate([vals, z], axis=1)
-                cand_i = jnp.concatenate(
-                    [idx, jnp.broadcast_to(gid, z.shape)], axis=1)
+                if rt < 1.0 and k * 8 <= tile:
+                    # PartialReduce per tile (92% of HBM roofline — module
+                    # docstring), exact merge of the 2k candidates below
+                    tv, tp = jax.lax.approx_max_k(z, k, recall_target=rt)
+                elif k < tile:
+                    tv, tp = jax.lax.top_k(z, k)
+                else:  # k >= tile rows: every tile column is a candidate
+                    tv, tp = z, jnp.broadcast_to(
+                        jnp.arange(tile, dtype=jnp.int32), z.shape)
+                cand_v = jnp.concatenate([vals, tv], axis=1)
+                cand_i = jnp.concatenate([idx, gid[tp]], axis=1)
                 v, pos = jax.lax.top_k(cand_v, k)
                 return (v, jnp.take_along_axis(cand_i, pos, axis=1)), None
 
