@@ -50,7 +50,8 @@ SUITE = [
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
      "BENCH_QUEUE_DTYPE": "float32"},
     {"BENCH_MODE": "softmax", "BENCH_CLASSES": str(1 << 20),
-     "BENCH_CLS_DTYPE": "bfloat16", "BENCH_FUSED": "on"},
+     "BENCH_CLS_DTYPE": "bfloat16", "BENCH_FUSED": "on",
+     "BENCH_MOM_DTYPE": "bfloat16"},
     # the multi-chip head's compiled artifact on one chip: shard_map over a
     # (1,1) mesh routing the per-shard Pallas QUAD composition (fused
     # configs route make_sharded_quad_loss — both directions, one pass)
@@ -255,6 +256,8 @@ def main():
         cfg.pool.sparse_grad_rate = float(os.environ.get("BENCH_SPARSE_RATE", 0.05))
         cfg.pool.classifier_dtype = os.environ.get("BENCH_CLS_DTYPE", "float32")
         cfg.pool.fused_update = os.environ.get("BENCH_FUSED_UPDATE", "auto")
+        cfg.pool.classifier_mom_dtype = os.environ.get(
+            "BENCH_MOM_DTYPE", "float32")
         model_s = create_net(net_type, feat_dim=cfg.model.feat_dim, dtype=jnp.bfloat16,
                              bn_stats_rows=cfg.model.bn_stats_rows)
         optimizer_s = make_optimizer(cfg.optim)
@@ -298,6 +301,7 @@ def main():
                        "train_acc": float(m.get("train_acc", -1.0)),
                        "classifier_dtype": cfg.pool.classifier_dtype,
                        "fused_update": cfg.pool.fused_update,
+                       "mom_dtype": cfg.pool.classifier_mom_dtype,
                        "step_flops": step_flops, "peak_flops": peak,
                        "hbm_roofline_frac": hbm_frac},
         }))

@@ -141,6 +141,58 @@ def test_op_cpu_fallback_matches_oracle(rng):
     np.testing.assert_allclose(new_mom, new_mom_o, atol=1e-7)
 
 
+def test_fused_update_mom_bf16(rng):
+    """bf16 momentum storage (docs/PERF.md traffic study): the op preserves
+    the momentum dtype through kernel and fallback, and a 10-step
+    trajectory stays within bf16 rounding of the f32-momentum oracle."""
+    emb, w, mom, labels = make_case(rng, b=8, c=96, d=64)
+    b = emb.shape[0]
+    d_ce = jnp.full((b,), 1.0 / b, jnp.float32)
+    d_neg = jnp.zeros((b,), jnp.float32)
+    okw = dict(loss_type="Arc", margin=0.4, scale=24.0, hard_neg=3,
+               mask_svfc=1.2, normalize_w=True, tile=32)
+    sgd = dict(momentum=0.9, nesterov=True, weight_decay=1e-4)
+
+    w_o, mom_o = w, mom
+    w_b, mom_b = w, mom.astype(jnp.bfloat16)
+    ce_first = ce_last = None
+    for step in range(10):
+        ce_o, _, _, _, _, w_o, mom_o = streaming_margin_grads_fused_sgd(
+            emb, w_o, mom_o, labels, d_ce, d_neg, 0.05,
+            use_pallas=False, **sgd, **okw)
+        ce_b, _, _, _, _, w_b, mom_b = streaming_margin_grads_fused_sgd(
+            emb, w_b, mom_b, labels, d_ce, d_neg, 0.05,
+            use_pallas=False, **sgd, **okw)
+        assert mom_b.dtype == jnp.bfloat16 and w_b.dtype == w.dtype
+        if step == 0:
+            ce_first = float(jnp.mean(ce_b))
+        ce_last = float(jnp.mean(ce_b))
+    # trajectory: bf16 momentum rounding stays second-order over 10 steps
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_o),
+                               atol=5e-3, rtol=0)
+    assert abs(ce_last - float(jnp.mean(ce_o))) < 5e-3
+    assert ce_last < ce_first  # still learning
+
+    # the interpret-mode kernel agrees with the fallback on dtypes + values
+    gt = compute_gt(emb, w, labels, True)
+    ce, neg, logz, topk = _stream_fwd(
+        emb, w, labels, gt, **{k: v for k, v in okw.items()
+                               if k != "hard_neg"}, k=3)
+    d_emb_k, new_w_k, new_mom_k = pallas_margin_ce_bwd_fused_sgd(
+        emb, w, mom.astype(jnp.bfloat16), labels, gt, logz, topk, d_ce,
+        d_neg, 0.05, interpret=True, **sgd,
+        **{k: v for k, v in okw.items() if k != "hard_neg"}, k=3)
+    assert new_mom_k.dtype == jnp.bfloat16
+    _, _, _, _, _, new_w_f, new_mom_f = streaming_margin_grads_fused_sgd(
+        emb, w, mom.astype(jnp.bfloat16), labels, d_ce, d_neg, 0.05,
+        use_pallas=False, **sgd, **okw)
+    np.testing.assert_allclose(np.asarray(new_mom_k).astype(np.float32),
+                               np.asarray(new_mom_f).astype(np.float32),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_w_k), np.asarray(new_w_f),
+                               atol=2e-6, rtol=1e-5)
+
+
 # ----------------------------------------------------------------------
 # head-level: fused-update train step == dense streaming + optax
 # ----------------------------------------------------------------------

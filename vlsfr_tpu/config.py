@@ -153,6 +153,14 @@ class PoolConfig:
     # (insightface partial_fc ships fp16 classifiers; rows are
     # re-normalized every forward so only direction matters).
     classifier_dtype: str = "float32"  # float32 | bfloat16
+    # momentum-buffer storage dtype, FUSED-update head only (measured
+    # 1.32x on the fused head at C=1M — 12.89 -> 9.74 ms — by halving the
+    # 4 GB momentum read+write; docs/PERF.md round 3). bf16 momentum
+    # rounds the accumulated trace to 8 mantissa bits, so the trajectory
+    # is no longer bit-exact vs optax (tests/test_fused_update.py bounds
+    # the drift); the sparse head keeps f32 regardless (its visit-age
+    # catch-up compounds the rounding geometrically).
+    classifier_mom_dtype: str = "float32"  # float32 | bfloat16
     # batch the two probe (and two gallery) passes into one 2B forward —
     # faster on TPU; BN batch stats then span 2B samples (perf mode, not
     # bit-equivalent to the reference's per-pass statistics)

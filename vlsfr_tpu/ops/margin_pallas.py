@@ -684,7 +684,7 @@ def pallas_margin_ce_bwd(emb, w, labels, gt, logz, topk, d_ce, d_neg, *, loss_ty
 
 def _make_bwd_fused_sgd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                mask_svfc, normalize_w, mxu_bf16, w_dtype,
-                               momentum, nesterov, weight_decay):
+                               mom_dtype, momentum, nesterov, weight_decay):
     def kernel(labels_ref, gt_ref, logz_ref, kth_ref, dce_ref, dneg_ref,
                lr_ref, emb_ref, dwl_ref, w_ref, mom_ref,
                new_w_ref, new_mom_ref, demb_ref,
@@ -729,12 +729,12 @@ def _make_bwd_fused_sgd_kernel(b, d, c, tile, k, loss_type, margin, scale,
             if weight_decay:
                 g = g + weight_decay * w_tile
             if momentum:
-                mom_new = momentum * mom_ref[:] + g
+                mom_new = momentum * mom_ref[:].astype(jnp.float32) + g
                 upd = g + momentum * mom_new if nesterov else mom_new
             else:
                 mom_new = g
                 upd = g
-            new_mom_ref[:] = mom_new
+            new_mom_ref[:] = mom_new.astype(mom_dtype)
             new_w_ref[:] = (w_tile - lr * upd).astype(w_dtype)
 
         def _dw_tile():
@@ -798,7 +798,8 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
                                    interpret=False, pos_rows=None):
     """Streaming backward with the classifier SGD-momentum update fused in.
 
-    Returns (d_emb [B, D], new_w [C, D] w.dtype, new_mom [C, D] f32) where
+    Returns (d_emb [B, D], new_w [C, D] w.dtype, new_mom [C, D] mom.dtype,
+    f32 default) where
     new_w/new_mom are exactly what optax's wd→trace(μ,nesterov)→(-lr)
     chain would produce from the dense d_w. The target-row gradient is
     computed analytically BEFORE the kernel and routed in as ``d_wl`` (see
@@ -817,8 +818,10 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
     b, d = emb.shape
     c = w.shape[0]
     # VMEM: double-buffered per tile row — w in/out at its own dtype, mom
-    # in/out f32 — plus ~6 [B, tile] f32 working buffers
-    w_bufs = 16 + 4 * jnp.dtype(w.dtype).itemsize
+    # in/out at ITS dtype (f32 default; bf16 = the traffic study in
+    # docs/PERF.md) — plus ~6 [B, tile] f32 working buffers
+    w_bufs = (4 * jnp.dtype(mom.dtype).itemsize
+              + 4 * jnp.dtype(w.dtype).itemsize)
     max_tile = max(256, int((11 * 2**20) // (w_bufs * d + 24 * b)) // 128 * 128)
     tile = _fit_tile(c, min(tile, max_tile))
     wp, n_tiles = _pad_classes(w, c, tile)
@@ -826,7 +829,8 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
     kernel = _make_bwd_fused_sgd_kernel(
         b, d, c, tile, k, loss_type, margin, scale, mask_svfc, normalize_w,
         mxu_bf16=w.dtype == jnp.bfloat16, w_dtype=w.dtype,
-        momentum=momentum, nesterov=nesterov, weight_decay=weight_decay)
+        mom_dtype=mom.dtype, momentum=momentum, nesterov=nesterov,
+        weight_decay=weight_decay)
     owned = labels >= 0  # rows whose target column lives in THIS w block
     pos = owned if pos_rows is None else pos_rows
     d_ce = jnp.where(pos, d_ce, 0.0).astype(jnp.float32)
@@ -878,7 +882,7 @@ def pallas_margin_ce_bwd_fused_sgd(emb, w, mom, labels, gt, logz, topk, d_ce,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles * tile, d), w.dtype),
-            jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * tile, d), mom.dtype),
             jax.ShapeDtypeStruct((b, d), jnp.float32),
         ],
         scratch_shapes=[
@@ -954,13 +958,13 @@ def apply_sgd_dense(w, mom, d_w, lr, *, momentum, nesterov, weight_decay):
     if weight_decay:
         g = g + weight_decay * w.astype(jnp.float32)
     if momentum:
-        new_mom = momentum * mom + g
+        new_mom = momentum * mom.astype(jnp.float32) + g
         upd = g + momentum * new_mom if nesterov else new_mom
     else:
         new_mom = g
         upd = g
     new_w = (w.astype(jnp.float32) - lr * upd).astype(w.dtype)
-    return new_w, new_mom
+    return new_w, new_mom.astype(mom.dtype)
 
 
 # ======================================================================

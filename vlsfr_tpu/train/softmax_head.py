@@ -92,12 +92,16 @@ def create_softmax_state(
     }
     if _fused_update_on(cfg, mesh):
         # fused-update mode: optax only owns the backbone; the classifier's
-        # SGD-momentum state is a bare f32 buffer updated inside the
-        # streaming backward kernel (no classifier_last — every row is
-        # visited every step, there is no catch-up to track)
+        # SGD-momentum state is a bare buffer updated inside the streaming
+        # backward kernel (no classifier_last — every row is visited every
+        # step, there is no catch-up to track). Storage dtype is
+        # pool.classifier_mom_dtype (f32 default; bf16 = measured 1.32x on
+        # the fused head, docs/PERF.md round 3)
         opt_state = {
             "backbone": optimizer.init(params["backbone"]),
-            "classifier_mom": jnp.zeros(params["classifier"].shape, jnp.float32),
+            "classifier_mom": jnp.zeros(
+                params["classifier"].shape,
+                jnp.dtype(cfg.pool.classifier_mom_dtype)),
         }
     elif _sparse_classifier_mode(cfg, mesh):
         # sparse-classifier mode: optax only owns the backbone; the
