@@ -98,6 +98,14 @@ def main():
     ap.add_argument("--heads", nargs="*", default=["ffc", "full_softmax"])
     ap.add_argument("--store", default="/root/casia_syn_store")
     ap.add_argument("--out", default="")
+    # perf-config accuracy probes (full_softmax head): force the streaming
+    # fused path and its storage dtypes to validate the bench configuration
+    # end-task (docs/PERF.md bf16-momentum study)
+    ap.add_argument("--use_fused", default="auto")
+    ap.add_argument("--cls_dtype", default="float32")
+    ap.add_argument("--mom_dtype", default="float32")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the results row (e.g. bf16mom)")
     args = ap.parse_args()
 
     from cross_stack_eval import build_pair_bin
@@ -133,7 +141,12 @@ def main():
         cfg.pool.head = head
         cfg.pool.queue_size = args.queue
         cfg.pool.num_classes = args.ids
-        cfg.train.saved_dir = f"/tmp/casia_study_{head}_{args.epochs}ep"
+        if head == "full_softmax":
+            cfg.pool.use_fused = args.use_fused
+            cfg.pool.classifier_dtype = args.cls_dtype
+            cfg.pool.classifier_mom_dtype = args.mom_dtype
+        cfg.train.saved_dir = (
+            f"/tmp/casia_study_{head}_{args.tag or 'base'}_{args.epochs}ep")
         cfg.train.print_freq = 200
         cfg.train.save_freq = 10**9  # no mid-run checkpoints needed
         cfg.train.holdout_records = holdout
@@ -152,8 +165,10 @@ def main():
         res["train_acc"] = round(float(summary.get("train_acc", -1.0)), 4)
         res["train_seconds"] = round(train_s, 0)
         trainer.close()
-        results[head] = res
-        print(head, json.dumps(res), flush=True)
+        key = head + (f"_{args.tag}" if args.tag and head == "full_softmax"
+                      else "")
+        results[key] = res
+        print(key, json.dumps(res), flush=True)
 
     if args.out:
         lines = [
