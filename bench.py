@@ -176,58 +176,28 @@ def main():
         # serving 1:N identification: 10M-identity int8 gallery on ONE chip
         # (eval/index.py streaming approx_max_k search; docs/PERF.md). The
         # Q=1024 batch is MXU-bound (0.92 measured) — vs_baseline is MFU.
-        import functools as _ft
-
         from vlsfr_tpu.eval.index import FaceIndex
+        from vlsfr_tpu.utils.benchtime import (
+            make_int8_gallery,
+            make_unit_rows,
+            timed_search_chain,
+        )
 
-        g_rows = int(os.environ.get("BENCH_GALLERY", 10 << 20))
+        # rounded UP to whole 1M chunks: the chunked builder and the tiled
+        # stream need multiples; metrics below use the rounded (built) size
+        g_rows = max(1, -(-int(os.environ.get("BENCH_GALLERY", 10 << 20))
+                          // (1 << 20))) << 20
         q_batch = int(os.environ.get("BENCH_PROBES", 1024))
         k, d, tile = 10, cfg.model.feat_dim, 65536
 
-        @_ft.partial(jax.jit, static_argnums=1)
-        def _chunk(key, shape):
-            g = jax.random.normal(key, shape, jnp.float32)
-            g = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
-            s = jnp.maximum(jnp.max(jnp.abs(g), -1), 1e-12) / 127.0
-            q = jnp.clip(jnp.round(g / s[:, None]), -127, 127).astype(jnp.int8)
-            return q, s.astype(jnp.float32)
-
-        parts = [_chunk(jax.random.PRNGKey(i), (1 << 20, d))
-                 for i in range(g_rows >> 20)]
-        gal = jnp.concatenate([p[0] for p in parts])
-        scales = jnp.concatenate([p[1] for p in parts])
-        del parts
+        gal, scales = make_int8_gallery(jax.random.PRNGKey(0), g_rows, d)
         idx = FaceIndex(feat_dim=d, int8=True, tile=tile)
         idx._n_rows, idx._gallery, idx._scales = g_rows, gal, scales
         idx._gallery_labels = np.arange(g_rows, dtype=np.int64)
-        sfn = idx._make_search(tile)
-        queries = jax.random.normal(jax.random.PRNGKey(7), (q_batch, d))
-        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+        queries = make_unit_rows(jax.random.PRNGKey(7), (q_batch, d))
 
-        def _chain(n):
-            @jax.jit
-            def chain(g, s, q):
-                def body(i, carry):
-                    acc, prev = carry
-                    sp = s * (1.0 + prev[0, 0] * 1e-30)
-                    v, _ = sfn(g, sp, q + prev[:, :1] * 1e-30, k)
-                    return (acc + jnp.sum(v), v)
-                acc, _ = jax.lax.fori_loop(
-                    0, n, body, (0.0, jnp.zeros((q_batch, k), jnp.float32)))
-                return acc
-            return chain
-
-        times = {}
-        for n in (2, 8):
-            ch = _chain(n)
-            float(ch(gal, scales, queries))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(ch(gal, scales, queries))
-                best = min(best, time.perf_counter() - t0)
-            times[n] = best
-        sec = (times[8] - times[2]) / 6
+        sec = timed_search_chain(idx._make_search(tile), gal, scales,
+                                 queries, k)
         flops = 2.0 * q_batch * d * g_rows
         print(json.dumps({
             "metric": f"search_1n_int8_g{g_rows >> 20}m_q{q_batch}_probes_per_sec",

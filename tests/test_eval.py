@@ -2,6 +2,7 @@
 embeddings, extractor shape/padding behavior, end-to-end with ToyNet."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -141,6 +142,39 @@ def test_face_index_int8(rng):
     np.testing.assert_allclose(v_f, v_q, atol=2e-2)
     # storage really is ~1 byte/elem (+4-byte row scale) vs 2 (bf16)
     assert q8.nbytes() < fp.nbytes()
+
+
+def test_face_index_int8_compute(rng):
+    """compute_dtype=int8: queries quantized too, int8×int8→int32 scoring
+    (2× MXU rate on v5e). Ranking on separated identities unchanged,
+    scores within the per-row-quantization drift bound."""
+    import pytest as _pytest
+
+    from vlsfr_tpu.eval.index import FaceIndex
+
+    emb, labels = make_separable_embeddings(rng, n_ids=12, per_id=4, d=64)
+    fp = FaceIndex(feat_dim=64)
+    q8 = FaceIndex(feat_dim=64, int8=True, compute_dtype=jnp.int8, tile=128)
+    for idx in (fp, q8):
+        idx.add(emb, labels)
+    v_f, _, l_f = fp.search(emb[:10], k=3)
+    v_q, _, l_q = q8.search(emb[:10], k=3)
+    np.testing.assert_array_equal(l_f[:, 0], l_q[:, 0])
+    np.testing.assert_allclose(v_f, v_q, atol=3e-2)
+
+    # sharded variant matches the unsharded int8-compute path exactly
+    from vlsfr_tpu.parallel.mesh import make_mesh
+
+    sh = FaceIndex(feat_dim=64, mesh=make_mesh(1, 8), int8=True,
+                   compute_dtype=jnp.int8, tile=128)
+    sh.add(emb, labels)
+    v_s, _, l_s = sh.search(emb[:10], k=3)
+    np.testing.assert_array_equal(l_q, l_s)
+    np.testing.assert_allclose(v_q, v_s, atol=1e-6)
+
+    # int8 compute without int8 storage is a config error
+    with _pytest.raises(ValueError):
+        FaceIndex(feat_dim=64, compute_dtype=jnp.int8)
 
 
 def test_face_index_sharded_int8(rng):

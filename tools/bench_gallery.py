@@ -2,15 +2,14 @@
 
 Measures the jitted FaceIndex search path at serving-realistic sizes on
 the real chip: G ∈ {1M, 4M} L2-normalized gallery rows, Q=128 probes,
-k=10, storage ∈ {f32, bf16, int8+per-row-scale}. The search is HBM-bound
-(one pass over the gallery per query batch), so the expected ranking is
-int8 > bf16 > f32 by bytes — the classifier-storage study (docs/PERF.md)
-measured the same access pattern at 1.37-1.45× for int8 over bf16.
+k=10, storage ∈ {f32, bf16, int8+per-row-scale}, plus the 10M-row int8
+headline (Q ∈ {128, 1024}) and a mesh=(1,1) shard_map equivalence check.
 
-Timing: chained-in-jit with a data-dependent perturbation (the tunnel's
-block_until_ready does not await non-donating graphs; a loop-invariant
-body is CSE'd — see tools/bench_int8_classifier.py), two chain lengths to
-cancel overhead, value-fetch sync.
+Timing/building: vlsfr_tpu/utils/benchtime.py — the chained-in-jit
+recipe with per-iteration scale perturbation (the tunnel's
+block_until_ready does not await non-donating graphs, and XLA hoists a
+loop-invariant dequant/convert out of the chain: measured apparent
+1445 GB/s f32 and 0.98x "int8" before the perturbation).
 
 Run on the real chip: python tools/bench_gallery.py
 """
@@ -20,7 +19,6 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -29,36 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlsfr_tpu.eval.index import FaceIndex
+from vlsfr_tpu.utils.benchtime import (
+    make_int8_gallery,
+    make_unit_rows,
+    quantize_rows,
+    timed_search_chain,
+)
 
 jax.config.update("jax_compilation_cache_dir", "/root/.vlsfr_jax_cache")
 
 Q, D, K, TILE = 128, 512, 10, 65536
-
-
-@functools.partial(jax.jit, static_argnums=1)
-def _make_gallery(key, g_shape):
-    g = jax.random.normal(key, g_shape, jnp.float32)
-    return g / jnp.linalg.norm(g, axis=-1, keepdims=True)
-
-
-@jax.jit
-def _quantize(g):
-    scale = jnp.maximum(jnp.max(jnp.abs(g), -1), 1e-12) / 127.0
-    q = jnp.clip(jnp.round(g / scale[:, None]), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
-
-
-def _make_int8_gallery(key, g_rows):
-    """Generate an int8 gallery CHUNKED (1M rows at a time): a full [G, D]
-    f32 intermediate at G=10M would be 20 GB — more than the chip."""
-    chunk = 1 << 20
-    qs, ss = [], []
-    for i in range(0, g_rows, chunk):
-        k = jax.random.fold_in(key, i)
-        q, s = _quantize(_make_gallery(k, (min(chunk, g_rows - i), D)))
-        qs.append(q)
-        ss.append(s)
-    return jnp.concatenate(qs), jnp.concatenate(ss)
 
 
 def _index_with_device_gallery(n_rows, gallery, scales, int8, dtype):
@@ -72,52 +50,21 @@ def _index_with_device_gallery(n_rows, gallery, scales, int8, dtype):
     return idx
 
 
-def bench_search(idx, queries, iters=(2, 8)):
+def bench_search(idx, queries):
     # the gallery/scales MUST be chain-jit ARGUMENTS: binding them via the
     # index's partial and tracing that inside the outer jit captures them
     # as multi-GB compile-time constants (CLAUDE.md gotcha — hangs compile)
-    sfn = idx._make_search(idx.tile)
-    g, s = idx._gallery, idx._scales
-    s_args = (s,) if s is not None else (None,)
-
-    def make(n):
-        @jax.jit
-        def chain(g, s, q):
-            def body(i, carry):
-                acc, prev = carry
-                # perturb the SCALES too: with loop-invariant s, XLA hoists
-                # the int8 dequant out of the loop and every iteration reads
-                # a cached bf16 copy instead of the int8 gallery (measured:
-                # int8 "speedup" collapsed to 0.98x; f32 read an apparent
-                # 1445 GB/s — above roofline — via a hoisted bf16 convert)
-                sp = s * (1.0 + prev[0, 0] * 1e-30) if s is not None else None
-                v, _ = sfn(g, sp, q + (prev[:, :1] * 1e-30), K)
-                return (acc + jnp.sum(v), v)
-            acc, _ = jax.lax.fori_loop(
-                0, n, body, (0.0, jnp.zeros((q.shape[0], K), jnp.float32)))
-            return acc
-        return chain
-
-    t = {}
-    for n in iters:
-        ch = make(n)
-        _ = float(ch(g, *s_args, queries))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(ch(g, *s_args, queries))
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    return (t[iters[1]] - t[iters[0]]) / (iters[1] - iters[0])
+    return timed_search_chain(idx._make_search(idx.tile), idx._gallery,
+                              idx._scales, queries, K)
 
 
 def main():
     print("device:", jax.devices()[0], flush=True)
     key = jax.random.PRNGKey(0)
     queries = np.asarray(
-        jax.device_get(_make_gallery(jax.random.PRNGKey(1), (Q, D))))
+        jax.device_get(make_unit_rows(jax.random.PRNGKey(1), (Q, D))))
     for g_rows in (1 << 20, 4 << 20):
-        gal = _make_gallery(key, (g_rows, D))
+        gal = make_unit_rows(key, (g_rows, D))
         rows = {}
         configs = [("f32", False, jnp.float32), ("bf16", False, jnp.bfloat16),
                    ("int8", True, jnp.bfloat16)]
@@ -125,7 +72,7 @@ def main():
             configs = configs[1:]  # 8 GB f32 gallery + f32 compute: skip
         for name, int8, dtype in configs:
             if int8:
-                g, s = _quantize(gal)
+                g, s = quantize_rows(gal)
                 nbytes = g_rows * D + g_rows * 4
             else:
                 g, s = gal.astype(dtype), None
@@ -150,7 +97,7 @@ def main():
     # (10M × 512 int8 ≈ 5.4 GB with scales — impossible in f32/bf16+probe
     # margins; generated chunked to avoid a 20 GB f32 intermediate)
     g_rows = 10 << 20
-    g, s = _make_int8_gallery(key, g_rows)
+    g, s = make_int8_gallery(key, g_rows, D)
     g = jax.block_until_ready(g)
     idx = _index_with_device_gallery(g_rows, g, s, True, jnp.bfloat16)
     probe = np.asarray(jax.device_get(
@@ -158,13 +105,36 @@ def main():
     v, r, _ = idx.search(probe, k=2)
     assert (r[:, 0] == np.arange(8)).all(), r[:, 0]
     nbytes = g_rows * D + g_rows * 4
+    # int8-COMPUTE twin (compute_dtype=int8: queries quantized too, the
+    # scoring matmul runs int8×int8→int32 at 2× the bf16 MXU rate — the
+    # lever for the matmul-bound Q=1024 row)
+    idx_c = _index_with_device_gallery(g_rows, g, s, True, jnp.int8)
+    v_c, r_c, _ = idx_c.search(probe, k=2)
+    assert (r_c[:, 0] == np.arange(8)).all(), r_c[:, 0]
     for q_batch in (Q, 1024):
         qb = np.asarray(jax.device_get(
-            _make_gallery(jax.random.PRNGKey(1), (q_batch, D))))
-        sec = bench_search(idx, jnp.asarray(qb))
-        print(f"G={g_rows>>20}M int8 Q={q_batch}: {sec*1e3:7.2f} ms/search-"
-              f"batch ({nbytes/sec/1e9:5.0f} GB/s, {q_batch/sec:8.0f} "
-              f"probes/s)", flush=True)
+            make_unit_rows(jax.random.PRNGKey(1), (q_batch, D))))
+        for name, ix in (("bf16-compute", idx), ("int8-compute", idx_c)):
+            sec = bench_search(ix, jnp.asarray(qb))
+            print(f"G={g_rows>>20}M int8 Q={q_batch} {name}: {sec*1e3:7.2f} "
+                  f"ms/search-batch ({nbytes/sec/1e9:5.0f} GB/s, "
+                  f"{q_batch/sec:8.0f} probes/s)", flush=True)
+
+    # the MESH (shard_map) search path compiled + checked on the real chip
+    # at mesh=(1,1): must return the same hits as the single-device path
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    sh = FaceIndex(feat_dim=D, mesh=mesh, int8=True, tile=TILE)
+    sh._n_rows, sh._gallery_labels = g_rows, idx._gallery_labels
+    sh._gallery, sh._scales = g, s
+    sh._search = functools.partial(sh._make_search(TILE), g, s)
+    v_s, r_s, _ = sh.search(probe, k=5)
+    v_u, r_u, _ = idx.search(probe, k=5)
+    assert (r_s == r_u).all(), (r_s, r_u)
+    np.testing.assert_allclose(v_s, v_u, atol=1e-5)
+    print("sharded mesh=(1,1) search on-chip: hits match single-device ok",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,6 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -78,30 +77,10 @@ def make_search(variant, tile, recall=0.95):
     return stream
 
 
-def bench(fn, g, q, iters=(2, 8)):
-    def make(n):
-        @jax.jit
-        def chain(g, q):
-            def body(i, carry):
-                acc, prev = carry
-                v, _ = fn(g, q + prev[:, :1] * 1e-30)
-                return (acc + jnp.sum(v), v)
-            acc, _ = jax.lax.fori_loop(
-                0, n, body, (0.0, jnp.zeros((Q, K), jnp.float32)))
-            return acc
-        return chain
+def bench(fn, g, q):
+    from vlsfr_tpu.utils.benchtime import timed_search_chain
 
-    t = {}
-    for n in iters:
-        ch = make(n)
-        _ = float(ch(g, q))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(ch(g, q))
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    return (t[iters[1]] - t[iters[0]]) / (iters[1] - iters[0])
+    return timed_search_chain(lambda g, s, q, k: fn(g, q), g, None, q, K)
 
 
 @functools.partial(jax.jit, static_argnums=1)

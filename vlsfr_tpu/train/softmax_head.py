@@ -43,7 +43,9 @@ def _fused_update_on(cfg: Config, mesh=None) -> bool:
     (the classifier is replicated under DP, every chip computes the
     identical update); a model axis > 1 shards the class rows and runs the
     per-shard fused kernel with collective logsumexp merges
-    (parallel/sharded_fused.py)."""
+    (parallel/sharded_fused.py). ``mesh`` is therefore UNUSED since round
+    3 (eligibility is mesh-independent) — kept so call sites stay
+    symmetric with _sparse_classifier_mode, which does route on it."""
     if cfg.pool.fused_update == "off":
         return False
     if not _streaming_on(cfg) or cfg.pool.sample_rate > 0 or cfg.pool.sparse_update:
@@ -351,7 +353,6 @@ def _make_streaming_fused_train_step(model, cfg: Config, optimizer, schedule,
         head = make_sharded_fused_sgd_head(
             mesh, hard_neg=1, normalize_w=True, **sgd_kw, **loss_kw)
     elif data_sharded:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         def head_local(emb_l, w, mom, labels_l, lr):
@@ -364,11 +365,11 @@ def _make_streaming_fused_train_step(model, cfg: Config, optimizer, schedule,
                 d_emb_g, i * emb_l.shape[0], emb_l.shape[0], axis=0)
             return ce, neg, topk, gt, d_emb_l.astype(emb_l.dtype), new_w, new_mom
 
-        head = shard_map(
+        head = jax.shard_map(
             head_local, mesh=mesh,
             in_specs=(P("data"), P(), P(), P("data"), P()),
             out_specs=(P(), P(), P(), P(), P("data"), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
     else:
         head = head_global
