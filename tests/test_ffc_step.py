@@ -110,7 +110,7 @@ def test_step_equivalence_with_reference_protocol(loss_type, rng):
 
     wp = rng.standard_normal((din, d)).astype(np.float32) * 0.3
     wg = rng.standard_normal((din, d)).astype(np.float32) * 0.3
-    queue0 = np.asarray(init_queue(jax.random.PRNGKey(3), q, d))
+    queue0 = np.asarray(init_queue(jax.random.PRNGKey(3), q, d)[0])
 
     oracle = RefProtocolOracle(wp, wg, queue0, cfg)
     mgr = DCPManager(q)
@@ -201,7 +201,7 @@ def test_queue_rows_hold_written_embeddings(rng):
         probe_stats={},
         gallery_params={"fc": {"kernel": jnp.asarray(wg)}},
         gallery_stats={},
-        queue=jnp.asarray(init_queue(jax.random.PRNGKey(1), cfg.pool.queue_size, cfg.model.feat_dim)),
+        queue=jnp.asarray(init_queue(jax.random.PRNGKey(1), cfg.pool.queue_size, cfg.model.feat_dim)[0]),
         opt_state=None,
     )
     b = 4

@@ -122,7 +122,7 @@ def test_ffc_directional_loss_fused_matches_dense(rng):
     p /= np.linalg.norm(p, axis=-1, keepdims=True)
     g = rng.standard_normal((b, d)).astype(np.float32)
     g /= np.linalg.norm(g, axis=-1, keepdims=True)
-    queue = init_queue(jax.random.PRNGKey(0), q, d)
+    queue = init_queue(jax.random.PRNGKey(0), q, d)[0]
     rows = rng.integers(0, 2, size=b).astype(np.int32)
     cols = rng.integers(0, q, size=b).astype(np.int32)
     seen = (rng.random(b) < 0.5).astype(np.float32)

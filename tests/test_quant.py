@@ -183,7 +183,7 @@ def test_ffc_gallery_int8_wiring(rng):
             gallery_stats=jax.tree.map(
                 jnp.copy, variables.get("batch_stats", {})),
             queue=init_queue(jax.random.PRNGKey(3), cfg.pool.queue_size,
-                             cfg.model.feat_dim),
+                             cfg.model.feat_dim)[0],
             opt_state=None,
         )
         loss, _ = jax.jit(loss_fn)(state.probe_params, state, x, y, idx)

@@ -116,7 +116,7 @@ def test_ffc_loss_fn_routes_sharded_twin(rng):
         probe_stats={},
         gallery_params={"fc": {"kernel": jnp.asarray(wg)}},
         gallery_stats={},
-        queue=jnp.asarray(init_queue(jax.random.PRNGKey(1), 64, 8)),
+        queue=jnp.asarray(init_queue(jax.random.PRNGKey(1), 64, 8)[0]),
         opt_state=None,
     )
     mgr = DCPManager(64)

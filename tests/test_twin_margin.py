@@ -127,7 +127,7 @@ def test_ffc_directional_loss_twin_matches_dense(rng):
     g /= np.linalg.norm(g, axis=-1, keepdims=True)
     from vlsfr_tpu.core.ffc import init_queue
 
-    queue = init_queue(jax.random.PRNGKey(0), q, d)
+    queue = init_queue(jax.random.PRNGKey(0), q, d)[0]
     rows = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
     cols = jnp.asarray(rng.integers(0, q, b), jnp.int32)
     seen = jnp.asarray((rng.random(b) < 0.5), jnp.float32)

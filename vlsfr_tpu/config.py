@@ -102,8 +102,12 @@ class PoolConfig:
 
     queue_size: int = 1000
     # DCP storage dtype; bfloat16 halves pool HBM traffic at large queue
-    # sizes (embeddings are unit-norm, bf16 cosine error ~1e-2)
-    queue_dtype: str = "float32"  # float32 | bfloat16
+    # sizes (embeddings are unit-norm, bf16 cosine error ~1e-2). int8
+    # (fused head only) stores rows with a per-row scale (ops/qqueue.py):
+    # 4x less queue DMA than f32, ~2x the identities per chip, expected
+    # row-cosine drift ~4e-5 — rows are replaced whole on admission so the
+    # rounding never compounds.
+    queue_dtype: str = "float32"  # float32 | bfloat16 | int8
     momentum: float = 0.99  # EMA alpha for gallery net (--alpha, main.py:157)
     # hard_neg = clamp(int(queue_size*2e-4), 3, 10) as in ffc.py:48; -1 = auto
     hard_neg: int = -1

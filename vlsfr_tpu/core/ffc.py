@@ -47,24 +47,36 @@ class FFCState(struct.PyTreeNode):
     probe_stats: Any  # BN running stats
     gallery_params: Any  # EMA copy of probe_params (ffc.py:53-55,139-145)
     gallery_stats: Any
-    queue: jnp.ndarray  # [2, Q, D] float32, L2-normalized rows (ffc.py:29-30)
+    queue: jnp.ndarray  # [2, Q, D] L2-normalized rows (ffc.py:29-30)
     opt_state: Any
+    # [2, Q] per-row dequant scales when queue_dtype == "int8"
+    # (ops/qqueue.py), None for float queues
+    queue_scales: Any = None
 
 
 def init_queue(
     rng: jax.Array, queue_size: int, feat_dim: int, dtype=jnp.float32
-) -> jnp.ndarray:
+):
     """Random init + L2 normalization over features (ffc.py:29-30).
 
     Uses uniform[0,1) like the reference's ``torch.rand``. Built under jit
     so XLA fuses generate→normalize→cast: eager evaluation would
     materialize two fp32 copies — 16 GB of transient HBM at a 2M-slot
-    bf16 queue, an instant OOM on a 16 GB chip."""
+    bf16 queue, an instant OOM on a 16 GB chip.
+
+    Returns ``(queue, scales)``; ``scales`` is the [2, Q] per-row dequant
+    array for int8 storage (ops/qqueue.py), None for float dtypes."""
+    int8 = jnp.dtype(dtype) == jnp.int8
 
     @partial(jax.jit, static_argnums=(1, 2, 3))
     def build(key, q, d, dt):
         x = jax.random.uniform(key, (2, q, d), jnp.float32)
-        return (x / jnp.linalg.norm(x, axis=-1, keepdims=True)).astype(dt)
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        if int8:
+            from vlsfr_tpu.ops.qqueue import quantize_rows
+
+            return quantize_rows(x)
+        return x.astype(dt), None
 
     return build(rng, queue_size, feat_dim, jnp.dtype(dtype))
 
@@ -196,6 +208,12 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
         use_fused = cfg.pool.queue_size >= cfg.pool.streaming_threshold
     else:
         use_fused = cfg.pool.use_fused == "on"
+    if cfg.pool.queue_dtype == "int8" and not use_fused:
+        raise ValueError(
+            "queue_dtype=int8 requires the fused streaming head (the dense "
+            "path materializes blended [Q, D] copies the int8 layout exists "
+            "to avoid) — set pool.use_fused='on' or raise queue_size past "
+            "pool.streaming_threshold")
     sharded = use_fused and mesh is not None and (
         mesh.shape.get("model", 1) > 1 or cfg.pool.force_sharded)
     sharded_quad_fn = None
@@ -309,6 +327,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                     (idx.a.rows, idx.a.cols, idx.a.seen),
                     (idx.b.rows, idx.b.cols, idx.b.seen),
                     idx.a.fake_labels, idx.b.fake_labels,
+                    qscales=state.queue_scales,
                 )
             else:
                 from vlsfr_tpu.ops.twin_margin import quad_add_margin
@@ -321,7 +340,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                     loss_type=loss_kw["loss_type"], margin=loss_kw["margin"],
                     scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
                     mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
-                    with_acc=True,
+                    with_acc=True, qscales=state.queue_scales,
                 )
             new_queue = (g_xd, idx.b.rows, idx.b.cols)
         else:
@@ -366,6 +385,7 @@ def make_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Calla
         (loss, (new_queue, probe_stats, gallery_stats, gallery_params, metrics)), grads = grad_fn(
             state.probe_params, state, x, y, idx
         )
+        new_scales = state.queue_scales
         if isinstance(new_queue, tuple):
             # deferred persistence scatter (fused single-shard path): the
             # optimization_barrier orders the write after the backward — at
@@ -376,7 +396,18 @@ def make_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Calla
             queue_dead, _ = jax.lax.optimization_barrier(
                 (state.queue, jax.tree.leaves(grads)[0])
             )
-            new_queue = queue_dead.at[rows_b, cols_b].set(g_b.astype(queue_dead.dtype))
+            if queue_dead.dtype == jnp.int8:
+                # int8 storage: each admission re-quantizes the fresh
+                # gallery embedding whole (ops/qqueue.py) — rounding never
+                # accumulates across steps
+                from vlsfr_tpu.ops.qqueue import quantize_rows
+
+                q_rows, s_rows = quantize_rows(g_b)
+                new_queue = queue_dead.at[rows_b, cols_b].set(q_rows)
+                new_scales = new_scales.at[rows_b, cols_b].set(s_rows)
+            else:
+                new_queue = queue_dead.at[rows_b, cols_b].set(
+                    g_b.astype(queue_dead.dtype))
         lr = schedule(state.step) * lr_scale
         state.opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.probe_params)
@@ -390,6 +421,7 @@ def make_train_step(model, cfg: Config, optimizer, schedule, mesh=None) -> Calla
             gallery_stats=gallery_stats,
             queue=new_queue,
             opt_state=new_opt_state,
+            queue_scales=new_scales,
         )
         return new_state, metrics
 
@@ -410,14 +442,16 @@ def create_ffc_state(
     variables = model.init(k_model, dummy, train=False)
     probe_params = variables["params"]
     probe_stats = variables.get("batch_stats", {})
+    queue, queue_scales = init_queue(
+        k_queue, cfg.pool.queue_size, cfg.model.feat_dim,
+        jnp.dtype(cfg.pool.queue_dtype))
     return FFCState(
         step=jnp.zeros((), jnp.int32),
         probe_params=probe_params,
         probe_stats=probe_stats,
         gallery_params=jax.tree.map(jnp.copy, probe_params),
         gallery_stats=jax.tree.map(jnp.copy, probe_stats),
-        queue=init_queue(
-            k_queue, cfg.pool.queue_size, cfg.model.feat_dim, jnp.dtype(cfg.pool.queue_dtype)
-        ),
+        queue=queue,
         opt_state=optimizer.init(probe_params),
+        queue_scales=queue_scales,
     )

@@ -55,6 +55,16 @@ from vlsfr_tpu.ops.margin_pallas import (
 )
 
 
+def _zero_cot(x):
+    """Zero cotangent matching a custom_vjp primal: float0 for integer
+    primals (an int8-stored queue), zeros_like for floats."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
 def twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f):
     """Per-write blended-view values — q1 is NEVER streamed through tiles:
     view 2 differs from view 1 only at this step's ≤B written slots, whose
@@ -104,6 +114,97 @@ def effective_tile_views(w0, col_ids, g, rows, cols, v, blend_b, mxu_bf16=False)
     wbe = jnp.where(lastb >= 0,
                     jnp.dot(ohb_op, v_op, preferred_element_type=jnp.float32), w0e)
     return w0e, wbe
+
+
+def _cos_tile(emb, w0_raw, s_lane, mxu_bf16):
+    """[B, T] cosine block against one stored tile. int8 tiles (``s_lane``
+    [1, T] per-row scales riding the LANE axis) dequantize POST-dot:
+    cos = (emb_bf16 @ int8→bf16ᵀ) · s — the int8→bf16 convert is exact
+    (|q| ≤ 127) and the scale multiply is a [B, T] op instead of [T, D],
+    so the per-byte VPU overhead that held the int8 classifier-read study
+    to 1.37× (docs/PERF.md) shrinks by d/b."""
+    if s_lane is None:
+        e_op, w_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
+        return jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
+    return jnp.dot(emb.astype(jnp.bfloat16), w0_raw.astype(jnp.bfloat16).T,
+                   preferred_element_type=jnp.float32) * s_lane
+
+
+def _demb_clean(dc, w0_raw, s_lane, mxu_bf16):
+    """Clean-tile d_emb contribution dc @ w0: int8 tiles scale dc's lanes
+    (dc_j·s_j·int_j) instead of dequantizing the [T, D] tile."""
+    if s_lane is None:
+        dc_op, w_op = _mxu_pair(dc, w0_raw.astype(jnp.float32), mxu_bf16)
+        return jnp.dot(dc_op, w_op, preferred_element_type=jnp.float32)
+    return jnp.dot((dc * s_lane).astype(jnp.bfloat16),
+                   w0_raw.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a [M, K] × b [N, K] → [M, N] (contraction on the lane axis of both
+    — the MXU-native "NT" matmul, no relayout)."""
+    return jax.lax.dot_general(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _lane_write_onehots(rows_c, cols_c, blend_c, t, tile):
+    """Lane-oriented write-plan selectors for one tile: [Be, T] one-hots
+    of the last parity-0 writer (M0) and the last blend writer (Mb) per
+    tile column, plus their [1, T] override masks. Same last-write-wins
+    semantics as ``effective_tile_views``' onehot_last, but built in
+    entry×lane layout so the int8 written-tile path can override at the
+    COS level (emb@gᵀ gathered through the one-hot) — the [T, D] dequant
+    and every cross-layout transpose disappear."""
+    be = rows_c.shape[0]
+    col_e = t * tile + jax.lax.broadcasted_iota(jnp.int32, (be, tile), 1)
+    mm = cols_c == col_e  # [Be, T]
+    e_io = jax.lax.broadcasted_iota(jnp.int32, (be, tile), 0)
+
+    def onehot_last(hit):
+        last = jnp.max(jnp.where(hit, e_io, -1), axis=0, keepdims=True)
+        oh = (hit & (e_io == last)).astype(jnp.float32)
+        return oh, (last >= 0).astype(jnp.float32)
+
+    m0, over0 = onehot_last(mm & (rows_c == 0))
+    mb, overb = onehot_last(mm & (blend_c > 0))
+    return m0, over0, mb, overb
+
+
+def _int8_written_cos(emb, w0_raw, s_lane, g, v, oh):
+    """(cos1, cos2) for a written tile of an int8 queue: raw post-dot-scaled
+    cosines with overridden columns replaced by emb·g / emb·v values gathered
+    through the lane one-hots (``_lane_write_onehots``)."""
+    m0, over0, mb, overb = oh
+    cos_raw = jnp.dot(emb.astype(jnp.bfloat16), w0_raw.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32) * s_lane
+    cos1 = jnp.where(over0 > 0,
+                     jnp.dot(_dot_nt(emb, g), m0.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32), cos_raw)
+    cos2 = jnp.where(overb > 0,
+                     jnp.dot(_dot_nt(emb, v), mb.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32), cos1)
+    return cos1, cos2
+
+
+def _int8_written_demb(dc1, dc2, w0_raw, s_lane, g, v, oh):
+    """d_emb contribution of a written int8 tile: dc routed per column to
+    the int8 rows (scaled in the [B, T] lanes), the parity-0 override rows
+    of g, or the blend rows of v — mirrors dc1 @ w0e + dc2 @ wbe."""
+    m0, over0, mb, overb = oh
+    not0 = 1.0 - over0
+    notb = 1.0 - overb
+    dc_int = (dc1 * not0 + dc2 * not0 * notb) * s_lane
+    dc_g = dc1 * over0 + dc2 * over0 * notb
+    dc_v = dc2 * overb
+    d = jnp.dot(dc_int.astype(jnp.bfloat16), w0_raw.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    d = d + jnp.dot(_dot_nt(dc_g, m0), g.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    d = d + jnp.dot(_dot_nt(dc_v, mb), v.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    return d
 
 
 def _effective_views(w0, w1, col_ids, g, rows, cols, seen, mxu_bf16=False):
@@ -156,13 +257,25 @@ def _gather_plane(queue, plane, idx):
     return queue[jnp.full((b,), plane, jnp.int32), idx]
 
 
-def compute_twin_gt(emb, queue, g, rows, cols, seen, labels):
+def _gather_plane_deq(queue, qscales, plane, idx):
+    """B-row gather, dequantized to f32 when the queue is int8-stored
+    (``qscales`` [2, Q] per-row scales, ops/qqueue.py) — still only B rows
+    of the plane are read."""
+    r = _gather_plane(queue, plane, idx).astype(jnp.float32)
+    if qscales is not None:
+        b = idx.shape[0]
+        s = qscales[jnp.full((b,), plane, jnp.int32), idx]
+        r = r * s.astype(jnp.float32)[:, None]
+    return r
+
+
+def compute_twin_gt(emb, queue, g, rows, cols, seen, labels, qscales=None):
     """(gt1, gt2): target cosines against both effective views — one B-row
     gather per queue row plus the in-register write/blend on those rows."""
     emb32 = emb.astype(jnp.float32)
     safe = jnp.maximum(labels, 0)
-    r0 = _gather_plane(queue, 0, safe).astype(jnp.float32)
-    r1 = _gather_plane(queue, 1, safe).astype(jnp.float32)
+    r0 = _gather_plane_deq(queue, qscales, 0, safe)
+    r1 = _gather_plane_deq(queue, qscales, 1, safe)
     r0_eff, rb_eff = _effective_views(r0, r1, safe.astype(jnp.int32),
                                       g.astype(jnp.float32),
                                       rows.astype(jnp.int32),
@@ -177,23 +290,42 @@ def compute_twin_gt(emb, queue, g, rows, cols, seen, labels):
 # ======================================================================
 
 
-def _twin_inputs(emb, queue, g, rows, cols, seen, tile):
+def _twin_inputs(emb, queue, g, rows, cols, seen, tile, qscales=None):
     q0, q1 = queue[0], queue[1]
     b, d = emb.shape
     c = q0.shape[0]
     emb32 = emb.astype(jnp.float32)
     q0p, n_tiles = _pad_classes(q0, c, tile)
     q1p, _ = _pad_classes(q1, c, tile)
+    if qscales is not None:
+        # int8 queue (ops/qqueue.py): dequantize PER TILE inside the scan
+        # bodies — a wholesale f32 copy of the planes is exactly the
+        # materialization this path exists to avoid
+        sp = qscales
+        pad = (-c) % tile
+        if pad:
+            sp = jnp.concatenate(
+                [sp, jnp.zeros((2, pad), sp.dtype)], axis=1)
+        s_tiles = (sp[0].reshape(n_tiles, tile), sp[1].reshape(n_tiles, tile))
+    else:
+        s_tiles = None
     return (b, d, c, emb32, q0p.reshape(n_tiles, tile, d),
             q1p.reshape(n_tiles, tile, d), n_tiles,
             g.astype(jnp.float32), rows.astype(jnp.int32),
-            cols.astype(jnp.int32), seen.astype(jnp.float32))
+            cols.astype(jnp.int32), seen.astype(jnp.float32), s_tiles)
+
+
+def _deq_tile(w_t, s_t):
+    """f32 tile rows from a (possibly int8) stored tile + per-row scales."""
+    w = w_t.astype(jnp.float32)
+    return w if s_t is None else w * s_t[:, None].astype(jnp.float32)
 
 
 def _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
-                     loss_type, margin, scale, k, mask_svfc, tile):
-    (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f) = _twin_inputs(
-        emb, queue, g, rows, cols, seen, tile)
+                     loss_type, margin, scale, k, mask_svfc, tile,
+                     qscales=None):
+    (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f,
+     s_tiles) = _twin_inputs(emb, queue, g, rows, cols, seen, tile, qscales)
 
     def one_view(carry, cos, col, valid, gt_col):
         m_run, s_run, topk = carry
@@ -208,10 +340,10 @@ def _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
 
     def body(carry, wt):
         c1, c2 = carry
-        w0_t, w1_t, t = wt
+        w0_t, w1_t, t, s0_t, s1_t = wt
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
-        w0e, wbe = _effective_views(w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
+        w0e, wbe = _effective_views(_deq_tile(w0_t, s0_t), _deq_tile(w1_t, s1_t),
                                     col[0], g32, rows_i, cols_i, seen_f)
         c1 = one_view(c1, emb32 @ w0e.T, col, valid, gt1[:, None])
         c2 = one_view(c2, emb32 @ wbe.T, col, valid, gt2[:, None])
@@ -219,8 +351,9 @@ def _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
 
     init = lambda: (jnp.full((b,), NEG_INF, jnp.float32), jnp.zeros((b,), jnp.float32),  # noqa: E731
                     jnp.full((b, k), NEG_INF, jnp.float32))
+    s0s, s1s = s_tiles if s_tiles is not None else (None, None)
     ((m1, s1, t1), (m2, s2, t2)), _ = jax.lax.scan(
-        body, (init(), init()), (w0s, w1s, jnp.arange(n_tiles))
+        body, (init(), init()), (w0s, w1s, jnp.arange(n_tiles), s0s, s1s)
     )
     pos = labels >= 0
 
@@ -258,10 +391,10 @@ def _view_dcos(cos, col, valid, labels, pos, gt, logz, kth, d_ce, d_neg, *,
 
 def _twin_stream_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                      logz1, logz2, topk1, topk2, d1, d2, *, loss_type, margin,
-                     scale, k, mask_svfc, tile):
+                     scale, k, mask_svfc, tile, qscales=None):
     """d_emb only — the queue is a stop-gradient constant in FFC."""
-    (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f) = _twin_inputs(
-        emb, queue, g, rows, cols, seen, tile)
+    (b, d, c, emb32, w0s, w1s, n_tiles, g32, rows_i, cols_i, seen_f,
+     s_tiles) = _twin_inputs(emb, queue, g, rows, cols, seen, tile, qscales)
     pos2 = (labels >= 0)[:, None]
     d_ce1, d_neg1 = d1
     d_ce2, d_neg2 = d2
@@ -276,10 +409,10 @@ def _twin_stream_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
 
     def body(carry, wt):
         d_emb, dgt1, dgt2 = carry
-        w0_t, w1_t, t = wt
+        w0_t, w1_t, t, s0_t, s1_t = wt
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
-        w0e, wbe = _effective_views(w0_t.astype(jnp.float32), w1_t.astype(jnp.float32),
+        w0e, wbe = _effective_views(_deq_tile(w0_t, s0_t), _deq_tile(w1_t, s1_t),
                                     col[0], g32, rows_i, cols_i, seen_f)
         dc1, dg1 = _view_dcos(emb32 @ w0e.T, col, valid, lab2, pos2, gt1[:, None],
                               logz1[:, None], kth1, d_ce1, d_neg1, **kw)
@@ -288,22 +421,23 @@ def _twin_stream_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
         d_emb = d_emb + dc1 @ w0e + dc2 @ wbe
         return (d_emb, dgt1 + dg1[:, 0], dgt2 + dg2[:, 0]), None
 
+    s0s, s1s = s_tiles if s_tiles is not None else (None, None)
     (d_emb, dgt1, dgt2), _ = jax.lax.scan(
         body,
         (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
          jnp.zeros((b,), jnp.float32)),
-        (w0s, w1s, jnp.arange(n_tiles)),
+        (w0s, w1s, jnp.arange(n_tiles), s0s, s1s),
     )
     return _twin_gt_tail(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
-                         dgt1, dgt2, d_emb, loss_type, margin)
+                         dgt1, dgt2, d_emb, loss_type, margin, qscales=qscales)
 
 
 def _twin_gt_tail(emb, queue, g, rows, cols, seen, labels, gt1, gt2, dgt1,
-                  dgt2, d_emb, loss_type, margin):
+                  dgt2, d_emb, loss_type, margin, qscales=None):
     """Route the φ'(gt) paths into d_emb via the effective label rows."""
     safe = jnp.maximum(labels, 0)
-    r0 = _gather_plane(queue, 0, safe).astype(jnp.float32)
-    r1 = _gather_plane(queue, 1, safe).astype(jnp.float32)
+    r0 = _gather_plane_deq(queue, qscales, 0, safe)
+    r1 = _gather_plane_deq(queue, qscales, 1, safe)
     r0_eff, rb_eff = _effective_views(r0, r1, safe.astype(jnp.int32),
                                       g.astype(jnp.float32),
                                       rows.astype(jnp.int32),
@@ -329,6 +463,21 @@ def _pad_queue(queue, c, tile):
         queue = jnp.concatenate(
             [queue, jnp.zeros((2, pad, queue.shape[2]), queue.dtype)], axis=1)
     return queue, (c + pad) // tile
+
+
+def _scale_operand(qscales, c, tile):
+    """(padded [2, Qp] scales operand, its BlockSpec) for an int8 queue —
+    streamed alongside the plane-0 tiles (block (2, tile): the leading dim
+    must equal the array dim for Mosaic; plane-1 scales ride along at
+    8 B/row vs the tile's 512 B/row). None queue → (no operand, no spec)."""
+    if qscales is None:
+        return (), ()
+    pad = (-c) % tile
+    sp = qscales.astype(jnp.float32)
+    if pad:
+        sp = jnp.concatenate([sp, jnp.zeros((2, pad), jnp.float32)], axis=1)
+    spec = pl.BlockSpec((2, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+    return (sp,), (spec,)
 
 
 def _twin_tile(b, d, tile):
@@ -860,6 +1009,12 @@ def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
     ``queue`` is the FULL [2, Q, D] array — never slice the planes at the
     call site (see _gather_plane). ``with_acc`` also returns the streaming
     top-1 accuracy over in-pool rows (view 1)."""
+    if queue.dtype == jnp.int8:
+        raise ValueError(
+            "int8 queues run through the quad route only (quad_add_margin "
+            "/ parallel.sharded_quad) — core/ffc.py routes every fused "
+            "config there; the legacy twin composition has no scales "
+            "plumbing.")
     ce1, neg1, ce2, neg2, hit1 = fused_twin_margin(
         emb, queue, g, rows, cols, seen, labels, loss_type, margin, scale,
         hard_neg, mask_svfc, tile, use_pallas,
@@ -884,7 +1039,7 @@ def twin_add_margin(emb, queue, g, rows, cols, seen, labels, *, loss_type="Arc",
 
 
 def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
-                  t, n_t, col, valid, w0_raw,
+                  t, n_t, col, valid, w0_raw, s_lane,
                   lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                   emb_ref, g_ref, v_ref,
                   scr1, scr2, out1, out2, partial_out=False):
@@ -945,36 +1100,42 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
 
     @pl.when(tile_hit)
     def _written_tile():
-        w0e, wbe = effective_tile_views(
-            w0_raw.astype(jnp.float32), col[0],
-            g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
-            v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
-            mxu_bf16=mxu_bf16)
-        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
-        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
-        view(jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32),
-             gt1_ref[:], scr1, out1)
-        view(jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32),
-             gt2_ref[:], scr2, out2)
+        if s_lane is not None:
+            cos1, cos2 = _int8_written_cos(
+                emb, w0_raw, s_lane, g_ref[:], v_ref[:],
+                _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
+                                    t, tile))
+        else:
+            w0e, wbe = effective_tile_views(
+                w0_raw.astype(jnp.float32), col[0],
+                g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+                v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
+                mxu_bf16=mxu_bf16)
+            e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+            _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+            cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+            cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+        view(cos1, gt1_ref[:], scr1, out1)
+        view(cos2, gt2_ref[:], scr2, out2)
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
-        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
         view(cos, gt1_ref[:], scr1, out1)
         view(cos, gt2_ref[:], scr2, out2)
 
 
 def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                          mxu_bf16=False, partial_out=False):
-    def kernel(labA, gt1a, gt2a, rowsA, colsA, blendA,
-               labB, gt1b, gt2b, rowsB, colsB, blendB,
-               embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
-               ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
-               ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
-               topk1a, topk2a, topk1b, topk2b,
-               m1a, s1a, t1a, m2a, s2a, t2a,
-               m1b, s1b, t1b, m2b, s2b, t2b):
+                          mxu_bf16=False, partial_out=False, int8=False):
+    def body(labA, gt1a, gt2a, rowsA, colsA, blendA,
+             labB, gt1b, gt2b, rowsB, colsB, blendB,
+             embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
+             s0_ref,
+             ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
+             ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
+             topk1a, topk2a, topk1b, topk2b,
+             m1a, s1a, t1a, m2a, s2a, t2a,
+             m1b, s1b, t1b, m2b, s2b, t2b):
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -989,8 +1150,9 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
         w0_raw = w0_ref[0]
+        s_lane = s0_ref[0:1, :] if s0_ref is not None else None
         args = (b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
-                t, n_t, col, valid, w0_raw)
+                t, n_t, col, valid, w0_raw, s_lane)
         # Arc/AM: the shared-stream body (one negative logsumexp per
         # direction, per-view target terms analytic); SV modifies
         # non-target columns per view and keeps the two-stream body
@@ -1006,10 +1168,17 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                 (ce1b, neg1b, logz1b, topk1b),
                 (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out)
 
+    if int8:
+        return body
+
+    def kernel(*refs):
+        # no scales operand: splice a None in after w0_ref (input 19)
+        return body(*refs[:19], None, *refs[19:])
+
     return kernel
 
 
-def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
+def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw, s_lane,
                   lab_ref, rows_ref, cols_ref, blend_ref,
                   gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref, kth2_ref,
                   dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
@@ -1035,6 +1204,15 @@ def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
 
     @pl.when(tile_hit)
     def _written_tile():
+        if s_lane is not None:
+            oh = _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
+                                     t, tile)
+            cos1, cos2 = _int8_written_cos(emb, w0_raw, s_lane, g_ref[:],
+                                           v_ref[:], oh)
+            dc1, dc2 = view_dcs(cos1, cos2)
+            demb_scr[:] = demb_scr[:] + _int8_written_demb(
+                dc1, dc2, w0_raw, s_lane, g_ref[:], v_ref[:], oh)
+            return
         w0e, wbe = effective_tile_views(
             w0_raw.astype(jnp.float32), col[0],
             g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
@@ -1053,30 +1231,29 @@ def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
-        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
         dc1, dc2 = view_dcs(cos, cos)
-        dc_op, _ = _mxu_pair(dc1 + dc2, dc1, mxu_bf16)
-        demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, w0_op,
-                                            preferred_element_type=jnp.float32)
+        demb_scr[:] = demb_scr[:] + _demb_clean(dc1 + dc2, w0_raw, s_lane,
+                                                mxu_bf16)
 
 
 def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                          mxu_bf16=False):
+                          mxu_bf16=False, int8=False):
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
               mask_svfc=mask_svfc)
 
-    def kernel(labA, rowsA, colsA, blendA,
-               gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
-               dce1a, dneg1a, dce2a, dneg2a,
-               labB, rowsB, colsB, blendB,
-               gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
-               dce1b, dneg1b, dce2b, dneg2b,
-               embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
-               dembA_ref, dgt1a_ref, dgt2a_ref,
-               dembB_ref, dgt1b_ref, dgt2b_ref,
-               dembA_scr, dgt1a_scr, dgt2a_scr,
-               dembB_scr, dgt1b_scr, dgt2b_scr):
+    def body(labA, rowsA, colsA, blendA,
+             gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
+             dce1a, dneg1a, dce2a, dneg2a,
+             labB, rowsB, colsB, blendB,
+             gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
+             dce1b, dneg1b, dce2b, dneg2b,
+             embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
+             s0_ref,
+             dembA_ref, dgt1a_ref, dgt2a_ref,
+             dembB_ref, dgt1b_ref, dgt2b_ref,
+             dembA_scr, dgt1a_scr, dgt2a_scr,
+             dembB_scr, dgt1b_scr, dgt2b_scr):
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -1090,7 +1267,8 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
         w0_raw = w0_ref[0]
-        args = (b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw)
+        s_lane = s0_ref[0:1, :] if s0_ref is not None else None
+        args = (b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw, s_lane)
         if kw["loss_type"] == "SV":
             _quad_dir_bwd(*args, labA, rowsA, colsA, blendA,
                           gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
@@ -1123,16 +1301,24 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
             dgt1b_ref[:] = dgt1b_scr[:]
             dgt2b_ref[:] = dgt2b_scr[:]
 
+    if int8:
+        return body
+
+    def kernel(*refs):
+        # no scales operand: splice a None in after w0_ref (input 35)
+        return body(*refs[:35], None, *refs[35:])
+
     return kernel
 
 
-def _dir_inputs(queue, g, rows, cols, seen):
+def _dir_inputs(queue, g, rows, cols, seen, qscales=None):
     """(g32, rows_i, cols_i, v, blend) carrier pack for one direction."""
     cols_i = cols.astype(jnp.int32)
     rows_i = rows.astype(jnp.int32)
     g32 = g.astype(jnp.float32)
-    v, blend_b = twin_write_values(_gather_plane(queue, 1, cols_i), g32,
-                                   rows_i, cols_i, seen.astype(jnp.float32))
+    v, blend_b = twin_write_values(_gather_plane_deq(queue, qscales, 1, cols_i),
+                                   g32, rows_i, cols_i,
+                                   seen.astype(jnp.float32))
     return g32, rows_i, cols_i, v, blend_b
 
 
@@ -1279,15 +1465,17 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
 def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, gts_a, gts_b, *,
                     loss_type, margin, scale, k, mask_svfc, tile=512,
-                    interpret=False):
+                    interpret=False, qscales=None):
     b, d = emb_x.shape
     c = queue.shape[1]
     tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
+    s_ops, s_specs = _scale_operand(qscales, c, tile)
     kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                                   mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16)
-    gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a)
-    gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b)
+                                   mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16,
+                                   int8=qscales is not None)
+    gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a, qscales=qscales)
+    gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b, qscales=qscales)
     gt1a, gt2a = gts_a
     gt1b, gt2b = gts_b
     vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
@@ -1298,7 +1486,7 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
         grid=(n_tiles,),
         in_specs=[bspec] * 12 + [full((b, d))] * 6 + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + list(s_specs),
         out_specs=[bspec] * 12 + [full((b, k))] * 4,
         out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 12
         + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4,
@@ -1312,7 +1500,7 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
       labels_b.astype(jnp.int32)[:, None], vec(gt1b), vec(gt2b),
       rowsB[:, None], colsB[:, None], blendB.astype(jnp.int32)[:, None],
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp)
+      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
     (ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
      ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
      topk1a, topk2a, topk1b, topk2b) = out
@@ -1326,15 +1514,17 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
 def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, gts_a, gts_b, logzs, topks,
                     cots_a, cots_b, *, loss_type, margin, scale, k, mask_svfc,
-                    tile=512, interpret=False):
+                    tile=512, interpret=False, qscales=None):
     b, d = emb_x.shape
     c = queue.shape[1]
     tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
+    s_ops, s_specs = _scale_operand(qscales, c, tile)
     kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                                   mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16)
-    gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a)
-    gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b)
+                                   mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16,
+                                   int8=qscales is not None)
+    gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a, qscales=qscales)
+    gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b, qscales=qscales)
     gt1a, gt2a = gts_a
     gt1b, gt2b = gts_b
     logz1a, logz2a, logz1b, logz2b = logzs
@@ -1357,7 +1547,7 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
         grid=(n_tiles,),
         in_specs=[bspec] * 28 + [full((b, d))] * 6 + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + list(s_specs),
         out_specs=[full((b, d)), bspec, bspec, full((b, d)), bspec, bspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -1385,38 +1575,44 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
       vec(topk1b[:, -1]), vec(topk2b[:, -1]),
       vec(d_ce1b), vec(d_neg1b), vec(d_ce2b), vec(d_neg2b),
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp)
+      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
     d_emb_x, dgt1a, dgt2a, d_emb_y, dgt1b, dgt2b = out
     d_emb_x = _twin_gt_tail(emb_x, queue, g_a, *plan_a, labels_a, gt1a, gt2a,
-                            dgt1a[:, 0], dgt2a[:, 0], d_emb_x, loss_type, margin)
+                            dgt1a[:, 0], dgt2a[:, 0], d_emb_x, loss_type,
+                            margin, qscales=qscales)
     d_emb_y = _twin_gt_tail(emb_y, queue, g_b, *plan_b, labels_b, gt1b, gt2b,
-                            dgt1b[:, 0], dgt2b[:, 0], d_emb_y, loss_type, margin)
+                            dgt1b[:, 0], dgt2b[:, 0], d_emb_y, loss_type,
+                            margin, qscales=qscales)
     return d_emb_x, d_emb_y
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18, 19))
-def fused_quad_margin(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
-                      rows_b, cols_b, seen_b, labels_a, labels_b,
+@partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
+def fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
+                      seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                       loss_type="Arc", margin=0.5, scale=32.0, hard_neg=10,
                       mask_svfc=1.2, tile=512, use_pallas="auto"):
     """Both FFC directions' per-row (ce1, neg1, ce2, neg2) — 8 outputs —
     in ONE streaming pass over q0 (A: probe emb_x vs write plan
     (g_a, rows_a, cols_a, seen_a); B: probe emb_y vs plan b).
-    Differentiable w.r.t. emb_x/emb_y only."""
-    out, _ = _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
-                            seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
-                            loss_type, margin, scale, hard_neg, mask_svfc,
-                            tile, use_pallas)
+    ``qscales`` is the [2, Q] per-row scale array for int8-stored queues
+    (ops/qqueue.py), None otherwise. Differentiable w.r.t. emb_x/emb_y
+    only."""
+    out, _ = _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
+                            cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
+                            labels_b, loss_type, margin, scale, hard_neg,
+                            mask_svfc, tile, use_pallas)
     return out
 
 
-def _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
-                   rows_b, cols_b, seen_b, labels_a, labels_b,
+def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
+                   seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                    loss_type, margin, scale, hard_neg, mask_svfc, tile,
                    use_pallas, gts=None):
     if gts is None:
-        gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a),
-               compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b))
+        gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a,
+                               labels_a, qscales=qscales),
+               compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b,
+                               labels_b, qscales=qscales))
     gts_a, gts_b = gts
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
@@ -1425,13 +1621,14 @@ def _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
     if use_pallas:
         out, res = pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b,
                                    (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
-                                   labels_a, labels_b, gts_a, gts_b, **kw)
+                                   labels_a, labels_b, gts_a, gts_b,
+                                   qscales=qscales, **kw)
     else:
         # scan fallback: two independent twin streams (CPU path — no fusion win)
         out_a, res_a = _twin_stream_fwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
-                                        labels_a, *gts_a, **kw)
+                                        labels_a, *gts_a, qscales=qscales, **kw)
         out_b, res_b = _twin_stream_fwd(emb_y, queue, g_b, rows_b, cols_b, seen_b,
-                                        labels_b, *gts_b, **kw)
+                                        labels_b, *gts_b, qscales=qscales, **kw)
         logz1a, logz2a, topk1a, topk2a = res_a
         logz1b, logz2b, topk1b, topk2b = res_b
         out = out_a + out_b
@@ -1445,17 +1642,19 @@ def _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
     return out + (hit_a, hit_b), res
 
 
-def _quad_vjp_fwd(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
-                  rows_b, cols_b, seen_b, labels_a, labels_b,
+def _quad_vjp_fwd(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
+                  seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                   loss_type, margin, scale, hard_neg, mask_svfc, tile, use_pallas):
-    gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a),
-           compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b))
-    out, res = _quad_fwd_impl(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
-                              seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
-                              loss_type, margin, scale, hard_neg, mask_svfc,
-                              tile, use_pallas, gts=gts)
+    gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a,
+                           qscales=qscales),
+           compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b,
+                           qscales=qscales))
+    out, res = _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
+                              cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
+                              labels_b, loss_type, margin, scale, hard_neg,
+                              mask_svfc, tile, use_pallas, gts=gts)
     logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b = res
-    return out, (emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+    return out, (emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a, seen_a,
                  rows_b, cols_b, seen_b, labels_a, labels_b, gts,
                  (logz1a, logz2a, logz1b, logz2b),
                  (topk1a, topk2a, topk1b, topk2b))
@@ -1463,7 +1662,7 @@ def _quad_vjp_fwd(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
 
 def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
                   use_pallas, res, cots):
-    (emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a, seen_a,
+    (emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a, seen_a,
      rows_b, cols_b, seen_b, labels_a, labels_b, gts, logzs, topks) = res
     (d_ce1a, d_neg1a, d_ce2a, d_neg2a,
      d_ce1b, d_neg1b, d_ce2b, d_neg2b, _d_hit_a, _d_hit_b) = cots
@@ -1478,20 +1677,22 @@ def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
             (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
             labels_a, labels_b, gts_a, gts_b, logzs, topks,
             (d_ce1a, d_neg1a, d_ce2a, d_neg2a),
-            (d_ce1b, d_neg1b, d_ce2b, d_neg2b), **kw)
+            (d_ce1b, d_neg1b, d_ce2b, d_neg2b), qscales=qscales, **kw)
     else:
         logz1a, logz2a, logz1b, logz2b = logzs
         topk1a, topk2a, topk1b, topk2b = topks
         d_emb_x = _twin_stream_bwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
                                    labels_a, *gts_a, logz1a, logz2a, topk1a,
                                    topk2a, (d_ce1a, d_neg1a), (d_ce2a, d_neg2a),
-                                   **kw)
+                                   qscales=qscales, **kw)
         d_emb_y = _twin_stream_bwd(emb_y, queue, g_b, rows_b, cols_b, seen_b,
                                    labels_b, *gts_b, logz1b, logz2b, topk1b,
                                    topk2b, (d_ce1b, d_neg1b), (d_ce2b, d_neg2b),
-                                   **kw)
-    return (d_emb_x, d_emb_y, jnp.zeros_like(queue), jnp.zeros_like(g_a),
-            jnp.zeros_like(g_b), None, None, None, None, None, None, None, None)
+                                   qscales=qscales, **kw)
+    return (d_emb_x, d_emb_y, _zero_cot(queue),
+            None if qscales is None else jnp.zeros_like(qscales),
+            jnp.zeros_like(g_a), jnp.zeros_like(g_b),
+            None, None, None, None, None, None, None, None)
 
 
 fused_quad_margin.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)
@@ -1500,17 +1701,18 @@ fused_quad_margin.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)
 def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, *, loss_type="Arc", margin=0.5,
                     scale=32.0, hard_neg=10, mask_svfc=1.2, tile=512,
-                    use_pallas="auto", with_acc=False):
+                    use_pallas="auto", with_acc=False, qscales=None):
     """(loss_a, loss_b): both FFC directional losses with ONE streaming
     pass over q0 per fwd/bwd (the reduction of each direction matches
     twin_add_margin exactly). ``with_acc`` also returns the combined
-    streaming top-1 accuracy over both directions' in-pool rows."""
+    streaming top-1 accuracy over both directions' in-pool rows.
+    ``qscales`` carries the per-row scales of an int8-stored queue."""
     rows_a, cols_a, seen_a = plan_a
     rows_b, cols_b, seen_b = plan_b
-    out = fused_quad_margin(emb_x, emb_y, queue, g_a, g_b, rows_a, cols_a,
-                            seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
-                            loss_type, margin, scale, hard_neg, mask_svfc,
-                            tile, use_pallas)
+    out = fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
+                            cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
+                            labels_b, loss_type, margin, scale, hard_neg,
+                            mask_svfc, tile, use_pallas)
     ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b, hit_a, hit_b = out
 
     losses = (reduce_margin_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
@@ -1536,7 +1738,7 @@ def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
 
 
 def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
-                         mxu_bf16, t, n_t, col, valid, w0_raw,
+                         mxu_bf16, t, n_t, col, valid, w0_raw, s_lane,
                          lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                          emb_ref, g_ref, v_ref,
                          scr1, scr2, out1, out2, partial_out=False):
@@ -1581,15 +1783,21 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
 
     @pl.when(tile_hit)
     def _written_tile():
-        w0e, wbe = effective_tile_views(
-            w0_raw.astype(jnp.float32), col[0],
-            g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
-            v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
-            mxu_bf16=mxu_bf16)
-        e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
-        _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
-        cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
-        cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+        if s_lane is not None:
+            cos1, cos2 = _int8_written_cos(
+                emb, w0_raw, s_lane, g_ref[:], v_ref[:],
+                _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
+                                    t, tile))
+        else:
+            w0e, wbe = effective_tile_views(
+                w0_raw.astype(jnp.float32), col[0],
+                g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
+                v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
+                mxu_bf16=mxu_bf16)
+            e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+            _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+            cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+            cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
         tm1, ts1 = tile_stats(cos1)
         tm2, ts2 = tile_stats(cos2)
         merge_stats(scr1, tm1, ts1)
@@ -1599,8 +1807,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
-        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
         tm, ts = tile_stats(cos)  # ONE stream for both views
         merge_stats(scr1, tm, ts)
         merge_stats(scr2, tm, ts)
@@ -1640,6 +1847,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
 
 
 def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
+                         s_lane,
                          lab_ref, rows_ref, cols_ref, blend_ref,
                          gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref,
                          kth2_ref, dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
@@ -1686,6 +1894,16 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
 
     @pl.when(tile_hit)
     def _written_tile():
+        if s_lane is not None:
+            oh = _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
+                                     t, tile)
+            cos1, cos2 = _int8_written_cos(emb, w0_raw, s_lane, g_ref[:],
+                                           v_ref[:], oh)
+            dc1 = dc_one(cos1, logz1, dce1_ref[:], dneg1_ref[:], kth1_ref[:])
+            dc2 = dc_one(cos2, logz2, dce2_ref[:], dneg2_ref[:], kth2_ref[:])
+            demb_scr[:] = demb_scr[:] + _int8_written_demb(
+                dc1, dc2, w0_raw, s_lane, g_ref[:], v_ref[:], oh)
+            return
         w0e, wbe = effective_tile_views(
             w0_raw.astype(jnp.float32), col[0],
             g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
@@ -1705,12 +1923,9 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        e_op, w0_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
-        cos = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
         dc = dc_combined(cos)
-        dc_op, _ = _mxu_pair(dc, dc, mxu_bf16)
-        demb_scr[:] = demb_scr[:] + jnp.dot(dc_op, w0_op,
-                                            preferred_element_type=jnp.float32)
+        demb_scr[:] = demb_scr[:] + _demb_clean(dc, w0_raw, s_lane, mxu_bf16)
 
     @pl.when(t == n_t - 1)
     def _finalize_dgt():

@@ -20,8 +20,9 @@ from vlsfr_tpu.ops.margin_pallas import (
     _tile_modified,
 )
 from vlsfr_tpu.ops.twin_margin import (
+    _deq_tile,
     _effective_views,
-    _gather_plane,
+    _gather_plane_deq,
     _view_dcos,
     effective_tile_views,
     twin_write_values,
@@ -51,47 +52,62 @@ def localize(q_l, cols_i, labels_l):
 
 
 def effective_label_rows(q_l, g32, rows_i, cols_i, seen_f, labels_l, owned,
-                         ll):
+                         ll, qs_l=None):
     """Owner-shard effective label rows (r0e, rbe): gather the label rows,
     apply the in-register write/blend. Collective-free — the backward needs
     only these (gts come from residuals), so it must not pay shard_gts's
-    psums."""
+    psums. ``qs_l`` is the shard's [2, Q/m] dequant scales for int8-stored
+    queues (ops/qqueue.py)."""
     safe = jnp.where(owned, ll, 0)
-    r0 = _gather_plane(q_l, 0, safe).astype(jnp.float32)
-    r1 = _gather_plane(q_l, 1, safe).astype(jnp.float32)
+    r0 = _gather_plane_deq(q_l, qs_l, 0, safe)
+    r1 = _gather_plane_deq(q_l, qs_l, 1, safe)
     # global slot ids for the gathered rows → write matching stays global
     gids = jnp.where(owned, labels_l, -1).astype(jnp.int32)
     return _effective_views(r0, r1, gids, g32, rows_i, cols_i, seen_f)
 
 
-def shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f, labels_l, owned, ll):
+def shard_gts(emb32, q_l, g32, rows_i, cols_i, seen_f, labels_l, owned, ll,
+              qs_l=None):
     """Effective-view target cosines: the owner shard gathers its label
     rows, applies the in-register write/blend, psum combines."""
     r0e, rbe = effective_label_rows(q_l, g32, rows_i, cols_i, seen_f,
-                                    labels_l, owned, ll)
+                                    labels_l, owned, ll, qs_l=qs_l)
     gt1 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * r0e, axis=-1), 0.0), AXIS)
     gt2 = jax.lax.psum(jnp.where(owned, jnp.sum(emb32 * rbe, axis=-1), 0.0), AXIS)
     return gt1, gt2, r0e, rbe
 
 
-def shard_write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range):
+def shard_write_values(q_l, g32, rows_i, cols_i, seen_f, lcol, in_range,
+                       qs_l=None):
     """Local-range q1 gather + shared twin_write_values
     (ops/twin_margin.py): out-of-shard entries gather row 0 — never
     selected, because no local column matches their slot. The same-slot
     structure inside twin_write_values uses GLOBAL columns (exact)."""
-    q1_rows = _gather_plane(q_l, 1, jnp.where(in_range, lcol, 0))
+    q1_rows = _gather_plane_deq(q_l, qs_l, 1, jnp.where(in_range, lcol, 0))
     return twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f)
+
+
+def _tile_scales(qs_l, c_local, tile, n_tiles):
+    """Plane-0 per-tile scale rows for the scan fallbacks (None passthrough)."""
+    if qs_l is None:
+        return None
+    s0 = qs_l[0]
+    pad = (-c_local) % tile
+    if pad:
+        s0 = jnp.concatenate([s0, jnp.zeros((pad,), s0.dtype)])
+    return s0.reshape(n_tiles, tile)
 
 
 def scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, gt1, gt2,
                   c_local, mxu_bf16, *, loss_type, margin, scale, k,
-                  mask_svfc, tile):
+                  mask_svfc, tile, qs_l=None):
     """Non-TPU fallback: same per-shard partials as the Pallas twin
     partial forward, as a lax.scan over local plane-0 tiles. Target column
     INCLUDED via φ(gt) on its owner shard (two-stream semantics)."""
     b = emb32.shape[0]
     q0p, n_tiles = _pad_classes(q_l[0], c_local, tile)
     w0s = q0p.reshape(n_tiles, tile, -1)
+    s0s = _tile_scales(qs_l, c_local, tile, n_tiles)
     lab2 = ll[:, None]
 
     def one_view(carry, cos, col, valid, gt_col):
@@ -109,10 +125,10 @@ def scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, gt1, gt2,
 
     def body(carry, wt):
         c1, c2 = carry
-        w0_t, t = wt
+        w0_t, t, s0_t = wt
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c_local
-        w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col[0],
+        w0e, wbe = effective_tile_views(_deq_tile(w0_t, s0_t), col[0],
                                         g32, rows_i, lcol, v, blend_b,
                                         mxu_bf16=mxu_bf16)
         e1, w1 = _mxu_pair(emb32, w0e, mxu_bf16)
@@ -127,14 +143,14 @@ def scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, gt1, gt2,
                     jnp.zeros((b,), jnp.float32),
                     jnp.full((b, k), NEG_INF, jnp.float32))
     (p1, p2), _ = jax.lax.scan(body, (init(), init()),
-                               (w0s, jnp.arange(n_tiles)))
+                               (w0s, jnp.arange(n_tiles), s0s))
     return p1, p2
 
 
 def scan_bwd(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, pos, gt1, gt2,
              logz1, logz2, kth1, kth2, d_ce1, d_neg1, d_ce2, d_neg2,
              c_local, mxu_bf16, *, loss_type, margin, scale, k, mask_svfc,
-             tile):
+             tile, qs_l=None):
     """Non-TPU fallback of the Pallas twin partial backward: local d_emb
     partial + raw owner-shard dgt accumulations (caller psums + applies
     φ'(gt) and the gt-row tail). ``pos`` is the GLOBAL positive mask."""
@@ -145,13 +161,14 @@ def scan_bwd(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, pos, gt1, gt2,
               mask_svfc=mask_svfc)
     q0p, n_tiles = _pad_classes(q_l[0], c_local, tile)
     w0s = q0p.reshape(n_tiles, tile, d)
+    s0s = _tile_scales(qs_l, c_local, tile, n_tiles)
 
     def body(carry, wt):
         d_emb, dgt1, dgt2 = carry
-        w0_t, t = wt
+        w0_t, t, s0_t = wt
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c_local
-        w0e, wbe = effective_tile_views(w0_t.astype(jnp.float32), col[0],
+        w0e, wbe = effective_tile_views(_deq_tile(w0_t, s0_t), col[0],
                                         g32, rows_i, lcol, v, blend_b,
                                         mxu_bf16=mxu_bf16)
         e1, w1 = _mxu_pair(emb32, w0e, mxu_bf16)
@@ -171,7 +188,7 @@ def scan_bwd(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, pos, gt1, gt2,
         body,
         (jnp.zeros((b, d), jnp.float32), jnp.zeros((b,), jnp.float32),
          jnp.zeros((b,), jnp.float32)),
-        (w0s, jnp.arange(n_tiles)))
+        (w0s, jnp.arange(n_tiles), s0s))
     return d_emb, dgt1, dgt2
 
 

@@ -251,7 +251,12 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
     )
 
     def loss_fn(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
-                labels_a, labels_b):
+                labels_a, labels_b, qscales=None):
+        if qscales is not None:
+            raise NotImplementedError(
+                "int8 queue over the model-sharded quad composition is not "
+                "wired yet — run single-shard (mesh model axis 1, "
+                "pool.force_sharded off) for int8 queues")
         rowsA, colsA, seenA = plan_a
         rowsB, colsB, seenB = plan_b
         out = inner(emb_x, emb_y, queue,
