@@ -63,6 +63,12 @@ SUITE = [
     # serving 1:N: 10M-identity int8 gallery search on one chip (MXU-bound
     # at Q=1024 — vs_baseline is MFU for this row)
     {"BENCH_MODE": "search"},
+    # capacity headline: a 10.5M-slot int8-stored DCP pool (ops/qqueue.py,
+    # 10.7 GB vs 21.5 GB bf16 — does not fit any float dtype) training on
+    # ONE chip. 1024-divisible size: a non-dividing Q drops the stream
+    # tile to 128 and costs 1.7x (docs/PERF.md round 3).
+    {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(10 << 20),
+     "BENCH_QUEUE_DTYPE": "int8"},
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": "16384"},
 ]
 

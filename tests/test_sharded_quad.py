@@ -112,3 +112,63 @@ def test_sharded_quad_acc(rng):
         lambda ex, ey: fn(ex, ey, *placed[2:]))(placed[0], placed[1])
     assert np.isfinite(float(la)) and np.isfinite(float(lb))
     assert 0.0 <= float(acc) <= 1.0
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "SV"])
+@pytest.mark.parametrize("pallas", [False, True])
+def test_sharded_quad_int8_matches_single(loss_type, pallas, rng):
+    """Int8 queue over the mesh == the single-shard quad on the
+    DEQUANTIZED queue (loss + d_emb): exercises the sharded scales
+    plumbing (P(None, model) split, localized gathers, the partial
+    kernels' scales operand)."""
+    from vlsfr_tpu.ops.qqueue import dequant_rows, quantize_rows
+
+    mesh = make_mesh(2, 4)
+    case = make_case(rng)
+    q_int, q_s = quantize_rows(jnp.asarray(case[2]))
+    queue_deq = dequant_rows(q_int, q_s)
+
+    case_deq = (case[0], case[1], np.asarray(queue_deq)) + case[3:]
+    la_ref, lb_ref = ref(case_deq, loss_type, 5)
+
+    fn = make_sharded_quad_loss(mesh, loss_type=loss_type, margin=0.5,
+                                scale=24.0, hard_neg=5, tile=16,
+                                use_pallas=pallas, interpret=pallas)
+    placed = place(mesh, case)
+    q_l = jax.device_put(q_int, NamedSharding(mesh, P(None, "model", None)))
+    s_l = jax.device_put(q_s, NamedSharding(mesh, P(None, "model")))
+
+    def total(ex, ey):
+        la, lb = fn(ex, ey, q_l, *placed[3:], qscales=s_l)
+        return la + lb
+
+    la, lb = jax.jit(
+        lambda ex, ey: fn(ex, ey, q_l, *placed[3:], qscales=s_l))(
+        placed[0], placed[1])
+    # scan path: identical f32 math on dequantized rows (tight); pallas
+    # path: int8 branches run their MXU ops in bf16
+    tol = 2e-2 if pallas else 1e-4
+    assert float(la) == pytest.approx(float(la_ref), rel=tol, abs=tol)
+    assert float(lb) == pytest.approx(float(lb_ref), rel=tol, abs=tol)
+
+    queue_j = jnp.asarray(queue_deq)
+    g_a, g_b = jnp.asarray(case[3]), jnp.asarray(case[4])
+    plan_a = tuple(jnp.asarray(v) for v in case[5])
+    plan_b = tuple(jnp.asarray(v) for v in case[6])
+    labA, labB = jnp.asarray(case[7]), jnp.asarray(case[8])
+
+    def ref_total(ex, ey):
+        la, lb = quad_add_margin(
+            ex, ey, queue_j, g_a, g_b, plan_a, plan_b, labA, labB,
+            loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=5,
+            tile=16, use_pallas=False)
+        return la + lb
+
+    gx_ref, gy_ref = jax.grad(ref_total, argnums=(0, 1))(
+        jnp.asarray(case[0]), jnp.asarray(case[1]))
+    gx, gy = jax.jit(jax.grad(total, argnums=(0, 1)))(placed[0], placed[1])
+    gtol = 2e-2 if pallas else 3e-5
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=gtol, atol=gtol)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
+                               rtol=gtol, atol=gtol)

@@ -230,6 +230,21 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     # the partial wrappers re-fit the tile to the local axis, _fit_tile).
     use_quad = fused_defer
     quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
+    if use_quad and cfg.pool.queue_size >= (1 << 20) \
+            and cfg.pool.queue_size % 1024 != 0:
+        import logging
+
+        # _fit_tile falls back to the largest 128-multiple DIVISOR of the
+        # class axis; a queue like 10,000,000 (= 128 × 5^7) only divides
+        # 128 — 8x the grid steps, measured 2.6x the step time at 10M
+        # slots (docs/PERF.md round 3). Padding instead would copy the
+        # whole [2, Q, D] array per pass.
+        logging.getLogger("vlsfr").warning(
+            "pool.queue_size=%d is not a multiple of 1024; the fused head's "
+            "tile drops to the largest dividing 128-multiple, which can "
+            "cost >2x at multi-million queues — round the queue size to a "
+            "multiple of 1024 (e.g. %d)", cfg.pool.queue_size,
+            -(-cfg.pool.queue_size // 1024) * 1024)
     if sharded:
         from vlsfr_tpu.parallel.sharded_quad import make_sharded_quad_loss
 

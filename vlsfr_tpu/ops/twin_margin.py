@@ -1334,9 +1334,11 @@ def _dir_inputs(queue, g, rows, cols, seen, qscales=None):
 
 def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
                             loss_type, margin, scale, k, mask_svfc, tile=512,
-                            interpret=False, mxu_bf16=False):
+                            interpret=False, mxu_bf16=False, qscales=None):
     """dir_a/dir_b = (g32, rows_i, lcol, v, blend_b, labels_l, gt1, gt2).
-    Returns per direction ((m1, s1, topk1), (m2, s2, topk2))."""
+    ``qscales`` is the shard's LOCAL [2, Q/m] dequant scales for int8
+    queues (ops/qqueue.py). Returns per direction
+    ((m1, s1, topk1), (m2, s2, topk2))."""
     b, d = emb_x.shape
     gA32, rowsA, lcolA, vA, blendA, labA, gt1a, gt2a = dir_a
     gB32, rowsB, lcolB, vB, blendB, labB, gt1b, gt2b = dir_b
@@ -1344,18 +1346,17 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
     c = q_local.shape[1]
     tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
     qp, n_tiles = _pad_queue(q_local, c, tile)
+    s_ops, s_specs = _scale_operand(qscales, c, tile)
     kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=mxu_bf16,
-                                   partial_out=True)
+                                   partial_out=True, int8=qscales is not None)
+    n_in = 19 + len(s_ops)
 
-    def adapter(labA_r, gt1a_r, gt2a_r, rowsA_r, colsA_r, blendA_r,
-                labB_r, gt1b_r, gt2b_r, rowsB_r, colsB_r, blendB_r,
-                embA_r, gA_r, vA_r, embB_r, gB_r, vB_r, w0_r,
-                m1a, s1a, m2a, s2a, m1b, s1b, m2b, s2b,
-                t1a, t2a, t1b, t2b, *scratch):
-        kernel(labA_r, gt1a_r, gt2a_r, rowsA_r, colsA_r, blendA_r,
-               labB_r, gt1b_r, gt2b_r, rowsB_r, colsB_r, blendB_r,
-               embA_r, gA_r, vA_r, embB_r, gB_r, vB_r, w0_r,
+    def adapter(*refs):
+        ins = refs[:n_in]
+        (m1a, s1a, m2a, s2a, m1b, s1b, m2b, s2b,
+         t1a, t2a, t1b, t2b, *scratch) = refs[n_in:]
+        kernel(*ins,
                m1a, s1a, m2a, s2a, None, None,
                m1b, s1b, m2b, s2b, None, None,
                t1a, t2a, t1b, t2b, *scratch)
@@ -1372,7 +1373,7 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
             full((b, d)), full((bp, d)), full((bp, d)),
             full((b, d)), full((bp, d)), full((bp, d)),
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + list(s_specs),
         out_specs=[bspec] * 8 + [full((b, k))] * 4,
         out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 8
         + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4,
@@ -1388,7 +1389,7 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
       rowsB[:, None], lcolB.astype(jnp.int32)[:, None],
       blendB.astype(jnp.int32)[:, None],
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp)
+      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
     (m1a, s1a, m2a, s2a, m1b, s1b, m2b, s2b, t1a, t2a, t1b, t2b) = out
     col0 = lambda v: v[:, 0]  # noqa: E731
     return (((col0(m1a), col0(s1a), t1a), (col0(m2a), col0(s2a), t2a)),
@@ -1398,7 +1399,7 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
 def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
                             globals_a, globals_b, *, loss_type, margin, scale,
                             k, mask_svfc, tile=512, interpret=False,
-                            mxu_bf16=False):
+                            mxu_bf16=False, qscales=None):
     """dir_* = (g32, rows_i, lcol, v, blend_b, labels_l, gt1, gt2);
     globals_* = (logz1, logz2, kth1, kth2, d_ce1, d_neg1, d_ce2, d_neg2)
     — all GLOBAL, cotangents pre-masked with the global pos split.
@@ -1414,8 +1415,10 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
     c = q_local.shape[1]
     tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
     qp, n_tiles = _pad_queue(q_local, c, tile)
+    s_ops, s_specs = _scale_operand(qscales, c, tile)
     kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
-                                   mask_svfc, mxu_bf16=mxu_bf16)
+                                   mask_svfc, mxu_bf16=mxu_bf16,
+                                   int8=qscales is not None)
     logz1a, logz2a, kth1a, kth2a, dce1a, dneg1a, dce2a, dneg2a = globals_a
     logz1b, logz2b, kth1b, kth2b, dce1b, dneg1b, dce2b, dneg2b = globals_b
     vec = lambda x: x[:, None].astype(jnp.float32)  # noqa: E731
@@ -1430,7 +1433,7 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
             full((b, d)), full((bp, d)), full((bp, d)),
             full((b, d)), full((bp, d)), full((bp, d)),
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + list(s_specs),
         out_specs=[full((b, d)), bspec, bspec, full((b, d)), bspec, bspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -1456,7 +1459,7 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
       vec(gt1b), vec(gt2b), vec(logz1b), vec(logz2b), vec(kth1b), vec(kth2b),
       vec(dce1b), vec(dneg1b), vec(dce2b), vec(dneg2b),
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp)
+      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
     d_emb_x, dgt1a_o, dgt2a_o, d_emb_y, dgt1b_o, dgt2b_o = out
     return (d_emb_x, dgt1a_o[:, 0], dgt2a_o[:, 0],
             d_emb_y, dgt1b_o[:, 0], dgt2b_o[:, 0])

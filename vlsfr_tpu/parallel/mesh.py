@@ -55,6 +55,12 @@ def queue_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "model", None))
 
 
+def queue_scales_sharding(mesh: Mesh) -> NamedSharding:
+    """Int8-queue per-row scales [2, Q] (ops/qqueue.py): sharded on the
+    model axis alongside the queue rows."""
+    return NamedSharding(mesh, P(None, "model"))
+
+
 def classifier_sharding(mesh: Mesh) -> NamedSharding:
     """Dense classifier [C, D]: class axis sharded over the model axis."""
     return NamedSharding(mesh, P("model", None))

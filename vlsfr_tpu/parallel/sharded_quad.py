@@ -41,6 +41,7 @@ from vlsfr_tpu.ops.margin_pallas import (
     _phi_target,
 )
 from vlsfr_tpu.ops.twin_margin import (
+    _zero_cot,
     pallas_quad_partial_bwd,
     pallas_quad_partial_fwd,
     reduce_margin_dir,
@@ -79,28 +80,24 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
               mask_svfc=mask_svfc, tile=tile)
 
-    @jax.custom_vjp
-    def shard_loss(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
-                   rowsB, colsB, seenB, labA, labB):
-        out, _ = _shard_fwd(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
-                            rowsB, colsB, seenB, labA, labB)
-        return out
-
-    def _dir_pack(emb32, q_l, g, rows, cols, seen, labels_l, *, gts=True):
+    def _dir_pack(emb32, q_l, g, rows, cols, seen, labels_l, *, gts=True,
+                  qs_l=None):
         """Localized carrier pack for one direction. ``gts=False`` (the
         backward, which reads gt1/gt2 from residuals) skips shard_gts's two
-        psum collectives and computes only the effective label rows."""
+        psum collectives and computes only the effective label rows.
+        ``qs_l`` is the shard's [2, Q/m] dequant scales for int8 queues."""
         g32, rows_i, cols_i, seen_f = carriers(g, rows, cols, seen)
         _, c_local, lcol, in_range, ll, owned = localize(q_l, cols_i, labels_l)
         if gts:
             gt1, gt2, r0e, rbe = shard_gts(emb32, q_l, g32, rows_i, cols_i,
-                                           seen_f, labels_l, owned, ll)
+                                           seen_f, labels_l, owned, ll,
+                                           qs_l=qs_l)
         else:
             gt1 = gt2 = None
             r0e, rbe = effective_label_rows(q_l, g32, rows_i, cols_i, seen_f,
-                                            labels_l, owned, ll)
+                                            labels_l, owned, ll, qs_l=qs_l)
         v, blend_b = shard_write_values(q_l, g32, rows_i, cols_i, seen_f,
-                                        lcol, in_range)
+                                        lcol, in_range, qs_l=qs_l)
         return dict(g32=g32, rows_i=rows_i, cols_i=cols_i, seen_f=seen_f,
                     lcol=lcol, ll=ll, owned=owned, gt1=gt1, gt2=gt2,
                     r0e=r0e, rbe=rbe, v=v, blend_b=blend_b, c_local=c_local)
@@ -125,12 +122,12 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
         return outs
 
     def _shard_fwd(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
-                   rowsB, colsB, seenB, labA, labB):
+                   rowsB, colsB, seenB, labA, labB, qs_l=None):
         mxu_bf16 = q_l.dtype == jnp.bfloat16
         ex32 = emb_x.astype(jnp.float32)
         ey32 = emb_y.astype(jnp.float32)
-        pa = _dir_pack(ex32, q_l, g_a, rowsA, colsA, seenA, labA)
-        pb = _dir_pack(ey32, q_l, g_b, rowsB, colsB, seenB, labB)
+        pa = _dir_pack(ex32, q_l, g_a, rowsA, colsA, seenA, labA, qs_l=qs_l)
+        pb = _dir_pack(ey32, q_l, g_b, rowsB, colsB, seenB, labB, qs_l=qs_l)
 
         if use_pallas:
             dir_a = (pa["g32"], pa["rows_i"], pa["lcol"], pa["v"],
@@ -139,16 +136,16 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                      pb["blend_b"], pb["ll"], pb["gt1"], pb["gt2"])
             parts_a, parts_b = pallas_quad_partial_fwd(
                 ex32, ey32, q_l, dir_a, dir_b, interpret=interpret,
-                mxu_bf16=mxu_bf16, **kw)
+                mxu_bf16=mxu_bf16, qscales=qs_l, **kw)
         else:
             parts_a = scan_partials(ex32, q_l, pa["g32"], pa["rows_i"],
                                     pa["lcol"], pa["v"], pa["blend_b"],
                                     pa["ll"], pa["gt1"], pa["gt2"],
-                                    pa["c_local"], mxu_bf16, **kw)
+                                    pa["c_local"], mxu_bf16, qs_l=qs_l, **kw)
             parts_b = scan_partials(ey32, q_l, pb["g32"], pb["rows_i"],
                                     pb["lcol"], pb["v"], pb["blend_b"],
                                     pb["ll"], pb["gt1"], pb["gt2"],
-                                    pb["c_local"], mxu_bf16, **kw)
+                                    pb["c_local"], mxu_bf16, qs_l=qs_l, **kw)
 
         (ce1a, neg1a, logz1a, topk1a), (ce2a, neg2a, logz2a, topk2a) = \
             _merge_dir(parts_a, pa, labA)
@@ -164,19 +161,21 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                rowsB, colsB, seenB, labA, labB,
                (pa["gt1"], pa["gt2"], pb["gt1"], pb["gt2"]),
                (logz1a, logz2a, logz1b, logz2b),
-               (topk1a, topk2a, topk1b, topk2b))
+               (topk1a, topk2a, topk1b, topk2b), qs_l)
         return out, res
 
     def _shard_bwd(res, cots):
         (emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
-         rowsB, colsB, seenB, labA, labB, gts, logzs, topks) = res
+         rowsB, colsB, seenB, labA, labB, gts, logzs, topks, qs_l) = res
         (d_ce1a, d_neg1a, d_ce2a, d_neg2a,
          d_ce1b, d_neg1b, d_ce2b, d_neg2b, _dh_a, _dh_b) = cots
         mxu_bf16 = q_l.dtype == jnp.bfloat16
         ex32 = emb_x.astype(jnp.float32)
         ey32 = emb_y.astype(jnp.float32)
-        pa = _dir_pack(ex32, q_l, g_a, rowsA, colsA, seenA, labA, gts=False)
-        pb = _dir_pack(ey32, q_l, g_b, rowsB, colsB, seenB, labB, gts=False)
+        pa = _dir_pack(ex32, q_l, g_a, rowsA, colsA, seenA, labA, gts=False,
+                       qs_l=qs_l)
+        pb = _dir_pack(ey32, q_l, g_b, rowsB, colsB, seenB, labB, gts=False,
+                       qs_l=qs_l)
         gt1a, gt2a, gt1b, gt2b = gts
         logz1a, logz2a, logz1b, logz2b = logzs
         topk1a, topk2a, topk1b, topk2b = topks
@@ -207,18 +206,18 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                       d_ce1b, d_neg1b, d_ce2b, d_neg2b)
             (d_ex, dgt1a, dgt2a, d_ey, dgt1b, dgt2b) = pallas_quad_partial_bwd(
                 ex32, ey32, q_l, dir_a, dir_b, glob_a, glob_b,
-                interpret=interpret, mxu_bf16=mxu_bf16, **kw)
+                interpret=interpret, mxu_bf16=mxu_bf16, qscales=qs_l, **kw)
         else:
             d_ex, dgt1a, dgt2a = scan_bwd(
                 ex32, q_l, pa["g32"], pa["rows_i"], pa["lcol"], pa["v"],
                 pa["blend_b"], pa["ll"], posA, gt1a, gt2a, logz1a, logz2a,
                 topk1a[:, -1], topk2a[:, -1], d_ce1a, d_neg1a, d_ce2a,
-                d_neg2a, pa["c_local"], mxu_bf16, **kw)
+                d_neg2a, pa["c_local"], mxu_bf16, qs_l=qs_l, **kw)
             d_ey, dgt1b, dgt2b = scan_bwd(
                 ey32, q_l, pb["g32"], pb["rows_i"], pb["lcol"], pb["v"],
                 pb["blend_b"], pb["ll"], posB, gt1b, gt2b, logz1b, logz2b,
                 topk1b[:, -1], topk2b[:, -1], d_ce1b, d_neg1b, d_ce2b,
-                d_neg2b, pb["c_local"], mxu_bf16, **kw)
+                d_neg2b, pb["c_local"], mxu_bf16, qs_l=qs_l, **kw)
 
         def gt_tail(d_emb, pk, pos, gt1, gt2, dgt1, dgt2):
             dgt1 = jax.lax.psum(dgt1, AXIS) * _phi_prime(gt1, loss_type, margin)
@@ -230,39 +229,60 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
 
         d_ex = gt_tail(d_ex, pa, posA, gt1a, gt2a, dgt1a, dgt2a)
         d_ey = gt_tail(d_ey, pb, posB, gt1b, gt2b, dgt1b, dgt2b)
-        return (d_ex.astype(emb_x.dtype), d_ey.astype(emb_y.dtype),
-                jnp.zeros_like(q_l), jnp.zeros_like(g_a), jnp.zeros_like(g_b),
-                None, None, None, None, None, None, None, None)
+        grads = (d_ex.astype(emb_x.dtype), d_ey.astype(emb_y.dtype),
+                 _zero_cot(q_l), jnp.zeros_like(g_a), jnp.zeros_like(g_b),
+                 None, None, None, None, None, None, None, None)
+        return grads if qs_l is None else grads + (jnp.zeros_like(qs_l),)
 
-    def _fwd_rule(*args):
-        return _shard_fwd(*args)
+    @jax.custom_vjp
+    def shard_loss(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
+                   rowsB, colsB, seenB, labA, labB):
+        out, _ = _shard_fwd(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
+                            rowsB, colsB, seenB, labA, labB)
+        return out
 
-    shard_loss.defvjp(_fwd_rule, _shard_bwd)
+    shard_loss.defvjp(lambda *a: _shard_fwd(*a), _shard_bwd)
 
+    # int8-queue variant: the shard's [2, Q/m] dequant scales ride as the
+    # LAST operand (ops/qqueue.py) — the grads tuple grows one zeros entry
+    @jax.custom_vjp
+    def shard_loss_q(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
+                     rowsB, colsB, seenB, labA, labB, qs_l):
+        out, _ = _shard_fwd(emb_x, emb_y, q_l, g_a, g_b, rowsA, colsA, seenA,
+                            rowsB, colsB, seenB, labA, labB, qs_l=qs_l)
+        return out
+
+    shard_loss_q.defvjp(lambda *a: _shard_fwd(*a[:-1], qs_l=a[-1]),
+                        _shard_bwd)
+
+    base_specs = (P(data_axis, None), P(data_axis, None),
+                  P(None, AXIS, None), P(None, None), P(None, None),
+                  P(None), P(None), P(None), P(None), P(None), P(None),
+                  P(data_axis), P(data_axis))
     inner = jax.shard_map(
         shard_loss,
         mesh=mesh,
-        in_specs=(P(data_axis, None), P(data_axis, None),
-                  P(None, AXIS, None), P(None, None), P(None, None),
-                  P(None), P(None), P(None), P(None), P(None), P(None),
-                  P(data_axis), P(data_axis)),
+        in_specs=base_specs,
+        out_specs=(P(data_axis),) * 10,
+        check_vma=False,
+    )
+    inner_q = jax.shard_map(
+        shard_loss_q,
+        mesh=mesh,
+        in_specs=base_specs + (P(None, AXIS),),
         out_specs=(P(data_axis),) * 10,
         check_vma=False,
     )
 
     def loss_fn(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                 labels_a, labels_b, qscales=None):
-        if qscales is not None:
-            raise NotImplementedError(
-                "int8 queue over the model-sharded quad composition is not "
-                "wired yet — run single-shard (mesh model axis 1, "
-                "pool.force_sharded off) for int8 queues")
         rowsA, colsA, seenA = plan_a
         rowsB, colsB, seenB = plan_b
-        out = inner(emb_x, emb_y, queue,
-                    jax.lax.stop_gradient(g_a), jax.lax.stop_gradient(g_b),
-                    rowsA, colsA, seenA, rowsB, colsB, seenB,
-                    labels_a, labels_b)
+        args = (emb_x, emb_y, queue,
+                jax.lax.stop_gradient(g_a), jax.lax.stop_gradient(g_b),
+                rowsA, colsA, seenA, rowsB, colsB, seenB,
+                labels_a, labels_b)
+        out = inner(*args) if qscales is None else inner_q(*args, qscales)
         (ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b,
          hit_a, hit_b) = out
 

@@ -166,6 +166,11 @@ class Trainer:
         state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
         if self.is_ffc:
             state = state.replace(queue=jax.device_put(state.queue, queue_sharding(self.mesh)))
+            if state.queue_scales is not None:
+                from vlsfr_tpu.parallel.mesh import queue_scales_sharding
+
+                state = state.replace(queue_scales=jax.device_put(
+                    state.queue_scales, queue_scales_sharding(self.mesh)))
         elif cfg.mesh.model > 1:
             from vlsfr_tpu.parallel.mesh import class_vector_sharding, classifier_sharding
 
