@@ -187,3 +187,69 @@ def test_int8_dense_path_rejected():
     cfg.pool.use_fused = "off"
     with pytest.raises(ValueError, match="int8"):
         make_ffc_loss_fn(create_net("toy", feat_dim=64), cfg)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "SV"])
+def test_quad_int8_compute_matches_oracle(loss_type):
+    """int8-COMPUTE mode (int8xint8->int32 streamed dots, quantized probes)
+    vs the float path on the dequantized queue: the only extra error source
+    is the probes' per-row quantization (~1e-4 on cos), so the tolerance is
+    TIGHTER than the bf16-dot path's. Interpret-mode Pallas on CPU."""
+    import vlsfr_tpu.ops.twin_margin as tm
+    from vlsfr_tpu.ops.twin_margin import quad_add_margin
+
+    b, q, d, tile = 16, 512, 128, 128
+    key = jax.random.PRNGKey(7)
+    kq, ke1, ke2, kg1, kg2, kp1, kp2 = jax.random.split(key, 7)
+    queue_f = _unit_rows(kq, (2, q, d))
+    q_int, q_s = quantize_rows(queue_f)
+    queue_deq = dequant_rows(q_int, q_s)
+    emb_x = _unit_rows(ke1, (b, d))
+    emb_y = _unit_rows(ke2, (b, d))
+    g_a = _unit_rows(kg1, (b, d))
+    g_b = _unit_rows(kg2, (b, d))
+    rowsA, colsA, seenA, labA = _plan(kp1, b, q)
+    rowsB, colsB, seenB, labB = _plan(kp2, b, q)
+
+    kw = dict(loss_type=loss_type, margin=0.3, scale=16.0, hard_neg=5,
+              tile=tile)
+    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
+    tm.pallas_quad_fwd = lambda *a, **k2: orig_fwd(*a, interpret=True, **k2)
+    tm.pallas_quad_bwd = lambda *a, **k2: orig_bwd(*a, interpret=True, **k2)
+    try:
+        def loss_i8c(ex, ey):
+            la, lb = quad_add_margin(
+                ex, ey, q_int, g_a, g_b, (rowsA, colsA, seenA),
+                (rowsB, colsB, seenB), labA, labB, qscales=q_s,
+                int8_compute=True, use_pallas=True, **kw)
+            return la + lb
+
+        def loss_oracle(ex, ey):
+            la, lb = quad_add_margin(
+                ex, ey, queue_deq, g_a, g_b, (rowsA, colsA, seenA),
+                (rowsB, colsB, seenB), labA, labB, use_pallas=False, **kw)
+            return la + lb
+
+        l8, g8 = jax.value_and_grad(loss_i8c, argnums=(0, 1))(emb_x, emb_y)
+        lo, go = jax.value_and_grad(loss_oracle, argnums=(0, 1))(emb_x, emb_y)
+    finally:
+        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
+
+    np.testing.assert_allclose(float(l8), float(lo), rtol=5e-3, atol=5e-3)
+    for a, o in zip(g8, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o),
+                                   rtol=1e-2, atol=1e-2)
+
+
+def test_int8_compute_requires_int8_queue():
+    from vlsfr_tpu.ops.twin_margin import quad_add_margin
+
+    b, q, d = 4, 64, 32
+    z = jnp.zeros((b, d))
+    queue = jnp.zeros((2, q, d))
+    plan = (jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,)))
+    lab = jnp.zeros((b,), jnp.int32)
+    with pytest.raises(ValueError, match="int8_compute"):
+        quad_add_margin(z, z, queue, z, z, plan, plan, lab, lab,
+                        int8_compute=True)

@@ -104,6 +104,9 @@ def main():
     ap.add_argument("--use_fused", default="auto")
     ap.add_argument("--cls_dtype", default="float32")
     ap.add_argument("--mom_dtype", default="float32")
+    # ffc head: DCP pool storage dtype (float32 | bfloat16 | int8 — int8
+    # needs --use_fused on at queue sizes below the streaming threshold)
+    ap.add_argument("--queue_dtype", default="float32")
     ap.add_argument("--tag", default="",
                     help="suffix for the results row (e.g. bf16mom)")
     args = ap.parse_args()
@@ -145,6 +148,9 @@ def main():
             cfg.pool.use_fused = args.use_fused
             cfg.pool.classifier_dtype = args.cls_dtype
             cfg.pool.classifier_mom_dtype = args.mom_dtype
+        else:
+            cfg.pool.use_fused = args.use_fused
+            cfg.pool.queue_dtype = args.queue_dtype
         cfg.train.saved_dir = (
             f"/tmp/casia_study_{head}_{args.tag or 'base'}_{args.epochs}ep")
         cfg.train.print_freq = 200
@@ -165,8 +171,7 @@ def main():
         res["train_acc"] = round(float(summary.get("train_acc", -1.0)), 4)
         res["train_seconds"] = round(train_s, 0)
         trainer.close()
-        key = head + (f"_{args.tag}" if args.tag and head == "full_softmax"
-                      else "")
+        key = head + (f"_{args.tag}" if args.tag else "")
         results[key] = res
         print(key, json.dumps(res), flush=True)
 

@@ -108,6 +108,12 @@ class PoolConfig:
     # row-cosine drift ~4e-5 — rows are replaced whole on admission so the
     # rounding never compounds.
     queue_dtype: str = "float32"  # float32 | bfloat16 | int8
+    # int8 queues only: quantize the probe embeddings per-row too and run
+    # the fused head's streamed cos dots int8xint8->int32 on the MXU (2x
+    # dot throughput on v5e — the head is COMPUTE-bound at >=4M slots,
+    # docs/PERF.md round 3). Target columns, written-slot overrides and
+    # gt stay exact f32. TPU Pallas path only; single-shard quad route.
+    queue_int8_compute: bool = False
     momentum: float = 0.99  # EMA alpha for gallery net (--alpha, main.py:157)
     # hard_neg = clamp(int(queue_size*2e-4), 3, 10) as in ffc.py:48; -1 = auto
     hard_neg: int = -1

@@ -214,6 +214,10 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             "path materializes blended [Q, D] copies the int8 layout exists "
             "to avoid) — set pool.use_fused='on' or raise queue_size past "
             "pool.streaming_threshold")
+    int8_compute = cfg.pool.queue_int8_compute
+    if int8_compute and cfg.pool.queue_dtype != "int8":
+        raise ValueError(
+            "pool.queue_int8_compute requires pool.queue_dtype='int8'")
     sharded = use_fused and mesh is not None and (
         mesh.shape.get("model", 1) > 1 or cfg.pool.force_sharded)
     sharded_quad_fn = None
@@ -247,6 +251,15 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             -(-cfg.pool.queue_size // 1024) * 1024)
     if sharded:
         from vlsfr_tpu.parallel.sharded_quad import make_sharded_quad_loss
+
+        if int8_compute:
+            import logging
+
+            logging.getLogger("vlsfr").warning(
+                "pool.queue_int8_compute is single-shard-only for now — the "
+                "model-sharded quad composition runs the regular int8-"
+                "storage path (bf16 dots)")
+            int8_compute = False
 
         sharded_quad_fn = make_sharded_quad_loss(
             mesh,
@@ -356,6 +369,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                     scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
                     mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
                     with_acc=True, qscales=state.queue_scales,
+                    int8_compute=int8_compute,
                 )
             new_queue = (g_xd, idx.b.rows, idx.b.cols)
         else:

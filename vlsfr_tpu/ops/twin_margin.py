@@ -65,6 +65,30 @@ def _zero_cot(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
+def _splice_optional(body, n_lead, *, int8c, int8):
+    """Adapt a canonical quad-kernel body — whose signature after the
+    ``n_lead`` leading refs is ``(e8A, seA, e8B, seB, w0_ref, s0_ref,
+    *rest)`` — to the actual pallas operand list, which only contains the
+    int8-compute probe refs when ``int8c`` and the storage-scales ref when
+    ``int8``. Missing groups are spliced in as None."""
+    if int8c and int8:
+        return body
+
+    def kernel(*refs):
+        rest = list(refs[n_lead:])
+        args = list(refs[:n_lead])
+        if int8c:
+            args += rest[:4]
+            rest = rest[4:]
+        else:
+            args += [None, None, None, None]
+        args.append(rest.pop(0))  # w0_ref
+        args.append(rest.pop(0) if int8 else None)  # s0_ref
+        return body(*args, *rest)
+
+    return kernel
+
+
 def twin_write_values(q1_rows, g32, rows_i, cols_i, seen_f):
     """Per-write blended-view values — q1 is NEVER streamed through tiles:
     view 2 differs from view 1 only at this step's ≤B written slots, whose
@@ -116,13 +140,28 @@ def effective_tile_views(w0, col_ids, g, rows, cols, v, blend_b, mxu_bf16=False)
     return w0e, wbe
 
 
-def _cos_tile(emb, w0_raw, s_lane, mxu_bf16):
+def _cos_int8_dot(e_int, se, w0_raw, s_lane):
+    """[B, T] cosines on the int8 MXU path (2x bf16 throughput on v5e):
+    exact int32 accumulation (|q| ≤ 127 ⇒ products Σ < 2^24 at D ≤ 1024),
+    ONE f32 rounding in the post-dot scale — numerically tighter than the
+    bf16 dot it replaces. ``se`` [B, 1] is the probes' per-row dequant
+    scale (ops/qqueue.py quantize_rows)."""
+    acc = jax.lax.dot_general(e_int, w0_raw, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (se * s_lane)
+
+
+def _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=None):
     """[B, T] cosine block against one stored tile. int8 tiles (``s_lane``
     [1, T] per-row scales riding the LANE axis) dequantize POST-dot:
     cos = (emb_bf16 @ int8→bf16ᵀ) · s — the int8→bf16 convert is exact
     (|q| ≤ 127) and the scale multiply is a [B, T] op instead of [T, D],
     so the per-byte VPU overhead that held the int8 classifier-read study
-    to 1.37× (docs/PERF.md) shrinks by d/b."""
+    to 1.37× (docs/PERF.md) shrinks by d/b. ``e8 = (e_int, se)`` (the
+    int8-COMPUTE mode, pool.queue_int8_compute) runs the dot itself
+    int8×int8→int32 on the MXU."""
+    if e8 is not None:
+        return _cos_int8_dot(e8[0], e8[1], w0_raw, s_lane)
     if s_lane is None:
         e_op, w_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
         return jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
@@ -172,13 +211,20 @@ def _lane_write_onehots(rows_c, cols_c, blend_c, t, tile):
     return m0, over0, mb, overb
 
 
-def _int8_written_cos(emb, w0_raw, s_lane, g, v, oh):
+def _int8_written_cos(emb, w0_raw, s_lane, g, v, oh, e8=None):
     """(cos1, cos2) for a written tile of an int8 queue: raw post-dot-scaled
     cosines with overridden columns replaced by emb·g / emb·v values gathered
-    through the lane one-hots (``_lane_write_onehots``)."""
+    through the lane one-hots (``_lane_write_onehots``). The override dots
+    always use the exact f32 ``emb`` — in int8-COMPUTE mode (``e8``) only
+    the raw streamed columns carry probe-quantization error, mirroring how
+    the bf16-MXU mode keeps gt/overrides f32."""
     m0, over0, mb, overb = oh
-    cos_raw = jnp.dot(emb.astype(jnp.bfloat16), w0_raw.astype(jnp.bfloat16).T,
-                      preferred_element_type=jnp.float32) * s_lane
+    if e8 is not None:
+        cos_raw = _cos_int8_dot(e8[0], e8[1], w0_raw, s_lane)
+    else:
+        cos_raw = jnp.dot(emb.astype(jnp.bfloat16),
+                          w0_raw.astype(jnp.bfloat16).T,
+                          preferred_element_type=jnp.float32) * s_lane
     cos1 = jnp.where(over0 > 0,
                      jnp.dot(_dot_nt(emb, g), m0.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32), cos_raw)
@@ -1042,7 +1088,7 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
                   t, n_t, col, valid, w0_raw, s_lane,
                   lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                   emb_ref, g_ref, v_ref,
-                  scr1, scr2, out1, out2, partial_out=False):
+                  scr1, scr2, out1, out2, partial_out=False, e8=None):
     """One direction's per-tile forward work (the twin fwd body).
 
     ``partial_out`` (the model-sharded composition): finalize emits the raw
@@ -1104,7 +1150,7 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
             cos1, cos2 = _int8_written_cos(
                 emb, w0_raw, s_lane, g_ref[:], v_ref[:],
                 _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
-                                    t, tile))
+                                    t, tile), e8=e8)
         else:
             w0e, wbe = effective_tile_views(
                 w0_raw.astype(jnp.float32), col[0],
@@ -1120,16 +1166,18 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8)
         view(cos, gt1_ref[:], scr1, out1)
         view(cos, gt2_ref[:], scr2, out2)
 
 
 def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                          mxu_bf16=False, partial_out=False, int8=False):
+                          mxu_bf16=False, partial_out=False, int8=False,
+                          int8c=False):
     def body(labA, gt1a, gt2a, rowsA, colsA, blendA,
              labB, gt1b, gt2b, rowsB, colsB, blendB,
-             embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
+             embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref,
+             e8A_ref, seA_ref, e8B_ref, seB_ref, w0_ref,
              s0_ref,
              ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
              ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
@@ -1151,6 +1199,8 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         valid = col < c
         w0_raw = w0_ref[0]
         s_lane = s0_ref[0:1, :] if s0_ref is not None else None
+        e8A = (e8A_ref[:], seA_ref[:]) if e8A_ref is not None else None
+        e8B = (e8B_ref[:], seB_ref[:]) if e8B_ref is not None else None
         args = (b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
                 t, n_t, col, valid, w0_raw, s_lane)
         # Arc/AM: the shared-stream body (one negative logsumexp per
@@ -1161,28 +1211,24 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                 embA_ref, gA_ref, vA_ref,
                 (m1a, s1a, t1a), (m2a, s2a, t2a),
                 (ce1a, neg1a, logz1a, topk1a),
-                (ce2a, neg2a, logz2a, topk2a), partial_out=partial_out)
+                (ce2a, neg2a, logz2a, topk2a), partial_out=partial_out,
+                e8=e8A)
         dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
                 embB_ref, gB_ref, vB_ref,
                 (m1b, s1b, t1b), (m2b, s2b, t2b),
                 (ce1b, neg1b, logz1b, topk1b),
-                (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out)
+                (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out,
+                e8=e8B)
 
-    if int8:
-        return body
-
-    def kernel(*refs):
-        # no scales operand: splice a None in after w0_ref (input 19)
-        return body(*refs[:19], None, *refs[19:])
-
-    return kernel
+    return _splice_optional(body, 18, int8c=int8c, int8=int8)
 
 
 def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw, s_lane,
                   lab_ref, rows_ref, cols_ref, blend_ref,
                   gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref, kth2_ref,
                   dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
-                  emb_ref, g_ref, v_ref, demb_scr, dgt1_scr, dgt2_scr):
+                  emb_ref, g_ref, v_ref, demb_scr, dgt1_scr, dgt2_scr,
+                  e8=None):
     """One direction's per-tile backward work (the twin bwd body)."""
     labels = lab_ref[:]
     pos = labels >= 0
@@ -1208,7 +1254,7 @@ def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw, s_lane,
             oh = _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
                                      t, tile)
             cos1, cos2 = _int8_written_cos(emb, w0_raw, s_lane, g_ref[:],
-                                           v_ref[:], oh)
+                                           v_ref[:], oh, e8=e8)
             dc1, dc2 = view_dcs(cos1, cos2)
             demb_scr[:] = demb_scr[:] + _int8_written_demb(
                 dc1, dc2, w0_raw, s_lane, g_ref[:], v_ref[:], oh)
@@ -1231,14 +1277,14 @@ def _quad_dir_bwd(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw, s_lane,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8)
         dc1, dc2 = view_dcs(cos, cos)
         demb_scr[:] = demb_scr[:] + _demb_clean(dc1 + dc2, w0_raw, s_lane,
                                                 mxu_bf16)
 
 
 def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
-                          mxu_bf16=False, int8=False):
+                          mxu_bf16=False, int8=False, int8c=False):
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=k,
               mask_svfc=mask_svfc)
 
@@ -1248,7 +1294,8 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
              labB, rowsB, colsB, blendB,
              gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
              dce1b, dneg1b, dce2b, dneg2b,
-             embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref, w0_ref,
+             embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref,
+             e8A_ref, seA_ref, e8B_ref, seB_ref, w0_ref,
              s0_ref,
              dembA_ref, dgt1a_ref, dgt2a_ref,
              dembB_ref, dgt1b_ref, dgt2b_ref,
@@ -1268,29 +1315,31 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         valid = col < c
         w0_raw = w0_ref[0]
         s_lane = s0_ref[0:1, :] if s0_ref is not None else None
+        e8A = (e8A_ref[:], seA_ref[:]) if e8A_ref is not None else None
+        e8B = (e8B_ref[:], seB_ref[:]) if e8B_ref is not None else None
         args = (b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw, s_lane)
         if kw["loss_type"] == "SV":
             _quad_dir_bwd(*args, labA, rowsA, colsA, blendA,
                           gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
                           dce1a, dneg1a, dce2a, dneg2a,
                           embA_ref, gA_ref, vA_ref, dembA_scr, dgt1a_scr,
-                          dgt2a_scr)
+                          dgt2a_scr, e8=e8A)
             _quad_dir_bwd(*args, labB, rowsB, colsB, blendB,
                           gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
                           dce1b, dneg1b, dce2b, dneg2b,
                           embB_ref, gB_ref, vB_ref, dembB_scr, dgt1b_scr,
-                          dgt2b_scr)
+                          dgt2b_scr, e8=e8B)
         else:
             _quad_dir_bwd_shared(*args, labA, rowsA, colsA, blendA,
                                  gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
                                  dce1a, dneg1a, dce2a, dneg2a,
                                  embA_ref, gA_ref, vA_ref, dembA_scr,
-                                 dgt1a_scr, dgt2a_scr, n_t)
+                                 dgt1a_scr, dgt2a_scr, n_t, e8=e8A)
             _quad_dir_bwd_shared(*args, labB, rowsB, colsB, blendB,
                                  gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
                                  dce1b, dneg1b, dce2b, dneg2b,
                                  embB_ref, gB_ref, vB_ref, dembB_scr,
-                                 dgt1b_scr, dgt2b_scr, n_t)
+                                 dgt1b_scr, dgt2b_scr, n_t, e8=e8B)
 
         @pl.when(t == n_t - 1)
         def _finalize():
@@ -1301,14 +1350,7 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
             dgt1b_ref[:] = dgt1b_scr[:]
             dgt2b_ref[:] = dgt2b_scr[:]
 
-    if int8:
-        return body
-
-    def kernel(*refs):
-        # no scales operand: splice a None in after w0_ref (input 35)
-        return body(*refs[:35], None, *refs[35:])
-
-    return kernel
+    return _splice_optional(body, 34, int8c=int8c, int8=int8)
 
 
 def _dir_inputs(queue, g, rows, cols, seen, qscales=None):
@@ -1465,18 +1507,39 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
             d_emb_y, dgt1b_o[:, 0], dgt2b_o[:, 0])
 
 
+def _e8_operands(emb_x, emb_y, int8_compute):
+    """(operands, specs) for the int8-COMPUTE probe refs: per-row-quantized
+    emb_x/emb_y (ops/qqueue.py) + their [B, 1] dequant scales. Empty when
+    the mode is off."""
+    if not int8_compute:
+        return (), ()
+    from vlsfr_tpu.ops.qqueue import quantize_rows
+
+    b, d = emb_x.shape
+    e8x, sx = quantize_rows(emb_x.astype(jnp.float32))
+    e8y, sy = quantize_rows(emb_y.astype(jnp.float32))
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    ops = (e8x, sx[:, None].astype(jnp.float32),
+           e8y, sy[:, None].astype(jnp.float32))
+    specs = (full((b, d)), full((b, 1)), full((b, d)), full((b, 1)))
+    return ops, specs
+
+
 def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, gts_a, gts_b, *,
                     loss_type, margin, scale, k, mask_svfc, tile=512,
-                    interpret=False, qscales=None):
+                    interpret=False, qscales=None, int8_compute=False):
     b, d = emb_x.shape
     c = queue.shape[1]
     tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
+    e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
     kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16,
-                                   int8=qscales is not None)
+                                   int8=qscales is not None,
+                                   int8c=int8_compute)
     gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a, qscales=qscales)
     gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b, qscales=qscales)
     gt1a, gt2a = gts_a
@@ -1487,7 +1550,7 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[bspec] * 12 + [full((b, d))] * 6 + [
+        in_specs=[bspec] * 12 + [full((b, d))] * 6 + list(e8_specs) + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ] + list(s_specs),
         out_specs=[bspec] * 12 + [full((b, k))] * 4,
@@ -1503,7 +1566,7 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
       labels_b.astype(jnp.int32)[:, None], vec(gt1b), vec(gt2b),
       rowsB[:, None], colsB[:, None], blendB.astype(jnp.int32)[:, None],
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
+      emb_y.astype(jnp.float32), gB32, vB, *e8_ops, qp, *s_ops)
     (ce1a, neg1a, ce2a, neg2a, logz1a, logz2a,
      ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
      topk1a, topk2a, topk1b, topk2b) = out
@@ -1517,15 +1580,18 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
 def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, gts_a, gts_b, logzs, topks,
                     cots_a, cots_b, *, loss_type, margin, scale, k, mask_svfc,
-                    tile=512, interpret=False, qscales=None):
+                    tile=512, interpret=False, qscales=None,
+                    int8_compute=False):
     b, d = emb_x.shape
     c = queue.shape[1]
     tile = _fit_tile(c, _twin_tile(b, d, tile))
     qp, n_tiles = _pad_queue(queue, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
+    e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
     kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16,
-                                   int8=qscales is not None)
+                                   int8=qscales is not None,
+                                   int8c=int8_compute)
     gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a, qscales=qscales)
     gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b, qscales=qscales)
     gt1a, gt2a = gts_a
@@ -1548,7 +1614,7 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[bspec] * 28 + [full((b, d))] * 6 + [
+        in_specs=[bspec] * 28 + [full((b, d))] * 6 + list(e8_specs) + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ] + list(s_specs),
         out_specs=[full((b, d)), bspec, bspec, full((b, d)), bspec, bspec],
@@ -1578,7 +1644,7 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
       vec(topk1b[:, -1]), vec(topk2b[:, -1]),
       vec(d_ce1b), vec(d_neg1b), vec(d_ce2b), vec(d_neg2b),
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
+      emb_y.astype(jnp.float32), gB32, vB, *e8_ops, qp, *s_ops)
     d_emb_x, dgt1a, dgt2a, d_emb_y, dgt1b, dgt2b = out
     d_emb_x = _twin_gt_tail(emb_x, queue, g_a, *plan_a, labels_a, gt1a, gt2a,
                             dgt1a[:, 0], dgt2a[:, 0], d_emb_x, loss_type,
@@ -1589,11 +1655,12 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     return d_emb_x, d_emb_y
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
+@partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20, 21))
 def fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                       seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                       loss_type="Arc", margin=0.5, scale=32.0, hard_neg=10,
-                      mask_svfc=1.2, tile=512, use_pallas="auto"):
+                      mask_svfc=1.2, tile=512, use_pallas="auto",
+                      int8_compute=False):
     """Both FFC directions' per-row (ce1, neg1, ce2, neg2) — 8 outputs —
     in ONE streaming pass over q0 (A: probe emb_x vs write plan
     (g_a, rows_a, cols_a, seen_a); B: probe emb_y vs plan b).
@@ -1603,14 +1670,14 @@ def fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
     out, _ = _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
                             cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
                             labels_b, loss_type, margin, scale, hard_neg,
-                            mask_svfc, tile, use_pallas)
+                            mask_svfc, tile, use_pallas, int8_compute)
     return out
 
 
 def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                    seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                    loss_type, margin, scale, hard_neg, mask_svfc, tile,
-                   use_pallas, gts=None):
+                   use_pallas, int8_compute=False, gts=None):
     if gts is None:
         gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a,
                                labels_a, qscales=qscales),
@@ -1625,7 +1692,8 @@ def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
         out, res = pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b,
                                    (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
                                    labels_a, labels_b, gts_a, gts_b,
-                                   qscales=qscales, **kw)
+                                   qscales=qscales, int8_compute=int8_compute,
+                                   **kw)
     else:
         # scan fallback: two independent twin streams (CPU path — no fusion win)
         out_a, res_a = _twin_stream_fwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
@@ -1647,7 +1715,8 @@ def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
 
 def _quad_vjp_fwd(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                   seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
-                  loss_type, margin, scale, hard_neg, mask_svfc, tile, use_pallas):
+                  loss_type, margin, scale, hard_neg, mask_svfc, tile,
+                  use_pallas, int8_compute):
     gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a,
                            qscales=qscales),
            compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b,
@@ -1655,7 +1724,8 @@ def _quad_vjp_fwd(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
     out, res = _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
                               cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
                               labels_b, loss_type, margin, scale, hard_neg,
-                              mask_svfc, tile, use_pallas, gts=gts)
+                              mask_svfc, tile, use_pallas, int8_compute,
+                              gts=gts)
     logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b = res
     return out, (emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a, seen_a,
                  rows_b, cols_b, seen_b, labels_a, labels_b, gts,
@@ -1664,7 +1734,7 @@ def _quad_vjp_fwd(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
 
 
 def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
-                  use_pallas, res, cots):
+                  use_pallas, int8_compute, res, cots):
     (emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a, seen_a,
      rows_b, cols_b, seen_b, labels_a, labels_b, gts, logzs, topks) = res
     (d_ce1a, d_neg1a, d_ce2a, d_neg2a,
@@ -1680,7 +1750,8 @@ def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
             (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
             labels_a, labels_b, gts_a, gts_b, logzs, topks,
             (d_ce1a, d_neg1a, d_ce2a, d_neg2a),
-            (d_ce1b, d_neg1b, d_ce2b, d_neg2b), qscales=qscales, **kw)
+            (d_ce1b, d_neg1b, d_ce2b, d_neg2b), qscales=qscales,
+            int8_compute=int8_compute, **kw)
     else:
         logz1a, logz2a, logz1b, logz2b = logzs
         topk1a, topk2a, topk1b, topk2b = topks
@@ -1704,18 +1775,27 @@ fused_quad_margin.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)
 def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, *, loss_type="Arc", margin=0.5,
                     scale=32.0, hard_neg=10, mask_svfc=1.2, tile=512,
-                    use_pallas="auto", with_acc=False, qscales=None):
+                    use_pallas="auto", with_acc=False, qscales=None,
+                    int8_compute=False):
     """(loss_a, loss_b): both FFC directional losses with ONE streaming
     pass over q0 per fwd/bwd (the reduction of each direction matches
     twin_add_margin exactly). ``with_acc`` also returns the combined
     streaming top-1 accuracy over both directions' in-pool rows.
-    ``qscales`` carries the per-row scales of an int8-stored queue."""
+    ``qscales`` carries the per-row scales of an int8-stored queue.
+    ``int8_compute`` (int8 queues, Pallas path only) additionally
+    quantizes the probes per-row and runs the streamed cos dots
+    int8×int8→int32 on the MXU — 2x dot throughput; gt/target columns and
+    written-slot overrides stay exact f32 (see _cos_int8_dot); the scan
+    fallback ignores the flag (it computes on dequantized rows)."""
+    if int8_compute and qscales is None:
+        raise ValueError("int8_compute requires an int8-stored queue "
+                         "(pool.queue_dtype='int8')")
     rows_a, cols_a, seen_a = plan_a
     rows_b, cols_b, seen_b = plan_b
     out = fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
                             cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
                             labels_b, loss_type, margin, scale, hard_neg,
-                            mask_svfc, tile, use_pallas)
+                            mask_svfc, tile, use_pallas, int8_compute)
     ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b, hit_a, hit_b = out
 
     losses = (reduce_margin_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
@@ -1744,7 +1824,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
                          mxu_bf16, t, n_t, col, valid, w0_raw, s_lane,
                          lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref, blend_ref,
                          emb_ref, g_ref, v_ref,
-                         scr1, scr2, out1, out2, partial_out=False):
+                         scr1, scr2, out1, out2, partial_out=False, e8=None):
     labels = lab_ref[:]
     emb = emb_ref[:].astype(jnp.float32)
     cols_v = cols_ref[:][:, 0]
@@ -1790,7 +1870,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
             cos1, cos2 = _int8_written_cos(
                 emb, w0_raw, s_lane, g_ref[:], v_ref[:],
                 _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
-                                    t, tile))
+                                    t, tile), e8=e8)
         else:
             w0e, wbe = effective_tile_views(
                 w0_raw.astype(jnp.float32), col[0],
@@ -1810,7 +1890,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8)
         tm, ts = tile_stats(cos)  # ONE stream for both views
         merge_stats(scr1, tm, ts)
         merge_stats(scr2, tm, ts)
@@ -1855,7 +1935,7 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
                          gt1_ref, gt2_ref, logz1_ref, logz2_ref, kth1_ref,
                          kth2_ref, dce1_ref, dneg1_ref, dce2_ref, dneg2_ref,
                          emb_ref, g_ref, v_ref, demb_scr, dgt1_scr, dgt2_scr,
-                         n_t):
+                         n_t, e8=None):
     loss_type = kw["loss_type"]
     margin = kw["margin"]
     scale = kw["scale"]
@@ -1901,7 +1981,7 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
             oh = _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
                                      t, tile)
             cos1, cos2 = _int8_written_cos(emb, w0_raw, s_lane, g_ref[:],
-                                           v_ref[:], oh)
+                                           v_ref[:], oh, e8=e8)
             dc1 = dc_one(cos1, logz1, dce1_ref[:], dneg1_ref[:], kth1_ref[:])
             dc2 = dc_one(cos2, logz2, dce2_ref[:], dneg2_ref[:], kth2_ref[:])
             demb_scr[:] = demb_scr[:] + _int8_written_demb(
@@ -1926,7 +2006,7 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16)
+        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8)
         dc = dc_combined(cos)
         demb_scr[:] = demb_scr[:] + _demb_clean(dc, w0_raw, s_lane, mxu_bf16)
 
