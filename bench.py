@@ -174,6 +174,7 @@ def main():
     cfg.model.bn_stats_rows = int(os.environ.get("BENCH_BN_ROWS", 0))
     cfg.pool.queue_size = queue_size
     cfg.pool.queue_dtype = os.environ.get("BENCH_QUEUE_DTYPE", "float32")
+    cfg.pool.queue_int8_compute = os.environ.get("BENCH_QUEUE_INT8C", "0") == "1"
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
@@ -434,7 +435,8 @@ def main():
         json.dumps(
             {
                 "metric": (f"ffc{'_sharded' if mesh is not None else ''}"
-                           f"{'_int8g' if cfg.pool.gallery_int8 else ''}_"
+                           f"{'_int8g' if cfg.pool.gallery_int8 else ''}"
+                           f"{'_i8c' if cfg.pool.queue_int8_compute else ''}_"
                            f"{net_type}_train_images_per_sec_chip_b{batch}_q{queue_size}"),
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",

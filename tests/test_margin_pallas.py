@@ -242,3 +242,33 @@ def test_bf16_weights_mxu_path_close_to_f32(rng):
     scale_w = np.abs(np.asarray(gw_up)).max()
     np.testing.assert_allclose(np.asarray(gw_bf).astype(np.float32),
                                np.asarray(gw_up), atol=0.05 * scale_w)
+
+
+def test_streamed_topk_excludes_target(rng):
+    """The streamed top-k must be over NON-target columns: the train_acc
+    hit test compares the outside-computed gt against topk[0], and on TPU
+    the kernel's own recomputation of the target column rounds differently
+    (f32 MXU dots run as bf16 passes) — a target-inclusive top-k silently
+    killed ~half the hits on the real chip (round 3). Guard the contract
+    where CPU can see it: make the target the GLOBAL max and assert it
+    never appears in the streamed top-k."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlsfr_tpu.ops.margin_pallas import _stream_fwd, pallas_margin_ce_fwd
+
+    b, c, d, k = 8, 256, 32, 3
+    w = rng.standard_normal((c, d)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+    labels = rng.integers(0, c, size=b).astype(np.int32)
+    # emb = exact target row -> gt = 1.0, strictly above every other cosine
+    emb = jnp.asarray(w[labels])
+    gt = jnp.ones((b,), jnp.float32)
+    kw = dict(loss_type="Arc", margin=0.3, scale=16.0, k=k, mask_svfc=1.2,
+              normalize_w=False, tile=64)
+    for fwd in (_stream_fwd,
+                lambda *a, **k2: pallas_margin_ce_fwd(*a, interpret=True, **k2)):
+        _, _, _, topk = fwd(emb, jnp.asarray(w), jnp.asarray(labels), gt, **kw)
+        topk = np.asarray(topk)
+        assert (topk[:, 0] < 0.9999).all(), (
+            "target column leaked into the streamed top-k", topk[:, 0])

@@ -169,7 +169,14 @@ def _stream_fwd(emb, w, labels, gt, *, loss_type, margin, scale, k, mask_svfc,
         z = scale * mod
         m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
-        cand = jnp.concatenate([topk, cos], axis=-1)
+        # top-k over NON-target columns: the hit test gt + TOL >= topk[0]
+        # must never compare gt against the kernel's own recomputation of
+        # the target column — on TPU the in-kernel f32 dot (bf16-pass
+        # decomposition) differs from the outside-computed gt by more than
+        # any tie tolerance, silently killing ~half the hits (loss was
+        # unaffected: positive rows' topk feeds only the acc metric).
+        cand = jnp.concatenate([topk, jnp.where(is_target, NEG_INF, cos)],
+                               axis=-1)
         topk, _ = jax.lax.top_k(cand, k)
         ys = (jnp.max(z, axis=-1), jnp.max(cos, axis=-1)) if with_stats else None
         return (m_new, s_run, topk), ys
@@ -340,13 +347,15 @@ def _make_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc, norm
         # The merge only matters when some row's tile max beats its current
         # kth value — true for ~k·T/C of tiles once the running top-k warms
         # up — so the whole O(k·T) merge is predicated on one cheap check.
+        # non-target columns only — see _stream_fwd's merge comment
+        cos_neg = jnp.where(is_target, NEG_INF, cos)
         kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)  # [B, 1]
-        tile_max = jnp.max(cos, axis=-1, keepdims=True)
+        tile_max = jnp.max(cos_neg, axis=-1, keepdims=True)
         needs_merge = jnp.any(tile_max > kth_cur)
 
         @pl.when(needs_merge)
         def _merge():
-            buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+            buf = jnp.concatenate([topk_scr[:], cos_neg], axis=-1)
             buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
             new_topk = []
             for _ in range(k):

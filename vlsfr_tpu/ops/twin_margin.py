@@ -381,7 +381,10 @@ def _twin_stream_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
         z = scale * mod
         m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
-        topk, _ = jax.lax.top_k(jnp.concatenate([topk, cos], axis=-1), k)
+        # NON-target columns only (see the quad kernels' merge comment)
+        topk, _ = jax.lax.top_k(
+            jnp.concatenate([topk, jnp.where(is_target, NEG_INF, cos)],
+                            axis=-1), k)
         return (m_new, s_run, topk)
 
     def body(carry, wt):
@@ -575,12 +578,14 @@ def _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                 jnp.exp(z - m_new), axis=-1, keepdims=True
             )
             m_scr[:] = m_new
+            # NON-target columns only (see the quad kernels' merge comment)
+            cos_neg = jnp.where(is_target, NEG_INF, cos)
             kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)
-            needs_merge = jnp.any(jnp.max(cos, axis=-1, keepdims=True) > kth_cur)
+            needs_merge = jnp.any(jnp.max(cos_neg, axis=-1, keepdims=True) > kth_cur)
 
             @pl.when(needs_merge)
             def _merge():
-                buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+                buf = jnp.concatenate([topk_scr[:], cos_neg], axis=-1)
                 buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
                 new_topk = []
                 for _ in range(k):
@@ -1110,12 +1115,18 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
         s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
             jnp.exp(z - m_new), axis=-1, keepdims=True)
         m_scr[:] = m_new
+        # top-k over NON-target columns: the hit test gt + TOL >= topk[0]
+        # must never compare gt against the kernel's own recomputation of
+        # the target column (TPU f32 dots round differently from the
+        # outside-computed gt — was silently killing ~half the streamed
+        # train_acc hits; loss unaffected, see docs/PERF.md round 3)
+        cos_neg = jnp.where(is_target, NEG_INF, cos)
         kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)
-        needs_merge = jnp.any(jnp.max(cos, axis=-1, keepdims=True) > kth_cur)
+        needs_merge = jnp.any(jnp.max(cos_neg, axis=-1, keepdims=True) > kth_cur)
 
         @pl.when(needs_merge)
         def _merge():
-            buf = jnp.concatenate([topk_scr[:], cos], axis=-1)
+            buf = jnp.concatenate([topk_scr[:], cos_neg], axis=-1)
             buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
             new_topk = []
             for _ in range(k):
@@ -1846,7 +1857,12 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
 
     def merge_topk(scr, cos):
         _, _, topk_scr = scr
-        cosm = jnp.where(valid, cos, NEG_INF)
+        # NON-target columns only (matches the logsumexp's neg_ok): the
+        # hit test gt + TOL >= topk[0] must never compare gt against the
+        # kernel's own recomputation of the target column — TPU f32 dots
+        # round differently from the outside-computed gt, which silently
+        # killed ~half the streamed train_acc hits (loss unaffected)
+        cosm = jnp.where(neg_ok, cos, NEG_INF)
         kth_cur = jnp.min(topk_scr[:], axis=-1, keepdims=True)
         needs_merge = jnp.any(jnp.max(cosm, axis=-1, keepdims=True) > kth_cur)
 

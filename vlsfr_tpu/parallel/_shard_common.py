@@ -120,7 +120,10 @@ def scan_partials(emb32, q_l, g32, rows_i, lcol, v, blend_b, ll, gt1, gt2,
         m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(
             jnp.exp(z - m_new[:, None]), axis=-1)
-        topk, _ = jax.lax.top_k(jnp.concatenate([topk, cos], axis=-1), k)
+        # NON-target columns only (see the quad kernels' merge comment)
+        topk, _ = jax.lax.top_k(
+            jnp.concatenate([topk, jnp.where(is_target, NEG_INF, cos)],
+                            axis=-1), k)
         return (m_new, s_run, topk)
 
     def body(carry, wt):

@@ -79,7 +79,10 @@ def _local_partials(emb32, w, local_labels, gt, *, loss_type, margin, mask_svfc,
         z = scale * mod
         m_new = jnp.maximum(m_run, jnp.max(z, axis=-1))
         s_run = s_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
-        topk, _ = jax.lax.top_k(jnp.concatenate([topk, cos], axis=-1), k)
+        # NON-target columns only (see ops/margin_pallas._stream_fwd)
+        topk, _ = jax.lax.top_k(
+            jnp.concatenate([topk, jnp.where(is_target, NEG_INF, cos)],
+                            axis=-1), k)
         return (m_new, s_run, topk), None
 
     init = (jnp.full((b,), NEG_INF, jnp.float32), jnp.zeros((b,), jnp.float32),
