@@ -172,3 +172,63 @@ def test_sharded_quad_int8_matches_single(loss_type, pallas, rng):
                                rtol=gtol, atol=gtol)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
                                rtol=gtol, atol=gtol)
+
+
+@pytest.mark.parametrize("loss_type", ["Arc", "SV"])
+def test_sharded_quad_int8_compute_matches_single(loss_type, rng):
+    """int8-COMPUTE over the mesh (quantized local probes, int8×int8→int32
+    clean-tile dots in the partial kernels) vs the SINGLE-SHARD int8-compute
+    quad (interpret-mode Pallas both sides). Per-row probe quantization is
+    shard-independent and the tile split is identical, so the two paths
+    differ only in the f32 merge order of the collective logsumexp — the
+    probe-quantization error itself (large at this test's d=16) cancels.
+    Float-oracle fidelity of the mode is covered by
+    tests/test_qqueue.py::test_quad_int8_compute_matches_oracle."""
+    import vlsfr_tpu.ops.twin_margin as tm
+    from vlsfr_tpu.ops.qqueue import quantize_rows
+
+    mesh = make_mesh(2, 4)
+    case = make_case(rng)
+    q_int, q_s = quantize_rows(jnp.asarray(case[2]))
+
+    g_a, g_b = jnp.asarray(case[3]), jnp.asarray(case[4])
+    plan_a = tuple(jnp.asarray(v) for v in case[5])
+    plan_b = tuple(jnp.asarray(v) for v in case[6])
+    labA, labB = jnp.asarray(case[7]), jnp.asarray(case[8])
+
+    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
+    tm.pallas_quad_fwd = lambda *a, **k2: orig_fwd(*a, interpret=True, **k2)
+    tm.pallas_quad_bwd = lambda *a, **k2: orig_bwd(*a, interpret=True, **k2)
+    try:
+        def ref_total(ex, ey):
+            la, lb = quad_add_margin(
+                ex, ey, q_int, g_a, g_b, plan_a, plan_b, labA, labB,
+                loss_type=loss_type, margin=0.5, scale=24.0, hard_neg=5,
+                tile=16, use_pallas=True, qscales=q_s, int8_compute=True)
+            return la + lb
+
+        l_ref, (gx_ref, gy_ref) = jax.value_and_grad(
+            ref_total, argnums=(0, 1))(jnp.asarray(case[0]),
+                                       jnp.asarray(case[1]))
+    finally:
+        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
+
+    fn = make_sharded_quad_loss(mesh, loss_type=loss_type, margin=0.5,
+                                scale=24.0, hard_neg=5, tile=16,
+                                use_pallas=True, interpret=True,
+                                int8_compute=True)
+    placed = place(mesh, case)
+    q_l = jax.device_put(q_int, NamedSharding(mesh, P(None, "model", None)))
+    s_l = jax.device_put(q_s, NamedSharding(mesh, P(None, "model")))
+
+    def total(ex, ey):
+        la, lb = fn(ex, ey, q_l, *placed[3:], qscales=s_l)
+        return la + lb
+
+    l_sh, (gx, gy) = jax.jit(jax.value_and_grad(total, argnums=(0, 1)))(
+        placed[0], placed[1])
+    assert float(l_sh) == pytest.approx(float(l_ref), rel=1e-4, abs=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
+                               rtol=1e-4, atol=1e-4)

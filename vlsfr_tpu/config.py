@@ -112,7 +112,10 @@ class PoolConfig:
     # the fused head's streamed cos dots int8xint8->int32 on the MXU (2x
     # dot throughput on v5e — the head is COMPUTE-bound at >=4M slots,
     # docs/PERF.md round 3). Target columns, written-slot overrides and
-    # gt stay exact f32. TPU Pallas path only; single-shard quad route.
+    # gt stay exact f32. TPU Pallas path only; covers both the
+    # single-shard quad route and the model-sharded quad composition
+    # (each shard quantizes its local probe rows — per-row quantization
+    # is shard-independent, so the sharded mode matches single-shard).
     queue_int8_compute: bool = False
     momentum: float = 0.99  # EMA alpha for gallery net (--alpha, main.py:157)
     # hard_neg = clamp(int(queue_size*2e-4), 3, 10) as in ffc.py:48; -1 = auto

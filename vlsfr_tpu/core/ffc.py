@@ -252,15 +252,6 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     if sharded:
         from vlsfr_tpu.parallel.sharded_quad import make_sharded_quad_loss
 
-        if int8_compute:
-            import logging
-
-            logging.getLogger("vlsfr").warning(
-                "pool.queue_int8_compute is single-shard-only for now — the "
-                "model-sharded quad composition runs the regular int8-"
-                "storage path (bf16 dots)")
-            int8_compute = False
-
         sharded_quad_fn = make_sharded_quad_loss(
             mesh,
             loss_type=cfg.loss.loss_type,
@@ -270,6 +261,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
             mask_svfc=cfg.loss.mask_svfc,
             tile=quad_tile,
             with_acc=True,
+            int8_compute=int8_compute,
         )
     loss_kw = dict(
         loss_type=cfg.loss.loss_type,

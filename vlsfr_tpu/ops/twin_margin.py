@@ -1387,10 +1387,14 @@ def _dir_inputs(queue, g, rows, cols, seen, qscales=None):
 
 def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
                             loss_type, margin, scale, k, mask_svfc, tile=512,
-                            interpret=False, mxu_bf16=False, qscales=None):
+                            interpret=False, mxu_bf16=False, qscales=None,
+                            int8_compute=False):
     """dir_a/dir_b = (g32, rows_i, lcol, v, blend_b, labels_l, gt1, gt2).
     ``qscales`` is the shard's LOCAL [2, Q/m] dequant scales for int8
-    queues (ops/qqueue.py). Returns per direction
+    queues (ops/qqueue.py); ``int8_compute`` additionally quantizes the
+    LOCAL probe rows and streams the clean-tile dots int8×int8→int32
+    (per-row quantization is shard-independent, so the data-sharded probes
+    quantize identically to the single-shard path). Returns per direction
     ((m1, s1, topk1), (m2, s2, topk2))."""
     b, d = emb_x.shape
     gA32, rowsA, lcolA, vA, blendA, labA, gt1a, gt2a = dir_a
@@ -1400,10 +1404,12 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
     tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
     qp, n_tiles = _pad_queue(q_local, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
+    e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
     kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=mxu_bf16,
-                                   partial_out=True, int8=qscales is not None)
-    n_in = 19 + len(s_ops)
+                                   partial_out=True, int8=qscales is not None,
+                                   int8c=int8_compute)
+    n_in = 19 + len(e8_ops) + len(s_ops)
 
     def adapter(*refs):
         ins = refs[:n_in]
@@ -1425,6 +1431,7 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
         in_specs=dir_specs + dir_specs + [
             full((b, d)), full((bp, d)), full((bp, d)),
             full((b, d)), full((bp, d)), full((bp, d)),
+        ] + list(e8_specs) + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ] + list(s_specs),
         out_specs=[bspec] * 8 + [full((b, k))] * 4,
@@ -1442,7 +1449,7 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
       rowsB[:, None], lcolB.astype(jnp.int32)[:, None],
       blendB.astype(jnp.int32)[:, None],
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
+      emb_y.astype(jnp.float32), gB32, vB, *e8_ops, qp, *s_ops)
     (m1a, s1a, m2a, s2a, m1b, s1b, m2b, s2b, t1a, t2a, t1b, t2b) = out
     col0 = lambda v: v[:, 0]  # noqa: E731
     return (((col0(m1a), col0(s1a), t1a), (col0(m2a), col0(s2a), t2a)),
@@ -1452,7 +1459,7 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
 def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
                             globals_a, globals_b, *, loss_type, margin, scale,
                             k, mask_svfc, tile=512, interpret=False,
-                            mxu_bf16=False, qscales=None):
+                            mxu_bf16=False, qscales=None, int8_compute=False):
     """dir_* = (g32, rows_i, lcol, v, blend_b, labels_l, gt1, gt2);
     globals_* = (logz1, logz2, kth1, kth2, d_ce1, d_neg1, d_ce2, d_neg2)
     — all GLOBAL, cotangents pre-masked with the global pos split.
@@ -1469,9 +1476,11 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
     tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
     qp, n_tiles = _pad_queue(q_local, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
+    e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
     kernel = _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=mxu_bf16,
-                                   int8=qscales is not None)
+                                   int8=qscales is not None,
+                                   int8c=int8_compute)
     logz1a, logz2a, kth1a, kth2a, dce1a, dneg1a, dce2a, dneg2a = globals_a
     logz1b, logz2b, kth1b, kth2b, dce1b, dneg1b, dce2b, dneg2b = globals_b
     vec = lambda x: x[:, None].astype(jnp.float32)  # noqa: E731
@@ -1485,6 +1494,7 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
         in_specs=dir_specs + dir_specs + [
             full((b, d)), full((bp, d)), full((bp, d)),
             full((b, d)), full((bp, d)), full((bp, d)),
+        ] + list(e8_specs) + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ] + list(s_specs),
         out_specs=[full((b, d)), bspec, bspec, full((b, d)), bspec, bspec],
@@ -1512,7 +1522,7 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
       vec(gt1b), vec(gt2b), vec(logz1b), vec(logz2b), vec(kth1b), vec(kth2b),
       vec(dce1b), vec(dneg1b), vec(dce2b), vec(dneg2b),
       emb_x.astype(jnp.float32), gA32, vA,
-      emb_y.astype(jnp.float32), gB32, vB, qp, *s_ops)
+      emb_y.astype(jnp.float32), gB32, vB, *e8_ops, qp, *s_ops)
     d_emb_x, dgt1a_o, dgt2a_o, d_emb_y, dgt1b_o, dgt2b_o = out
     return (d_emb_x, dgt1a_o[:, 0], dgt2a_o[:, 0],
             d_emb_y, dgt1b_o[:, 0], dgt2b_o[:, 0])

@@ -62,14 +62,22 @@ from vlsfr_tpu.parallel._shard_common import (
 def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                            hard_neg=10, mask_svfc=1.2, tile=512,
                            data_axis="data", use_pallas="auto",
-                           interpret=False, with_acc=False):
+                           interpret=False, with_acc=False,
+                           int8_compute=False):
     """Returns loss_fn(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     labels_a, labels_b) -> (loss_a, loss_b) [, acc].
 
     emb_x/emb_y [B, D] P(data, None); queue [2, Q, D] P(None, model, None);
     g_a/g_b [B, D] + plan_* = (rows, cols, seen) replicated; labels_*
     P(data). Differentiable w.r.t. emb_x/emb_y only. Reductions match
-    ops/twin_margin.quad_add_margin per direction."""
+    ops/twin_margin.quad_add_margin per direction.
+
+    ``int8_compute`` (int8 queues + the Pallas partial kernels only):
+    quantize each shard's local probe rows and run the clean-tile streamed
+    dots int8×int8→int32 on the MXU — per-row quantization is
+    shard-independent, so the mode matches the single-shard
+    quad_add_margin(int8_compute=True) path. The scan fallback ignores
+    the flag (it computes on dequantized rows), mirroring single-shard."""
     k = hard_neg
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
@@ -136,7 +144,8 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                      pb["blend_b"], pb["ll"], pb["gt1"], pb["gt2"])
             parts_a, parts_b = pallas_quad_partial_fwd(
                 ex32, ey32, q_l, dir_a, dir_b, interpret=interpret,
-                mxu_bf16=mxu_bf16, qscales=qs_l, **kw)
+                mxu_bf16=mxu_bf16, qscales=qs_l,
+                int8_compute=int8_compute and qs_l is not None, **kw)
         else:
             parts_a = scan_partials(ex32, q_l, pa["g32"], pa["rows_i"],
                                     pa["lcol"], pa["v"], pa["blend_b"],
@@ -206,7 +215,8 @@ def make_sharded_quad_loss(mesh, *, loss_type="Arc", margin=0.5, scale=32.0,
                       d_ce1b, d_neg1b, d_ce2b, d_neg2b)
             (d_ex, dgt1a, dgt2a, d_ey, dgt1b, dgt2b) = pallas_quad_partial_bwd(
                 ex32, ey32, q_l, dir_a, dir_b, glob_a, glob_b,
-                interpret=interpret, mxu_bf16=mxu_bf16, qscales=qs_l, **kw)
+                interpret=interpret, mxu_bf16=mxu_bf16, qscales=qs_l,
+                int8_compute=int8_compute and qs_l is not None, **kw)
         else:
             d_ex, dgt1a, dgt2a = scan_bwd(
                 ex32, q_l, pa["g32"], pa["rows_i"], pa["lcol"], pa["v"],
