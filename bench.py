@@ -175,6 +175,8 @@ def main():
     cfg.pool.queue_size = queue_size
     cfg.pool.queue_dtype = os.environ.get("BENCH_QUEUE_DTYPE", "float32")
     cfg.pool.queue_int8_compute = os.environ.get("BENCH_QUEUE_INT8C", "0") == "1"
+    cfg.pool.hard_neg = int(os.environ.get("BENCH_HARD_NEG", -1))
+    cfg.pool.queue_tile = int(os.environ.get("BENCH_QUEUE_TILE", 0))
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)

@@ -189,6 +189,33 @@ def test_int8_dense_path_rejected():
         make_ffc_loss_fn(create_net("toy", feat_dim=64), cfg)
 
 
+def test_queue_tile_must_divide():
+    from vlsfr_tpu.config import Config
+    from vlsfr_tpu.core.ffc import make_ffc_loss_fn
+    from vlsfr_tpu.models import create_net
+
+    cfg = Config()
+    cfg.pool.use_fused = "on"
+    cfg.pool.queue_size = 4096
+    cfg.pool.queue_tile = 768  # does not divide 4096
+    with pytest.raises(ValueError, match="queue_tile"):
+        make_ffc_loss_fn(create_net("toy", feat_dim=64), cfg)
+
+
+def test_twin_tile_int8_clamp_wider():
+    """The VMEM clamp admits wider tiles for narrower queue dtypes: the
+    double-buffered tile bytes scale with itemsize while the [B, tile] f32
+    working set does not (ops/twin_margin._twin_tile)."""
+    from vlsfr_tpu.ops.twin_margin import _twin_tile
+
+    b, d = 128, 512
+    f32 = _twin_tile(b, d, 4096, qbytes=4)
+    bf16 = _twin_tile(b, d, 4096, qbytes=2)
+    i8 = _twin_tile(b, d, 4096, qbytes=1)
+    assert f32 == 1024  # the measured round-2/3 clamp is unchanged
+    assert i8 > bf16 > f32
+
+
 @pytest.mark.parametrize("loss_type", ["Arc", "SV"])
 def test_quad_int8_compute_matches_oracle(loss_type):
     """int8-COMPUTE mode (int8xint8->int32 streamed dots, quantized probes)

@@ -107,6 +107,10 @@ def main():
     # ffc head: DCP pool storage dtype (float32 | bfloat16 | int8 — int8
     # needs --use_fused on at queue sizes below the streaming threshold)
     ap.add_argument("--queue_dtype", default="float32")
+    # ffc head, int8 queues: quantize the probes too and run the streamed
+    # dots int8xint8->int32 (pool.queue_int8_compute) — validates the
+    # approximation end-task before it's benched as a default
+    ap.add_argument("--int8_compute", action="store_true")
     ap.add_argument("--tag", default="",
                     help="suffix for the results row (e.g. bf16mom)")
     args = ap.parse_args()
@@ -151,6 +155,7 @@ def main():
         else:
             cfg.pool.use_fused = args.use_fused
             cfg.pool.queue_dtype = args.queue_dtype
+            cfg.pool.queue_int8_compute = args.int8_compute
         cfg.train.saved_dir = (
             f"/tmp/casia_study_{head}_{args.tag or 'base'}_{args.epochs}ep")
         cfg.train.print_freq = 200

@@ -233,7 +233,14 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     # whole [2, Q, D] array to pad the class axis (single-shard; per-shard
     # the partial wrappers re-fit the tile to the local axis, _fit_tile).
     use_quad = fused_defer
-    quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
+    if cfg.pool.queue_tile > 0:
+        quad_tile = cfg.pool.queue_tile
+        if cfg.pool.queue_size % quad_tile != 0:
+            raise ValueError(
+                f"pool.queue_tile={quad_tile} must divide "
+                f"pool.queue_size={cfg.pool.queue_size}")
+    else:
+        quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
     if use_quad and cfg.pool.queue_size >= (1 << 20) \
             and cfg.pool.queue_size % 1024 != 0:
         import logging

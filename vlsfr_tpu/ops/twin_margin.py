@@ -529,11 +529,14 @@ def _scale_operand(qscales, c, tile):
     return (sp,), (spec,)
 
 
-def _twin_tile(b, d, tile):
+def _twin_tile(b, d, tile, qbytes=4):
     """VMEM clamp: ONE double-buffered queue tile (q1 is never an operand
     — see twin_write_values), emb/g/v [B, D], and ~8 [B, tile] working
-    buffers."""
-    max_tile = max(256, int((11 * 2**20 - 24 * b * d) // (8 * d + 40 * b)) // 128 * 128)
+    buffers. ``qbytes`` is the queue storage itemsize — int8 tiles are 4x
+    smaller than f32, which admits wider tiles (the [B, tile] f32 working
+    set then dominates the budget)."""
+    max_tile = max(256, int((11 * 2**20 - 24 * b * d)
+                            // (2 * qbytes * d + 40 * b)) // 128 * 128)
     return min(tile, max_tile)
 
 
@@ -657,7 +660,7 @@ def pallas_twin_fwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2, *,
                     interpret=False):
     b, d = emb.shape
     c = queue.shape[1]
-    tile = _fit_tile(c, _twin_tile(b, d, tile))
+    tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize))
     qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                    mxu_bf16=queue.dtype == jnp.bfloat16)
@@ -781,7 +784,7 @@ def pallas_twin_bwd(emb, queue, g, rows, cols, seen, labels, gt1, gt2,
                     scale, k, mask_svfc, tile=512, interpret=False):
     b, d = emb.shape
     c = queue.shape[1]
-    tile = _fit_tile(c, _twin_tile(b, d, tile))
+    tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize))
     qp, n_tiles = _pad_queue(queue, c, tile)
     kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                    mxu_bf16=queue.dtype == jnp.bfloat16)
@@ -865,7 +868,8 @@ def pallas_twin_partial_fwd(emb, q_local, v, blend_b, g, rows, lcols, labels_l,
     b, d = emb.shape
     bp = rows.shape[0]  # write-plan length (global batch)
     c = q_local.shape[1]
-    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile,
+                                   qbytes=q_local.dtype.itemsize))
     qp, n_tiles = _pad_queue(q_local, c, tile)
     kernel = _make_twin_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=mxu_bf16, partial_out=True)
@@ -921,7 +925,8 @@ def pallas_twin_partial_bwd(emb, q_local, v, blend_b, g, rows, lcols, labels_l,
     b, d = emb.shape
     bp = rows.shape[0]  # write-plan length (global batch)
     c = q_local.shape[1]
-    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile,
+                                   qbytes=q_local.dtype.itemsize))
     qp, n_tiles = _pad_queue(q_local, c, tile)
     kernel = _make_twin_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=mxu_bf16)
@@ -1401,7 +1406,8 @@ def pallas_quad_partial_fwd(emb_x, emb_y, q_local, dir_a, dir_b, *,
     gB32, rowsB, lcolB, vB, blendB, labB, gt1b, gt2b = dir_b
     bp = rowsA.shape[0]
     c = q_local.shape[1]
-    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile,
+                                   qbytes=q_local.dtype.itemsize))
     qp, n_tiles = _pad_queue(q_local, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
     e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
@@ -1473,7 +1479,8 @@ def pallas_quad_partial_bwd(emb_x, emb_y, q_local, dir_a, dir_b,
     gB32, rowsB, lcolB, vB, blendB, labB, gt1b, gt2b = dir_b
     bp = rowsA.shape[0]
     c = q_local.shape[1]
-    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile))
+    tile = _fit_tile(c, _twin_tile(max(b, bp), d, tile,
+                                   qbytes=q_local.dtype.itemsize))
     qp, n_tiles = _pad_queue(q_local, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
     e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
@@ -1553,7 +1560,7 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     interpret=False, qscales=None, int8_compute=False):
     b, d = emb_x.shape
     c = queue.shape[1]
-    tile = _fit_tile(c, _twin_tile(b, d, tile))
+    tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize))
     qp, n_tiles = _pad_queue(queue, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
     e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
@@ -1605,7 +1612,7 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     int8_compute=False):
     b, d = emb_x.shape
     c = queue.shape[1]
-    tile = _fit_tile(c, _twin_tile(b, d, tile))
+    tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize))
     qp, n_tiles = _pad_queue(queue, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
     e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
@@ -1865,6 +1872,17 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
         s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + ts * jnp.exp(tm - m_new)
         m_scr[:] = m_new
 
+    def _extract_topk(buf, width):
+        """Top-k values of ``buf`` [b, width] by k max+argmax passes."""
+        buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+        out = []
+        for _ in range(k):
+            vmax = jnp.max(buf, axis=-1, keepdims=True)
+            amax = jnp.argmax(buf, axis=-1)[:, None]
+            out.append(vmax)
+            buf = jnp.where(buf_col == amax, NEG_INF, buf)
+        return jnp.concatenate(out, axis=-1)
+
     def merge_topk(scr, cos):
         _, _, topk_scr = scr
         # NON-target columns only (matches the logsumexp's neg_ok): the
@@ -1879,14 +1897,28 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
         @pl.when(needs_merge)
         def _merge():
             buf = jnp.concatenate([topk_scr[:], cosm], axis=-1)
-            buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, k + tile), 1)
-            new_topk = []
-            for _ in range(k):
-                vmax = jnp.max(buf, axis=-1, keepdims=True)
-                amax = jnp.argmax(buf, axis=-1)[:, None]
-                new_topk.append(vmax)
-                buf = jnp.where(buf_col == amax, NEG_INF, buf)
-            topk_scr[:] = jnp.concatenate(new_topk, axis=-1)
+            topk_scr[:] = _extract_topk(buf, k + tile)
+
+    def merge_topk_shared(cos):
+        """Clean tiles: both views see the SAME masked cos — extract the
+        tile's own top-k ONCE (k passes over [b, tile] instead of
+        2·k passes over [b, k+tile]), then fold the [b, k] candidates
+        into each view's buffer (k passes over [b, 2k] — negligible).
+        Exact: topk(buf ∪ cos) == topk(buf ∪ topk_k(cos))."""
+        _, _, t1_scr = scr1
+        _, _, t2_scr = scr2
+        cosm = jnp.where(neg_ok, cos, NEG_INF)
+        kth_min = jnp.minimum(
+            jnp.min(t1_scr[:], axis=-1, keepdims=True),
+            jnp.min(t2_scr[:], axis=-1, keepdims=True))
+        needs = jnp.any(jnp.max(cosm, axis=-1, keepdims=True) > kth_min)
+
+        @pl.when(needs)
+        def _merge():
+            cand = _extract_topk(cosm, tile)
+            for t_scr in (t1_scr, t2_scr):
+                t_scr[:] = _extract_topk(
+                    jnp.concatenate([t_scr[:], cand], axis=-1), 2 * k)
 
     tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
 
@@ -1920,8 +1952,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
         tm, ts = tile_stats(cos)  # ONE stream for both views
         merge_stats(scr1, tm, ts)
         merge_stats(scr2, tm, ts)
-        merge_topk(scr1, cos)
-        merge_topk(scr2, cos)
+        merge_topk_shared(cos)  # ONE tile-extraction for both views
 
     @pl.when(t == n_t - 1)
     def _finalize():
