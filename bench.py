@@ -65,10 +65,12 @@ SUITE = [
     {"BENCH_MODE": "search"},
     # capacity headline: a 10.5M-slot int8-stored DCP pool (ops/qqueue.py,
     # 10.7 GB vs 21.5 GB bf16 — does not fit any float dtype) training on
-    # ONE chip. 1024-divisible size: a non-dividing Q drops the stream
-    # tile to 128 and costs 1.7x (docs/PERF.md round 3).
+    # ONE chip, with int8-COMPUTE streamed dots (int8xint8->int32 on the
+    # MXU; CASIA-scale fidelity matches the f32 control, docs/ACCURACY.md)
+    # and the auto-fit 1280 tile. 1024-divisible size: a non-dividing Q
+    # drops the stream tile to 128 and costs 1.7x (docs/PERF.md round 3).
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(10 << 20),
-     "BENCH_QUEUE_DTYPE": "int8"},
+     "BENCH_QUEUE_DTYPE": "int8", "BENCH_QUEUE_INT8C": "1"},
     {"BENCH_MODE": "ffc", "BENCH_QUEUE": "16384"},
 ]
 

@@ -240,7 +240,13 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                 f"pool.queue_tile={quad_tile} must divide "
                 f"pool.queue_size={cfg.pool.queue_size}")
     else:
-        quad_tile = 1024 if cfg.pool.queue_size % 1024 == 0 else 512
+        # auto: request a generous tile and let the kernels' VMEM clamp
+        # (ops/twin_margin._twin_tile, itemsize-aware) and divisor fit
+        # (_fit_tile) decide. f32/bf16 queues clamp to 1024 as before;
+        # int8 queues admit 1280-wide tiles at 1024-indivisible-but-
+        # 1280-divisible sizes like 10x2^20 (measured +1.3-1.6% at
+        # 10.5M slots, docs/PERF.md round 3 int8-compute ladder).
+        quad_tile = 2048 if cfg.pool.queue_size % 1024 == 0 else 512
     if use_quad and cfg.pool.queue_size >= (1 << 20) \
             and cfg.pool.queue_size % 1024 != 0:
         import logging
