@@ -76,6 +76,7 @@ SUITE = [
 
 
 def run_suite() -> int:
+    rows = []
     for overrides in SUITE:
         env = dict(os.environ, **overrides)
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -85,15 +86,31 @@ def run_suite() -> int:
             line = line.strip()
             if line.startswith("{"):
                 row = line
-        if row is not None:
-            print(row, flush=True)
-        else:
-            print(json.dumps({"metric": "bench_config_failed",
+        if row is None:
+            row = json.dumps({"metric": "bench_config_failed",
                               "value": 0, "unit": "error",
                               "vs_baseline": 0.0,
                               "detail": {"overrides": overrides,
-                                         "stderr": proc.stderr[-500:]}}),
-                  flush=True)
+                                         "stderr": proc.stderr[-500:]}})
+        rows.append(row)
+        if overrides is not SUITE[-1]:
+            print(row, flush=True)
+    # The driver records only the LAST JSON line — fold a compact copy of
+    # every suite row into the headline's detail so one parsed line carries
+    # the whole round (the fused/sharded/int8/serving/search rows otherwise
+    # live only in this stdout and docs/PERF.md).
+    try:
+        head = json.loads(rows[-1])
+        compact = []
+        for r in rows[:-1]:
+            d = json.loads(r)
+            compact.append({"metric": d.get("metric"), "value": d.get("value"),
+                            "unit": d.get("unit"),
+                            "vs_baseline": d.get("vs_baseline")})
+        head.setdefault("detail", {})["suite"] = compact
+        print(json.dumps(head), flush=True)
+    except (ValueError, KeyError):
+        print(rows[-1], flush=True)
     return 0
 
 
@@ -451,7 +468,15 @@ def main():
                     "step_flops": step_flops,
                     "peak_flops": peak,
                     "hbm_roofline_frac": hbm_frac,
+                    # fraction of the BINDING resource's roofline: the
+                    # step's lower-bound time is max(flops/peak_flops,
+                    # bytes/peak_bw), so achieved/bound = max(mfu, hbm).
+                    # vs_baseline stays plain MFU for round-over-round
+                    # comparability; docs/PERF.md derives the tighter
+                    # per-phase combined roofline (0.85-0.88 achieved).
+                    "roofline_frac": round(max(mfu, hbm_frac), 4),
                     "queue_dtype": cfg.pool.queue_dtype,
+                    "train_acc": float(m.get("train_acc", -1.0)),
                     "loss": float(m["loss"]),
                 },
             }

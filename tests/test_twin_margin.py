@@ -239,3 +239,43 @@ def test_quad_matches_two_twins(use_pallas, loss_type, rng):
         if use_pallas:
             tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
             tm.pallas_twin_fwd, tm.pallas_twin_bwd = tw_fwd, tw_bwd
+
+
+@pytest.mark.parametrize("scale", [32.0, 64.0])
+def test_quad_fixed_ref_matches_running_max(scale, rng):
+    """The fixed-reference z-unit shared stream (scale ≤ 40 selects
+    _quad_dir_fwd_shared_zfix) and the running-max body (scale 64 keeps
+    the original — exp(z − scale) would underflow past ~2·40) agree with
+    the scan composition on losses, grads, and the streamed top-k-driven
+    accuracy, interpret-mode Pallas vs scan."""
+    from vlsfr_tpu.ops import twin_margin as tm
+
+    p_x, g_a, queue, rows_a, cols_a, seen_a, labels_a = make_case(rng)
+    p_y, g_b, _, rows_b, cols_b, seen_b, labels_b = make_case(rng)
+    kw = dict(loss_type="Arc", margin=0.5, scale=scale, hard_neg=3, tile=16,
+              with_acc=True)
+    args = (queue, g_a, g_b, (rows_a, cols_a, seen_a),
+            (rows_b, cols_b, seen_b), labels_a, labels_b)
+
+    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
+    tm.pallas_quad_fwd = lambda *a, **k: orig_fwd(*a, **dict(k, interpret=True))
+    tm.pallas_quad_bwd = lambda *a, **k: orig_bwd(*a, **dict(k, interpret=True))
+    try:
+        def total(px, py, use_pallas):
+            (la, lb), acc = tm.quad_add_margin(px, py, *args,
+                                               use_pallas=use_pallas, **kw)
+            return la + lb, acc
+
+        (l_p, acc_p), (gx_p, gy_p) = jax.value_and_grad(
+            total, argnums=(0, 1), has_aux=True)(p_x, p_y, True)
+        (l_s, acc_s), (gx_s, gy_s) = jax.value_and_grad(
+            total, argnums=(0, 1), has_aux=True)(p_x, p_y, False)
+    finally:
+        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
+
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_p), float(acc_s), atol=1e-7)
+    # the fixed reference reorders the logsumexp accumulation, so grads
+    # carry an extra ~1e-7 relative shift vs the running-max scan
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_s), atol=1e-5)

@@ -140,6 +140,38 @@ def effective_tile_views(w0, col_ids, g, rows, cols, v, blend_b, mxu_bf16=False)
     return w0e, wbe
 
 
+# Fixed-reference negative stream (docs/PERF.md round-3 session 5): every
+# z = scale·cos of unit-norm rows is ≤ scale (+ f32 fuzz), so the Arc/AM
+# shared negative stream can use the CONSTANT reference ``scale`` instead
+# of a running max: s += Σ exp(z − scale), logz_neg = scale + log s. That
+# deletes the per-tile max/rescale bookkeeping, and the stream runs
+# entirely in z-units — the top-k buffers hold z = scale·cos (monotonic;
+# converted once at finalize, exactly for power-of-two scales) so the
+# unscaled cosine never materializes as a second [B, T] array. Underflow
+# bound: the smallest term is exp(−2·scale) ≥ f32 min normal (e^−87.3)
+# for scale ≤ 40 — above that the running-max bodies stay in charge.
+_FIXED_REF_MAX_SCALE = 40.0
+# z-unit stand-in for the backward's strict (cos > 0) hard-negative test:
+# zm ≥ max(scale·(kth − TOL), _Z_POS_TINY) folds the two comparisons into
+# one; the boundary moves from cos > 0 to cos ≥ 1e-20/scale (measure-zero
+# inside the KTH_TIE_TOL fuzz).
+_Z_POS_TINY = 1e-20
+
+
+def _topk_rows(buf, k):
+    """Top-k values per row of ``buf`` [b, w] by k max+argmax passes (no
+    sort on the VPU; w is tile-sized or a few k)."""
+    b, w = buf.shape
+    buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    out = []
+    for _ in range(k):
+        vmax = jnp.max(buf, axis=-1, keepdims=True)
+        amax = jnp.argmax(buf, axis=-1)[:, None]
+        out.append(vmax)
+        buf = jnp.where(buf_col == amax, NEG_INF, buf)
+    return jnp.concatenate(out, axis=-1)
+
+
 def _cos_int8_dot(e_int, se, w0_raw, s_lane):
     """[B, T] cosines on the int8 MXU path (2x bf16 throughput on v5e):
     exact int32 accumulation (|q| ≤ 127 ⇒ products Σ < 2^24 at D ≤ 1024),
@@ -151,7 +183,7 @@ def _cos_int8_dot(e_int, se, w0_raw, s_lane):
     return acc.astype(jnp.float32) * (se * s_lane)
 
 
-def _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=None):
+def _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=None, zscale=None):
     """[B, T] cosine block against one stored tile. int8 tiles (``s_lane``
     [1, T] per-row scales riding the LANE axis) dequantize POST-dot:
     cos = (emb_bf16 @ int8→bf16ᵀ) · s — the int8→bf16 convert is exact
@@ -159,14 +191,23 @@ def _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=None):
     so the per-byte VPU overhead that held the int8 classifier-read study
     to 1.37× (docs/PERF.md) shrinks by d/b. ``e8 = (e_int, se)`` (the
     int8-COMPUTE mode, pool.queue_int8_compute) runs the dot itself
-    int8×int8→int32 on the MXU."""
+    int8×int8→int32 on the MXU.
+
+    ``zscale`` (the fixed-reference stream) returns zscale·cos directly
+    with the factor folded into the CHEAP side — the [B, 1] probe scales
+    (int8-compute), the [1, T] lane scales (int8 storage), or the [B, D]
+    probe operand (float tiles; exact pre-dot for power-of-two scales) —
+    so no separate [B, T] multiply ever runs."""
     if e8 is not None:
-        return _cos_int8_dot(e8[0], e8[1], w0_raw, s_lane)
+        se = e8[1] if zscale is None else e8[1] * zscale
+        return _cos_int8_dot(e8[0], se, w0_raw, s_lane)
     if s_lane is None:
-        e_op, w_op = _mxu_pair(emb, w0_raw.astype(jnp.float32), mxu_bf16)
+        e32 = emb if zscale is None else emb * zscale
+        e_op, w_op = _mxu_pair(e32, w0_raw.astype(jnp.float32), mxu_bf16)
         return jnp.dot(e_op, w_op.T, preferred_element_type=jnp.float32)
+    sl = s_lane if zscale is None else s_lane * zscale
     return jnp.dot(emb.astype(jnp.bfloat16), w0_raw.astype(jnp.bfloat16).T,
-                   preferred_element_type=jnp.float32) * s_lane
+                   preferred_element_type=jnp.float32) * sl
 
 
 def _demb_clean(dc, w0_raw, s_lane, mxu_bf16):
@@ -1220,9 +1261,15 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         args = (b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
                 t, n_t, col, valid, w0_raw, s_lane)
         # Arc/AM: the shared-stream body (one negative logsumexp per
-        # direction, per-view target terms analytic); SV modifies
-        # non-target columns per view and keeps the two-stream body
-        dir_fwd = _quad_dir_fwd if loss_type == "SV" else _quad_dir_fwd_shared
+        # direction, per-view target terms analytic) — at production scales
+        # the fixed-reference z-unit variant (_FIXED_REF_MAX_SCALE); SV
+        # modifies non-target columns per view and keeps the two-stream body
+        if loss_type == "SV":
+            dir_fwd = _quad_dir_fwd
+        elif scale <= _FIXED_REF_MAX_SCALE:
+            dir_fwd = _quad_dir_fwd_shared_zfix
+        else:
+            dir_fwd = _quad_dir_fwd_shared
         dir_fwd(*args, labA, gt1a, gt2a, rowsA, colsA, blendA,
                 embA_ref, gA_ref, vA_ref,
                 (m1a, s1a, t1a), (m2a, s2a, t2a),
@@ -1872,16 +1919,7 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
         s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + ts * jnp.exp(tm - m_new)
         m_scr[:] = m_new
 
-    def _extract_topk(buf, width):
-        """Top-k values of ``buf`` [b, width] by k max+argmax passes."""
-        buf_col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
-        out = []
-        for _ in range(k):
-            vmax = jnp.max(buf, axis=-1, keepdims=True)
-            amax = jnp.argmax(buf, axis=-1)[:, None]
-            out.append(vmax)
-            buf = jnp.where(buf_col == amax, NEG_INF, buf)
-        return jnp.concatenate(out, axis=-1)
+    _extract_topk = lambda buf, width: _topk_rows(buf, k)  # noqa: E731
 
     def merge_topk(scr, cos):
         _, _, topk_scr = scr
@@ -1986,6 +2024,127 @@ def _quad_dir_fwd_shared(b, c, tile, k, loss_type, margin, scale, mask_svfc,
         fin(scr2, gt2_ref, out2)
 
 
+def _written_cos_pair(emb, w0_raw, s_lane, col, cols_v, g_ref, v_ref,
+                      rows_ref, cols_ref, blend_ref, t, tile, mxu_bf16, e8):
+    """(cos1, cos2) for a tile holding at least one of this step's written
+    slots — the per-view effective-view dots shared by the forward
+    bodies (int8 storage: cos-level overrides through lane one-hots)."""
+    if s_lane is not None:
+        return _int8_written_cos(
+            emb, w0_raw, s_lane, g_ref[:], v_ref[:],
+            _lane_write_onehots(rows_ref[:], cols_ref[:], blend_ref[:],
+                                t, tile), e8=e8)
+    w0e, wbe = effective_tile_views(
+        w0_raw.astype(jnp.float32), col[0], g_ref[:].astype(jnp.float32),
+        rows_ref[:][:, 0], cols_v, v_ref[:].astype(jnp.float32),
+        blend_ref[:][:, 0], mxu_bf16=mxu_bf16)
+    e_op, w0_op = _mxu_pair(emb, w0e, mxu_bf16)
+    _, wb_op = _mxu_pair(emb, wbe, mxu_bf16)
+    cos1 = jnp.dot(e_op, w0_op.T, preferred_element_type=jnp.float32)
+    cos2 = jnp.dot(e_op, wb_op.T, preferred_element_type=jnp.float32)
+    return cos1, cos2
+
+
+def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
+                              mask_svfc, mxu_bf16, t, n_t, col, valid, w0_raw,
+                              s_lane,
+                              lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref,
+                              blend_ref, emb_ref, g_ref, v_ref,
+                              scr1, scr2, out1, out2, partial_out=False,
+                              e8=None):
+    """Arc/AM shared-stream forward at the FIXED z-reference (see
+    _FIXED_REF_MAX_SCALE): the per-tile clean stream is one masked
+    fold (the scale multiply rides the dot operands — _cos_tile zscale),
+    one exp, and two reduces over the SAME [B, T] array; no running max,
+    no rescale, no second cosine materialization. m_scr is never touched
+    after init — the finalize (and the partial_out merge contract,
+    parallel/_shard_common.collective_merge, which is reference-
+    invariant) uses the constant reference ``scale``."""
+    labels = lab_ref[:]
+    emb = emb_ref[:].astype(jnp.float32)
+    cols_v = cols_ref[:][:, 0]
+    is_target = col == labels
+    neg_ok = valid & jnp.logical_not(is_target)
+
+    def stream(zm, scrs):
+        """Fold one masked z-tile into each (m, s, topk) scr: the sum at
+        the fixed reference; z-unit top-k (the needs-check max reduce is
+        the only other pass)."""
+        ts = jnp.sum(jnp.exp(zm - scale), axis=-1, keepdims=True)
+        zmax = jnp.max(zm, axis=-1, keepdims=True)
+        kth = jnp.min(scrs[0][2][:], axis=-1, keepdims=True)
+        for _, s_scr, _ in scrs:
+            s_scr[:] = s_scr[:] + ts
+        if len(scrs) == 2:
+            kth = jnp.minimum(
+                kth, jnp.min(scrs[1][2][:], axis=-1, keepdims=True))
+        needs = jnp.any(zmax > kth)
+
+        @pl.when(needs)
+        def _merge():
+            if len(scrs) == 2:
+                # both views share zm: extract the tile's top-k ONCE, fold
+                # the [b, k] candidates into each buffer (exact:
+                # topk(buf ∪ zm) == topk(buf ∪ topk_k(zm)))
+                cand = _topk_rows(zm, k)
+                for _, _, t_scr in scrs:
+                    t_scr[:] = _topk_rows(
+                        jnp.concatenate([t_scr[:], cand], axis=-1), k)
+            else:
+                _, _, t_scr = scrs[0]
+                t_scr[:] = _topk_rows(
+                    jnp.concatenate([t_scr[:], zm], axis=-1), k)
+
+    tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
+
+    @pl.when(tile_hit)
+    def _written_tile():
+        cos1, cos2 = _written_cos_pair(emb, w0_raw, s_lane, col, cols_v,
+                                       g_ref, v_ref, rows_ref, cols_ref,
+                                       blend_ref, t, tile, mxu_bf16, e8)
+        stream(jnp.where(neg_ok, scale * cos1, NEG_INF), [scr1])
+        stream(jnp.where(neg_ok, scale * cos2, NEG_INF), [scr2])
+
+    @pl.when(jnp.logical_not(tile_hit))
+    def _clean_tile():
+        z = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8, zscale=scale)
+        stream(jnp.where(neg_ok, z, NEG_INF), [scr1, scr2])
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        pos = labels >= 0
+        inv_s = 1.0 / scale
+
+        def fin(scr, gt_ref, out):
+            _, s_scr, topk_scr = scr
+            ce_ref, neg_ref, logz_ref, topk_ref = out
+            topk_cos = topk_scr[:] * inv_s  # exact for power-of-two scales
+            if partial_out:
+                # (m, s) partial at the constant reference — the
+                # collective merge rescales by exp(m_i − pmax m) so any
+                # per-shard reference (fixed here, running max on the CPU
+                # scan shards) composes exactly
+                ce_ref[:] = jnp.full((b, 1), scale, jnp.float32)
+                neg_ref[:] = s_scr[:]
+                topk_ref[:] = topk_cos
+                return
+            gt = gt_ref[:]
+            logz_neg = scale + jnp.log(s_scr[:])
+            zt = scale * _phi_target(gt, loss_type, margin, mask_svfc)
+            m_f = jnp.maximum(logz_neg, zt)
+            logz_pos = m_f + jnp.log(jnp.exp(logz_neg - m_f) + jnp.exp(zt - m_f))
+            logz = jnp.where(pos, logz_pos, logz_neg)
+            ce_ref[:] = jnp.where(pos, logz - zt, 0.0)
+            neg_ref[:] = jnp.where(
+                pos, 0.0,
+                jnp.mean(jnp.maximum(topk_cos, 0.0), axis=-1, keepdims=True))
+            logz_ref[:] = logz
+            topk_ref[:] = topk_cos
+
+        fin(scr1, gt1_ref, out1)
+        fin(scr2, gt2_ref, out2)
+
+
 def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
                          s_lane,
                          lab_ref, rows_ref, cols_ref, blend_ref,
@@ -2009,18 +2168,22 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
     # combined stable reference: z ≤ logz_v for every negative column, so
     # exp(z − ref) ≤ 1 with ref = min(logz1, logz2)
     ref = jnp.minimum(logz1, logz2)
-    c1 = dce1_ref[:] * scale * jnp.exp(ref - logz1)
-    c2 = dce2_ref[:] * scale * jnp.exp(ref - logz2)
+    c12 = (dce1_ref[:] * jnp.exp(ref - logz1)
+           + dce2_ref[:] * jnp.exp(ref - logz2)) * scale
+    # z-unit hard-negative membership: one [B, 1] threshold per view folds
+    # the (cos ≥ kth − TOL) & (cos > 0) pair into a single compare (the
+    # & !pos guard is free — d_neg is pre-masked to 0 on positive rows at
+    # the call sites); masked columns sit at NEG_INF and never pass
+    zthr1 = jnp.maximum(scale * (kth1_ref[:] - KTH_TIE_TOL), _Z_POS_TINY)
+    zthr2 = jnp.maximum(scale * (kth2_ref[:] - KTH_TIE_TOL), _Z_POS_TINY)
+    dn1 = dneg1_ref[:] * (1.0 / k)
+    dn2 = dneg2_ref[:] * (1.0 / k)
 
-    def dc_combined(cos):
-        z = jnp.where(neg_ok, scale * cos, NEG_INF)
-        dc = jnp.exp(z - ref) * (c1 + c2)
-        cosm = jnp.where(valid, cos, NEG_INF)
-        in1 = (cosm >= kth1_ref[:] - KTH_TIE_TOL) & (cosm > 0) & jnp.logical_not(pos)
-        in2 = (cosm >= kth2_ref[:] - KTH_TIE_TOL) & (cosm > 0) & jnp.logical_not(pos)
-        dc = dc + jnp.where(in1, dneg1_ref[:] / k, 0.0)
-        dc = dc + jnp.where(in2, dneg2_ref[:] / k, 0.0)
-        return jnp.where(valid, dc, 0.0)
+    def dc_combined(zm):
+        dc = jnp.exp(zm - ref) * c12
+        dc = dc + jnp.where(zm >= zthr1, dn1, 0.0)
+        dc = dc + jnp.where(zm >= zthr2, dn2, 0.0)
+        return dc
 
     def dc_one(cos, logz, dce, dneg, kth):
         z = jnp.where(neg_ok, scale * cos, NEG_INF)
@@ -2063,8 +2226,8 @@ def _quad_dir_bwd_shared(b, d, c, tile, kw, mxu_bf16, t, col, valid, w0_raw,
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
-        cos = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8)
-        dc = dc_combined(cos)
+        z = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8, zscale=scale)
+        dc = dc_combined(jnp.where(neg_ok, z, NEG_INF))
         demb_scr[:] = demb_scr[:] + _demb_clean(dc, w0_raw, s_lane, mxu_bf16)
 
     @pl.when(t == n_t - 1)
