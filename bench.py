@@ -196,6 +196,7 @@ def main():
     cfg.pool.queue_int8_compute = os.environ.get("BENCH_QUEUE_INT8C", "0") == "1"
     cfg.pool.hard_neg = int(os.environ.get("BENCH_HARD_NEG", -1))
     cfg.pool.queue_tile = int(os.environ.get("BENCH_QUEUE_TILE", 0))
+    cfg.pool.queue_one_pass = os.environ.get("BENCH_QUEUE_ONE_PASS", "auto")
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)
