@@ -44,73 +44,118 @@ import numpy as np
 
 # The default suite: each entry spawns a fresh process (clean HBM between
 # configs — a 4 GB queue and a 5 GB classifier+momentum don't coexist) with
-# these env overrides. Headline LAST so the driver's last-line parse keeps
-# tracking the same metric as rounds 1-2.
+# these env overrides.
+#
+# Execution order (round-4 rework; BENCH_r03 rc=124 lost the headline):
+# the q16384 HEADLINE row runs FIRST — it is the metric tracked across
+# rounds and must never be starved by a cold compile elsewhere — and its
+# JSON line is buffered and printed LAST so the driver's last-line parse
+# still picks it up. The remaining rows run newest-capability-first under
+# a wall-clock budget (env BENCH_BUDGET_S, default 1500 s — conservative
+# vs the driver window that killed round 3's 8-row suite); rows that don't
+# fit are skipped by name in the headline's detail.
+HEADLINE = {"name": "headline_q16k", "BENCH_MODE": "ffc",
+            "BENCH_QUEUE": "16384"}
 SUITE = [
-    {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
-     "BENCH_QUEUE_DTYPE": "float32"},
-    {"BENCH_MODE": "softmax", "BENCH_CLASSES": str(1 << 20),
-     "BENCH_CLS_DTYPE": "bfloat16", "BENCH_FUSED": "on",
-     "BENCH_MOM_DTYPE": "bfloat16"},
+    # capacity: a 10.5M-slot int8-stored DCP pool (ops/qqueue.py, 10.7 GB
+    # vs 21.5 GB bf16 — does not fit any float dtype) training on ONE
+    # chip, int8-COMPUTE streamed dots (int8xint8->int32 on the MXU;
+    # CASIA-scale fidelity matches the f32 control, docs/ACCURACY.md).
+    # 1024-divisible size: a non-dividing Q drops the stream tile to 128
+    # and costs 1.7x (docs/PERF.md round 3).
+    {"name": "capacity_10m_int8c", "BENCH_MODE": "ffc",
+     "BENCH_QUEUE": str(10 << 20), "BENCH_QUEUE_DTYPE": "int8",
+     "BENCH_QUEUE_INT8C": "1"},
     # the multi-chip head's compiled artifact on one chip: shard_map over a
     # (1,1) mesh routing the per-shard Pallas QUAD composition (fused
     # configs route make_sharded_quad_loss — both directions, one pass)
-    {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
+    {"name": "sharded_q1m", "BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
      "BENCH_QUEUE_DTYPE": "float32", "BENCH_FORCE_SHARDED": "1"},
-    # serving: bf16 vs the int8 path (ops/quant.py; +27% measured on ir50)
-    {"BENCH_MODE": "infer"},
-    {"BENCH_MODE": "infer", "BENCH_INT8": "1"},
+    {"name": "softmax_1m_bf16", "BENCH_MODE": "softmax",
+     "BENCH_CLASSES": str(1 << 20), "BENCH_CLS_DTYPE": "bfloat16",
+     "BENCH_FUSED": "on", "BENCH_MOM_DTYPE": "bfloat16"},
     # serving 1:N: 10M-identity int8 gallery search on one chip (MXU-bound
     # at Q=1024 — vs_baseline is MFU for this row)
-    {"BENCH_MODE": "search"},
-    # capacity headline: a 10.5M-slot int8-stored DCP pool (ops/qqueue.py,
-    # 10.7 GB vs 21.5 GB bf16 — does not fit any float dtype) training on
-    # ONE chip, with int8-COMPUTE streamed dots (int8xint8->int32 on the
-    # MXU; CASIA-scale fidelity matches the f32 control, docs/ACCURACY.md)
-    # and the auto-fit 1280 tile. 1024-divisible size: a non-dividing Q
-    # drops the stream tile to 128 and costs 1.7x (docs/PERF.md round 3).
-    {"BENCH_MODE": "ffc", "BENCH_QUEUE": str(10 << 20),
-     "BENCH_QUEUE_DTYPE": "int8", "BENCH_QUEUE_INT8C": "1"},
-    {"BENCH_MODE": "ffc", "BENCH_QUEUE": "16384"},
+    {"name": "search_10m", "BENCH_MODE": "search"},
+    {"name": "ffc_q1m_f32", "BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
+     "BENCH_QUEUE_DTYPE": "float32"},
+    # serving bf16 vs int8 (ops/quant.py): settled results (+27%/−20%,
+    # docs/PERF.md) — lowest priority, first dropped under the budget
+    {"name": "infer_bf16", "BENCH_MODE": "infer"},
+    {"name": "infer_int8", "BENCH_MODE": "infer", "BENCH_INT8": "1"},
 ]
 
 
-def run_suite() -> int:
-    rows = []
-    for overrides in SUITE:
-        env = dict(os.environ, **overrides)
+def _run_row(entry, timeout_s):
+    """Run one suite row in a fresh process; return (json_line|None, wall_s)."""
+    overrides = {k: v for k, v in entry.items() if k != "name"}
+    env = dict(os.environ, **overrides)
+    t0 = time.monotonic()
+    try:
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True)
-        row = None
-        for line in proc.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                row = line
-        if row is None:
-            row = json.dumps({"metric": "bench_config_failed",
-                              "value": 0, "unit": "error",
-                              "vs_baseline": 0.0,
-                              "detail": {"overrides": overrides,
-                                         "stderr": proc.stderr[-500:]}})
+                              env=env, capture_output=True, text=True,
+                              timeout=timeout_s)
+        stdout, stderr = proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        stderr = f"row timed out after {timeout_s:.0f}s"
+    wall = time.monotonic() - t0
+    row = None
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            row = line
+    if row is None:
+        row = json.dumps({"metric": f"bench_config_failed_{entry['name']}",
+                          "value": 0, "unit": "error",
+                          "vs_baseline": 0.0,
+                          "detail": {"overrides": overrides,
+                                     "stderr": stderr[-500:]}})
+    return row, wall
+
+
+def run_suite() -> int:
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    t_start = time.monotonic()
+    # Headline FIRST: it hits the persistent compile cache from previous
+    # rounds, so it is the cheapest row AND the one the driver tracks.
+    head_row, head_wall = _run_row(HEADLINE, budget)
+    walls = {HEADLINE["name"]: round(head_wall, 1)}
+    rows, skipped = [], []
+    for entry in SUITE:
+        elapsed = time.monotonic() - t_start
+        remaining = budget - elapsed
+        # estimate the next row's cost from the slowest completed row
+        # (compile-cache misses dominate; a fresh row can be ~10x a warm
+        # one, so keep a hard floor too)
+        est = max(max(walls.values()), 120.0)
+        if remaining < est:
+            skipped.append(entry["name"])
+            continue
+        row, wall = _run_row(entry, remaining)
+        walls[entry["name"]] = round(wall, 1)
         rows.append(row)
-        if overrides is not SUITE[-1]:
-            print(row, flush=True)
+        print(row, flush=True)
     # The driver records only the LAST JSON line — fold a compact copy of
     # every suite row into the headline's detail so one parsed line carries
     # the whole round (the fused/sharded/int8/serving/search rows otherwise
     # live only in this stdout and docs/PERF.md).
     try:
-        head = json.loads(rows[-1])
+        head = json.loads(head_row)
         compact = []
-        for r in rows[:-1]:
+        for r in rows:
             d = json.loads(r)
             compact.append({"metric": d.get("metric"), "value": d.get("value"),
                             "unit": d.get("unit"),
                             "vs_baseline": d.get("vs_baseline")})
-        head.setdefault("detail", {})["suite"] = compact
+        detail = head.setdefault("detail", {})
+        detail["suite"] = compact
+        detail["suite_skipped"] = skipped
+        detail["suite_row_wall_s"] = walls
+        detail["suite_budget_s"] = budget
         print(json.dumps(head), flush=True)
     except (ValueError, KeyError):
-        print(rows[-1], flush=True)
+        print(head_row, flush=True)
     return 0
 
 
@@ -196,7 +241,10 @@ def main():
     cfg.pool.queue_int8_compute = os.environ.get("BENCH_QUEUE_INT8C", "0") == "1"
     cfg.pool.hard_neg = int(os.environ.get("BENCH_HARD_NEG", -1))
     cfg.pool.queue_tile = int(os.environ.get("BENCH_QUEUE_TILE", 0))
-    cfg.pool.queue_one_pass = os.environ.get("BENCH_QUEUE_ONE_PASS", "auto")
+    one_pass = os.environ.get("BENCH_QUEUE_ONE_PASS", "auto")
+    if one_pass not in ("auto", "on", "off"):
+        raise SystemExit(f"BENCH_QUEUE_ONE_PASS must be auto|on|off, got {one_pass!r}")
+    cfg.pool.queue_one_pass = one_pass
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)

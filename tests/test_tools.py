@@ -89,3 +89,75 @@ def test_train_cli_smoke(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed from checkpoint" in (r2.stdout + r2.stderr)
+
+
+def test_bench_suite_budget_and_headline_order(monkeypatch):
+    """run_suite: headline runs first but prints LAST; rows past the budget
+    are skipped by name; per-row wall times land in the headline detail."""
+    import json as _json
+
+    import bench
+
+    calls = []
+
+    def fake_run_row(entry, timeout_s):
+        calls.append(entry["name"])
+        # headline + first two suite rows "take" 100s each; the clock below
+        # makes the budget run out after three rows
+        return _json.dumps({"metric": entry["name"], "value": 1.0,
+                            "unit": "x", "vs_baseline": 0.5}), 100.0
+
+    t = [0.0]
+
+    def fake_monotonic():
+        t[0] += 200.0  # each clock read advances: 3 rows fit a 1000s budget
+        return t[0]
+
+    monkeypatch.setattr(bench, "_run_row", fake_run_row)
+    monkeypatch.setattr(bench.time, "monotonic", fake_monotonic)
+    monkeypatch.setenv("BENCH_BUDGET_S", "1000")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = bench.run_suite()
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.strip().startswith("{")]
+    head = _json.loads(lines[-1])
+    # the last printed line is ALWAYS the headline row (driver parses it)
+    assert head["metric"] == "headline_q16k"
+    assert calls[0] == "headline_q16k"
+    detail = head["detail"]
+    # every suite row is either completed (in detail.suite) or named skipped
+    done = {r["metric"] for r in detail["suite"]}
+    assert done | set(detail["suite_skipped"]) == {e["name"] for e in bench.SUITE}
+    assert set(detail["suite_row_wall_s"]) == done | {"headline_q16k"}
+    # priority order: the capacity row is never skipped before serving rows
+    if detail["suite_skipped"]:
+        assert "capacity_10m_int8c" in done
+
+
+def test_bench_suite_no_budget_runs_all(monkeypatch):
+    import json as _json
+
+    import bench
+
+    def fake_run_row(entry, timeout_s):
+        return _json.dumps({"metric": entry["name"], "value": 1.0,
+                            "unit": "x", "vs_baseline": 0.5}), 1.0
+
+    monkeypatch.setattr(bench, "_run_row", fake_run_row)
+    monkeypatch.setenv("BENCH_BUDGET_S", "100000")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.run_suite()
+    lines = [l for l in buf.getvalue().splitlines() if l.strip().startswith("{")]
+    head = _json.loads(lines[-1])
+    assert head["detail"]["suite_skipped"] == []
+    assert len(head["detail"]["suite"]) == len(bench.SUITE)

@@ -92,7 +92,10 @@ class LossConfig:
     loss_type: str = "Arc"  # Arc | AM | SV
     margin: float = 0.5
     scale: float = 32.0
-    neg_margin: float = 0.25  # parsed by reference, used for outlier clip floor
+    # dead flag, kept for CLI parity: the reference parses --neg_margin
+    # (main.py:161) and stores it (ffc.py:44) but never reads it; this
+    # framework likewise accepts and ignores it.
+    neg_margin: float = 0.25
     mask_svfc: float = 1.2  # SVFC hard-example slope (ffc.py:47)
 
 
