@@ -268,13 +268,12 @@ def main():
         k, d, tile = 10, cfg.model.feat_dim, 65536
 
         gal, scales = make_int8_gallery(jax.random.PRNGKey(0), g_rows, d)
-        idx = FaceIndex(feat_dim=d, int8=True, tile=tile)
-        idx._n_rows, idx._gallery, idx._scales = g_rows, gal, scales
-        idx._gallery_labels = np.arange(g_rows, dtype=np.int64)
+        idx = FaceIndex.from_arrays(gal, np.arange(g_rows, dtype=np.int64),
+                                    scales, tile=tile)
         queries = make_unit_rows(jax.random.PRNGKey(7), (q_batch, d))
 
-        sec = timed_search_chain(idx._make_search(tile), gal, scales,
-                                 queries, k)
+        sec = timed_search_chain(idx.search_fn(), idx.gallery,
+                                 idx.row_scales, queries, k)
         flops = 2.0 * q_batch * d * g_rows
         print(json.dumps({
             "metric": f"search_1n_int8_g{g_rows >> 20}m_q{q_batch}_probes_per_sec",

@@ -331,3 +331,60 @@ def test_holdout_split_excludes_eval_records(store):
         _, rec1, rec2 = pairs.batch(0, step)
         assert (rec1 < limit).all() and (rec2 < limit).all()
     r.close()
+
+
+def test_face_index_from_arrays_int8_matches_built(rng):
+    """from_arrays around a prebuilt int8 gallery searches identically to
+    an add()-built int8 index over the same rows (same quantization)."""
+    from vlsfr_tpu.eval.index import FaceIndex, _quantize_rows
+
+    emb, labels = make_separable_embeddings(rng, n_ids=12, per_id=4, d=64)
+    built = FaceIndex(feat_dim=64, int8=True, tile=128)
+    built.add(emb, labels)
+    # prebuild with the same row quantizer, padded shape handled inside
+    q, s = _quantize_rows(emb)
+    pre = FaceIndex.from_arrays(q, labels, s, tile=128)
+    q_probe = emb[:9]
+    v1, r1, l1 = built.search(q_probe, k=3)
+    v2, r2, l2 = pre.search(q_probe, k=3)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(l1, l2)
+    # the public accessors expose the built arrays (bench harness uses them)
+    assert pre.gallery.dtype == jnp.int8
+    assert pre.row_scales.shape[0] == pre.gallery.shape[0]
+    vals, idx = pre.search_fn()(pre.gallery, pre.row_scales,
+                                jnp.asarray(q_probe), 3)
+    np.testing.assert_allclose(np.asarray(vals), v1, rtol=0, atol=1e-6)
+
+
+def test_face_index_from_arrays_float_and_padding(rng):
+    """Float from_arrays path with a non-tile-multiple row count: padding
+    rows never appear in results."""
+    from vlsfr_tpu.eval.index import FaceIndex
+
+    emb, labels = make_separable_embeddings(rng, n_ids=10, per_id=3, d=16)
+    assert emb.shape[0] % 128 != 0  # 30 rows -> tile clamps + pads
+    ref = FaceIndex(feat_dim=16, tile=128)
+    ref.add(emb, labels)
+    pre = FaceIndex.from_arrays(emb, labels, tile=128)
+    v1, r1, l1 = ref.search(emb[:8], k=4)
+    v2, r2, l2 = pre.search(emb[:8], k=4)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(l1, l2)
+    assert np.all(r2 < len(emb))
+
+
+def test_face_index_from_arrays_sharded(rng):
+    """from_arrays with a mesh shards the prebuilt rows and matches the
+    unsharded search."""
+    from vlsfr_tpu.eval.index import FaceIndex, _quantize_rows
+    from vlsfr_tpu.parallel.mesh import make_mesh
+
+    emb, labels = make_separable_embeddings(rng, n_ids=16, per_id=8, d=32)
+    q, s = _quantize_rows(emb)
+    flat = FaceIndex.from_arrays(q, labels, s, tile=128)
+    sh = FaceIndex.from_arrays(q, labels, s, tile=128, mesh=make_mesh(1, 8))
+    v1, _, l1 = flat.search(emb[:7], k=3)
+    v2, _, l2 = sh.search(emb[:7], k=3)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(l1, l2)

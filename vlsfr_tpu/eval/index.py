@@ -93,6 +93,87 @@ class FaceIndex:
         self._gallery_labels = None
         self._n_rows = 0
         self._search = None
+        self._search_unbound = None
+
+    @classmethod
+    def from_arrays(cls, gallery, labels, scales=None, *, mesh=None,
+                    tile: int = 65536, compute_dtype=jnp.bfloat16,
+                    recall_target: float = 0.95) -> "FaceIndex":
+        """Wrap a PREBUILT gallery (quantized offline, restored from a
+        checkpoint, or already resident on device) without the
+        add()/_build() host concatenate + re-quantize round-trip.
+
+        Args:
+          gallery: [G, D] rows. With ``scales``: int8 rows used verbatim
+            (int8 storage mode). Without: float rows, assumed
+            L2-normalized, stored as ``compute_dtype``.
+          labels: [G] integer identity labels.
+          scales: optional [G] f32 per-row dequant scales (row ≈
+            scale · int8_row) — selects int8 storage.
+          mesh/tile/compute_dtype/recall_target: as in ``__init__``.
+
+        Accepts numpy or device arrays; rows are padded to a tile multiple
+        (padding is masked out of every search by the global-row-id test).
+        """
+        int8 = scales is not None
+        g_rows, d = gallery.shape
+        self = cls(feat_dim=d, mesh=mesh, int8=int8, tile=tile,
+                   compute_dtype=compute_dtype, recall_target=recall_target)
+        if int8 and np.dtype(gallery.dtype) != np.int8:
+            raise ValueError("scales given but gallery dtype is "
+                             f"{gallery.dtype}, expected int8")
+        m = mesh.shape["model"] if mesh is not None else 1
+        tile = max(128, min(tile, -(-max(g_rows, 1) // (128 * m)) * 128))
+        pad = (-g_rows) % (tile * m)
+        if pad:
+            # numpy galleries pad on host (the mesh path must not stage
+            # the full array on device 0 — see _build); device galleries
+            # pad in place on device
+            xp = np if isinstance(gallery, np.ndarray) else jnp
+            gallery = xp.concatenate(
+                [gallery, xp.zeros((pad, d), gallery.dtype)])
+            if int8:
+                scales = xp.concatenate(
+                    [xp.asarray(scales, np.float32), xp.ones(pad, np.float32)])
+        if not int8:
+            gallery = gallery.astype(np.dtype(compute_dtype))
+        if mesh is not None:
+            gallery = jax.device_put(gallery, NamedSharding(mesh, P("model", None)))
+            if int8:
+                scales = jax.device_put(scales, NamedSharding(mesh, P("model")))
+        else:
+            gallery = jnp.asarray(gallery)
+            scales = jnp.asarray(scales) if int8 else None
+        self._gallery = gallery
+        self._scales = scales if int8 else None
+        self._gallery_labels = np.asarray(labels, np.int64)
+        self._n_rows = g_rows
+        self._search_unbound = self._make_search(tile)
+        self._search = functools.partial(
+            self._search_unbound, gallery, self._scales)
+        return self
+
+    @property
+    def gallery(self):
+        """Built device gallery rows (padded to a tile multiple)."""
+        if self._gallery is None:
+            self._build()
+        return self._gallery
+
+    @property
+    def row_scales(self):
+        """Per-row int8 dequant scales (None for float galleries)."""
+        if self._gallery is None:
+            self._build()
+        return self._scales
+
+    def search_fn(self):
+        """The jitted ``(gallery, scales, queries, k) -> (vals, idx)``
+        function backing search() — for benchmark harnesses that must
+        perturb operands inside a jit chain (utils/benchtime)."""
+        if self._gallery is None:
+            self._build()
+        return self._search_unbound
 
     def add(self, embeddings: np.ndarray, labels: np.ndarray) -> None:
         assert embeddings.shape[1] == self.feat_dim
@@ -145,7 +226,8 @@ class FaceIndex:
             scales = jnp.asarray(scales_np) if scales_np is not None else None
         self._gallery = gallery
         self._scales = scales
-        self._search = functools.partial(self._make_search(tile), gallery, scales)
+        self._search_unbound = self._make_search(tile)
+        self._search = functools.partial(self._search_unbound, gallery, scales)
 
     def _make_search(self, tile: int):
         cd, int8, n_rows = self.compute_dtype, self.int8, self._n_rows
