@@ -86,3 +86,23 @@ def test_reference_optim_config_compat(tmp_path):
     assert c.optim.weight_decay == 0.0001
     assert c.optim.nesterov is True
     assert c.optim.gammas == [0.1, 0.1, 0.1]
+
+
+def test_shipped_configs_load():
+    """Every configs/*.json parses through Config.load; the 10M config
+    encodes BASELINE config 5 (10.5M int8 pool + int8 compute, size
+    1024-divisible so the fused head keeps its wide stream tile)."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.json")))
+    assert paths
+    cfgs = {os.path.basename(p): Config.load(p) for p in paths
+            if os.path.basename(p) != "reference_optim.json"}
+    ten = cfgs["ffc_10m_ids.json"]
+    assert ten.pool.queue_size == 10485760
+    assert ten.pool.queue_size % 1024 == 0
+    assert ten.pool.queue_dtype == "int8"
+    assert ten.pool.queue_int8_compute is True
+    assert ten.pool.fuse_forward is True

@@ -347,3 +347,44 @@ def test_sparse_sampled_trainer_smoke(store, tmp_path):
     result = t.train()
     assert np.isfinite(result["loss"])
     t.close()
+
+
+def test_int8_queue_resume_matches_uninterrupted(store, tmp_path):
+    """queue_dtype=int8 checkpoint schema (FFCState.queue_scales): train 2
+    epochs straight vs train-stop-resume — identical final params, int8
+    queue rows, AND per-row dequant scales (the round-3 schema addition)."""
+
+    def cfg_for(path, epochs):
+        c = tiny_cfg(store, path)
+        c.pool.queue_dtype = "int8"
+        c.pool.use_fused = "on"  # int8 storage requires the streaming head
+        c.optim.epochs = epochs
+        return c
+
+    t_a = Trainer(cfg_for(tmp_path / "a", 2))
+    assert t_a.state.queue.dtype == np.int8
+    assert t_a.state.queue_scales is not None
+    t_a.train()
+    params_a = np.concatenate(
+        [np.ravel(x) for x in jax_leaves(t_a.state.probe_params)])
+    queue_a = np.asarray(t_a.state.queue)
+    scales_a = np.asarray(t_a.state.queue_scales)
+    t_a.close()
+
+    t_b1 = Trainer(cfg_for(tmp_path / "b", 1))
+    t_b1.train()
+    t_b1.close()
+    t_b2 = Trainer(cfg_for(tmp_path / "b", 2))
+    assert t_b2.start_epoch == 1
+    # the restored device state round-trips the int8 rows + scales exactly
+    assert t_b2.state.queue.dtype == np.int8
+    t_b2.train()
+    params_b = np.concatenate(
+        [np.ravel(x) for x in jax_leaves(t_b2.state.probe_params)])
+    queue_b = np.asarray(t_b2.state.queue)
+    scales_b = np.asarray(t_b2.state.queue_scales)
+    t_b2.close()
+
+    np.testing.assert_allclose(params_a, params_b, atol=1e-5)
+    np.testing.assert_array_equal(queue_a, queue_b)  # int8: bit-exact
+    np.testing.assert_allclose(scales_a, scales_b, rtol=0, atol=0)
