@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--heads", nargs="*", default=["ffc", "full_softmax"])
     ap.add_argument("--store", default="/root/casia_syn_store")
+    # per-image coefficient-space jitter (data/synthetic.py): sets a
+    # Bayes-optimal verification ceiling (~0.94 at 0.20) so the study can
+    # actually detect regressions — the round-3 verdict's "saturated
+    # benchmark" fix. 0.0 reproduces the round-3 store.
+    ap.add_argument("--coef_jitter", type=float, default=0.0)
     ap.add_argument("--out", default="")
     # perf-config accuracy probes (full_softmax head): force the streaming
     # fused path and its storage dtypes to validate the bench configuration
@@ -127,7 +132,8 @@ def main():
         t0 = time.time()
         generate_synthetic_store(args.store, num_ids=args.ids,
                                  images_per_id=args.images_per_id,
-                                 image_size=112, hard=True)
+                                 image_size=112, hard=True,
+                                 coef_jitter=args.coef_jitter)
         print(f"store generated in {time.time()-t0:.0f}s", flush=True)
 
     holdout = max(2000, args.ids * args.images_per_id // 20)
@@ -185,7 +191,8 @@ def main():
             "# CASIA-scale accuracy study (hard-synthetic, real TPU training)",
             "",
             f"Store: {args.ids} identities x {args.images_per_id} images, 112x112",
-            f"hard-synthetic (data/synthetic.py shared-manifold), net={args.net},",
+            f"hard-synthetic (data/synthetic.py shared-manifold, "
+            f"coef_jitter={args.coef_jitter}), net={args.net},",
             f"batch={args.batch}, epochs={args.epochs}, holdout={holdout} records;",
             "the `.bin` columns evaluate a foreign-format verification file",
             "(insightface lfw2pack packing, NOT this repo's writer;",

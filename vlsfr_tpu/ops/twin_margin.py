@@ -570,6 +570,18 @@ def _scale_operand(qscales, c, tile):
     return (sp,), (spec,)
 
 
+def _zx_sub(tile):
+    """One-pass z-max pack geometry for a kernel tile: (n_sub, sub,
+    n_sub_pad). 128-column subtiles when the tile is a 128-multiple (the
+    production case — 128-aligned lane slices are Mosaic-native); tiny or
+    odd test tiles fall back to equal splits (or one subtile)."""
+    n_sub = max(1, tile // 128)
+    while tile % n_sub:
+        n_sub -= 1
+    sub = tile // n_sub
+    return n_sub, sub, n_sub + ((-n_sub) % 8)
+
+
 def _twin_tile(b, d, tile, qbytes=4, one_pass=False):
     """VMEM clamp: ONE double-buffered queue tile (q1 is never an operand
     — see twin_write_values), emb/g/v [B, D], and ~8 [B, tile] working
@@ -577,10 +589,13 @@ def _twin_tile(b, d, tile, qbytes=4, one_pass=False):
     smaller than f32, which admits wider tiles (the [B, tile] f32 working
     set then dominates the budget). ``one_pass`` reserves the 6 extra
     [B, D] f32 weighted-sum output refs of the one-pass forward (they
-    double as the accumulators — no separate scratches)."""
+    double as the accumulators — no separate scratches) plus the two
+    grid-indexed per-subtile z-max packs, whose double-buffered blocks
+    grow with the tile (f32 per 128 columns x 2 dirs x 2 buffers = 16
+    bytes/col)."""
     fixed = (24 + (24 if one_pass else 0)) * b * d
-    max_tile = max(256, int((11 * 2**20 - fixed)
-                            // (2 * qbytes * d + 40 * b)) // 128 * 128)
+    per_col = 2 * qbytes * d + 40 * b + (16 if one_pass else 0)
+    max_tile = max(256, int((11 * 2**20 - fixed) // per_col) // 128 * 128)
     return min(tile, max_tile)
 
 
@@ -1645,10 +1660,10 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     interpret=False, qscales=None, int8_compute=False,
                     one_pass=False):
     """``one_pass`` (Arc/AM, scale ≤ _FIXED_REF_MAX_SCALE): additionally
-    returns, per direction, the per-tile z-max pack [n_tiles, 8, B] and
-    the weighted queue sums (S_clean, Sw1, Sw2) — the residuals that let
-    the one-pass backward rebuild d_emb with ZERO queue re-stream
-    (_one_pass_dir_demb)."""
+    returns, per direction, the per-SUBTILE z-max pack
+    [n_tiles, ceil8(tile/128), B] and the weighted queue sums
+    (S_clean, Sw1, Sw2) — the residuals that let the one-pass backward
+    rebuild d_emb with ZERO queue re-stream (_one_pass_dir_demb)."""
     b, d = emb_x.shape
     c = queue.shape[1]
     tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize,
@@ -1669,13 +1684,16 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
     extra_specs, extra_shapes = [], []
     if one_pass:
-        # grid-indexed per-tile z-max packs + the weighted sums; no extra
-        # scratches — the S sums accumulate directly in their output refs
-        zx_spec = pl.BlockSpec((1, 8, b), lambda t: (t, 0, 0),
+        # grid-indexed per-SUBTILE z-max packs (tile/128 maxima per grid
+        # step, padded to a multiple of 8 sublanes) + the weighted sums;
+        # no extra scratches — the S sums accumulate directly in their
+        # output refs
+        _, _, n_sub_pad = _zx_sub(tile)
+        zx_spec = pl.BlockSpec((1, n_sub_pad, b), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)
         extra_specs = [zx_spec] * 2 + [full((b, d))] * 6
         extra_shapes = (
-            [jax.ShapeDtypeStruct((n_tiles, 8, b), jnp.float32)] * 2
+            [jax.ShapeDtypeStruct((n_tiles, n_sub_pad, b), jnp.float32)] * 2
             + [jax.ShapeDtypeStruct((b, d), jnp.float32)] * 6)
     out = pl.pallas_call(
         kernel,
@@ -1800,11 +1818,14 @@ def _one_pass_hardneg(emb, queue, qscales, g32, rows_i, cols_i, seen_f,
                       kth1, kth2, dn1, dn2, zx, *, scale, k, mxu_bf16):
     """Hard-negative d_emb tail WITHOUT a queue pass: ∂ mean(max(v, 0))
     of each view's top-k needs those ≤k columns' queue rows back.
-    Candidate TILES come from the forward's per-tile z-maxima (kernel-
-    side values, so the m_t ≥ z_kth test is rounding-consistent with the
-    kernel's own top-k); only the top 2k candidate tiles per row are
-    gathered (2k·tile rows ≪ Q) and their z recomputed, then per view at
-    most k passing columns are rank-selected inside a small guard band —
+    Candidate SUBTILES (128 columns — the forward records maxima at this
+    granularity precisely so this gather stays small; a 2k·TILE-row
+    gather was a multi-GB temp that OOM'd the chip at 10.5M slots) come
+    from the forward's per-subtile z-maxima (kernel-side values, so the
+    m_t ≥ z_kth test is rounding-consistent with the kernel's own
+    top-k); only the top 2k candidate subtiles per row are gathered
+    (2k·128 rows ≪ Q) and their z recomputed, then per view at most k
+    passing columns are rank-selected inside a small guard band —
     recompute rounding can swap near-tied members, the same fuzz class
     as the two-pass kernel's KTH_TIE_TOL threshold test. This step's
     written slots are excluded from the raw gather by a [Q] bitmap and
@@ -1814,28 +1835,31 @@ def _one_pass_hardneg(emb, queue, qscales, g32, rows_i, cols_i, seen_f,
     q = queue.shape[1]
     n_tiles = zx.shape[0]
     tile = q // n_tiles
-    m_t = zx[:, 0, :].T  # [B, n_tiles] (kernel z-units)
+    n_sub, sub, _ = _zx_sub(tile)
+    s_total = n_tiles * n_sub
+    # [B, S] subtile maxima (kernel z-units); drop the NEG_INF pad rows
+    m_t = zx[:, :n_sub, :].reshape(s_total, b).T
     zthr1 = jnp.maximum(scale * (kth1 - KTH_TIE_TOL), _Z_POS_TINY)[:, None]
     zthr2 = jnp.maximum(scale * (kth2 - KTH_TIE_TOL), _Z_POS_TINY)[:, None]
     thr_min = jnp.minimum(zthr1, zthr2)
-    ncand = min(n_tiles, 2 * k)
+    ncand = min(s_total, 2 * k)
     scores = jnp.where(m_t >= thr_min, m_t, NEG_INF)
-    _, tids = jax.lax.top_k(scores, ncand)  # [B, ncand]
+    _, tids = jax.lax.top_k(scores, ncand)  # [B, ncand] subtile ids
 
-    # gather the candidate tiles and recompute their raw z (bf16 MXU like
-    # the kernel's int8/bf16 streams; f32 for f32 queues). NEVER slice
-    # plane 0 first — ``queue[0].reshape(...)`` as a gather operand
+    # gather the candidate subtiles and recompute their raw z (bf16 MXU
+    # like the kernel's int8/bf16 streams; f32 for f32 queues). NEVER
+    # slice plane 0 first — ``queue[0].reshape(...)`` as a gather operand
     # materializes a queue-sized temp (the _gather_plane copy class;
     # OOM'd the chip at 10.5M slots). Reshape the FULL array (free
     # bitcast) and gather with a plane-index carrier instead.
     plane0 = jnp.zeros_like(tids)
-    qt = queue.reshape(2, n_tiles, tile, d)[plane0, tids]
-    qt = qt.reshape(b, ncand * tile, d)  # [B, M, D]
-    m = ncand * tile
-    cols_g = (tids * tile)[:, :, None] + jnp.arange(tile, dtype=jnp.int32)
+    qt = queue.reshape(2, s_total, sub, d)[plane0, tids]
+    qt = qt.reshape(b, ncand * sub, d)  # [B, M, D]
+    m = ncand * sub
+    cols_g = (tids * sub)[:, :, None] + jnp.arange(sub, dtype=jnp.int32)
     cols_g = cols_g.reshape(b, m)
     if qscales is not None:
-        sg = qscales.reshape(2, n_tiles, tile)[plane0, tids].reshape(b, m)
+        sg = qscales.reshape(2, s_total, sub)[plane0, tids].reshape(b, m)
         zr = jax.lax.dot_general(
             emb.astype(jnp.bfloat16), qt.astype(jnp.bfloat16),
             (((1,), (2,)), ((0,), (0,))),
@@ -2305,14 +2329,19 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
     S = Σ_j exp(z_j − scale)·w_j — S_clean for tiles where both views
     share columns, Sw1/Sw2 on written tiles per effective view, all
     accumulated DIRECTLY in their output refs (constant index map keeps
-    them VMEM-resident) — and records each tile's z-max (already
-    computed for the top-k needs-check) into the grid-indexed packed
-    ``zx_ref`` [1, 8, B]. With (S, logz, per-tile maxima, top-k values)
-    as residuals the ENTIRE backward queue stream disappears:
+    them VMEM-resident) — and records per-SUBTILE z-maxima (128-column
+    granularity, 128-aligned lane slices of the zm the stream already
+    computed) into the grid-indexed packed ``zx_ref``
+    [1, ceil8(tile/128), B] (pad rows NEG_INF). Subtile — not per-tile —
+    maxima matter: the backward's candidate gather pulls whole regions,
+    and at 10.5M slots a 2k·TILE-row gather was a 1.7-5.4 GB temp that
+    OOM'd the chip; 2k·128-row subtile gathers are ~10x smaller and
+    recompute ~10x fewer z columns. With (S, logz, subtile maxima, top-k
+    values) as residuals the ENTIRE backward queue stream disappears:
     d_emb_clean = Σ_v scale·dce_v·exp(scale − logz_v)·S_v exactly (the
     per-column exp(z − logz_v) factors through the fixed reference), and
     the hard-negative tail re-finds its ≤k columns by gathering only the
-    ~2k candidate tiles whose kernel-side maximum clears the kth
+    ~2k candidate subtiles whose kernel-side maximum clears the kth
     threshold (_one_pass_hardneg). An id-carrying top-k merge was
     measured 3-4x WORSE than this (docs/PERF.md round-3 session-5
     bisect) — never reintroduce per-merge index extraction."""
@@ -2352,11 +2381,18 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
                 t_scr[:] = _topk_rows(
                     jnp.concatenate([t_scr[:], zm], axis=-1), k)
 
-    def record_zx(zx_row):
+    def record_zx(zm_all):
         if one_pass:
-            # packed [1, 8, B] (rows 1-7 pad to Mosaic's tiling minimum)
-            zx_ref[0] = jnp.concatenate(
-                [zx_row[None, :], jnp.zeros((7, b), jnp.float32)], axis=0)
+            # per-128-column subtile maxima of the combined masked z
+            # [B, T], packed [n_sub_pad, B]; 128-aligned static lane
+            # slices (Mosaic-native), NEG_INF pad rows never rank
+            n_sub, sub, n_sub_pad = _zx_sub(tile)
+            rows = [jnp.max(zm_all[:, i * sub:(i + 1) * sub], axis=-1)[None, :]
+                    for i in range(n_sub)]
+            if n_sub_pad > n_sub:
+                rows.append(jnp.full((n_sub_pad - n_sub, b), NEG_INF,
+                                     jnp.float32))
+            zx_ref[0] = jnp.concatenate(rows, axis=0)
 
     tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
 
@@ -2373,7 +2409,7 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
         zx2 = jnp.max(zm2, axis=-1)
         stream(zm1, e1, zx1, [scr1])
         stream(zm2, e2, zx2, [scr2])
-        record_zx(jnp.maximum(zx1, zx2))
+        record_zx(jnp.maximum(zm1, zm2))
         if one_pass:
             # per-view weighted sums over the EFFECTIVE views
             sw1, sw2 = sums[1], sums[2]
@@ -2407,7 +2443,7 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
         e = jnp.exp(zm - scale)
         zx = jnp.max(zm, axis=-1)
         stream(zm, e, zx, [scr1, scr2])
-        record_zx(zx)
+        record_zx(zm)
         if one_pass:
             sc = sums[0]
             sc[:] = sc[:] + _demb_clean(e, w0_raw, s_lane, mxu_bf16)
