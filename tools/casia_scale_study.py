@@ -187,7 +187,20 @@ def main():
         print(key, json.dumps(res), flush=True)
 
     if args.out:
-        lines = [
+        # Emit the section header + preamble + table header only once per
+        # (out-file, run-config) — subsequent appends add bare table rows so
+        # the matrix reads as ONE comparable table (round-4 advisor finding:
+        # per-row H1 duplication made control-vs-feature deltas unreadable).
+        header_line = (
+            f"<!-- matrix: ids={args.ids} imgs={args.images_per_id} "
+            f"jitter={args.coef_jitter} net={args.net} batch={args.batch} "
+            f"epochs={args.epochs} -->")
+        have_header = False
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                have_header = header_line in f.read()
+        lines = [] if have_header else [
+            header_line,
             "# CASIA-scale accuracy study (hard-synthetic, real TPU training)",
             "",
             f"Store: {args.ids} identities x {args.images_per_id} images, 112x112",
