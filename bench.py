@@ -241,10 +241,6 @@ def main():
     cfg.pool.queue_int8_compute = os.environ.get("BENCH_QUEUE_INT8C", "0") == "1"
     cfg.pool.hard_neg = int(os.environ.get("BENCH_HARD_NEG", -1))
     cfg.pool.queue_tile = int(os.environ.get("BENCH_QUEUE_TILE", 0))
-    one_pass = os.environ.get("BENCH_QUEUE_ONE_PASS", "auto")
-    if one_pass not in ("auto", "on", "off"):
-        raise SystemExit(f"BENCH_QUEUE_ONE_PASS must be auto|on|off, got {one_pass!r}")
-    cfg.pool.queue_one_pass = one_pass
     cfg.data.batch_size = batch
     cfg.pool.fuse_forward = fuse_forward
     size = native_image_size(net_type)

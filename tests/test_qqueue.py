@@ -129,53 +129,6 @@ def test_quad_int8_matches_dequantized_oracle(loss_type, use_pallas):
                                    rtol=tol, atol=tol)
 
 
-@pytest.mark.parametrize("int8c", [False, True])
-def test_quad_int8_one_pass_matches_two_pass(int8c):
-    """int8 queue, one-pass (S sums via the lane-one-hot written-demb
-    decomposition; backward gathers by saved top-k ids through the int8
-    dequant) == the two-pass int8 kernels, interpret Pallas both sides,
-    with and without int8-compute probes."""
-    import vlsfr_tpu.ops.twin_margin as tm
-
-    b, q, d, tile = 16, 512, 128, 128
-    key = jax.random.PRNGKey(7)
-    kq, ke1, ke2, kg1, kg2, kp1, kp2 = jax.random.split(key, 7)
-    q_int, q_s = quantize_rows(_unit_rows(kq, (2, q, d)))
-    emb_x = _unit_rows(ke1, (b, d))
-    emb_y = _unit_rows(ke2, (b, d))
-    g_a = _unit_rows(kg1, (b, d))
-    g_b = _unit_rows(kg2, (b, d))
-    rowsA, colsA, seenA, labA = _plan(kp1, b, q)
-    rowsB, colsB, seenB, labB = _plan(kp2, b, q)
-    kw = dict(loss_type="Arc", margin=0.3, scale=16.0, hard_neg=5,
-              tile=tile, use_pallas=True, qscales=q_s, int8_compute=int8c,
-              with_acc=True)
-
-    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
-    tm.pallas_quad_fwd = lambda *a, **k2: orig_fwd(*a, interpret=True, **k2)
-    tm.pallas_quad_bwd = lambda *a, **k2: orig_bwd(*a, interpret=True, **k2)
-    try:
-        def total(ex, ey, one_pass):
-            (la, lb), acc = tm.quad_add_margin(
-                ex, ey, q_int, g_a, g_b, (rowsA, colsA, seenA),
-                (rowsB, colsB, seenB), labA, labB, one_pass=one_pass, **kw)
-            return la + lb, acc
-
-        (l1, acc1), g1 = jax.value_and_grad(
-            total, argnums=(0, 1), has_aux=True)(emb_x, emb_y, True)
-        (l2, acc2), g2 = jax.value_and_grad(
-            total, argnums=(0, 1), has_aux=True)(emb_x, emb_y, False)
-    finally:
-        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
-
-    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
-    np.testing.assert_allclose(float(acc1), float(acc2), atol=1e-7)
-    for a, o in zip(g1, g2):
-        # both sides run bf16 MXU ops; the one-pass backward reorders the
-        # weighted sum (S accumulated pre-scalar) — bf16-level agreement
-        np.testing.assert_allclose(np.asarray(a), np.asarray(o),
-                                   rtol=5e-3, atol=5e-3)
-
 
 def test_ffc_step_int8_e2e():
     """End-to-end FFC train step with an int8 queue: loss finite and

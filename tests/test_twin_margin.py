@@ -241,42 +241,6 @@ def test_quad_matches_two_twins(use_pallas, loss_type, rng):
             tm.pallas_twin_fwd, tm.pallas_twin_bwd = tw_fwd, tw_bwd
 
 
-@pytest.mark.parametrize("loss_type", ["Arc", "AM"])
-def test_quad_one_pass_matches_two_pass(loss_type, rng):
-    """one_pass=True (forward accumulates S sums + top-k ids; backward
-    never streams the queue — ops/twin_margin._one_pass_dir_demb) ==
-    the two-pass quad kernels: losses, streamed acc, AND d_emb grads,
-    interpret-mode Pallas both sides."""
-    from vlsfr_tpu.ops import twin_margin as tm
-
-    p_x, g_a, queue, rows_a, cols_a, seen_a, labels_a = make_case(rng)
-    p_y, g_b, _, rows_b, cols_b, seen_b, labels_b = make_case(rng)
-    kw = dict(loss_type=loss_type, margin=0.5, scale=32.0, hard_neg=3,
-              tile=16, use_pallas=True, with_acc=True)
-    args = (queue, g_a, g_b, (rows_a, cols_a, seen_a),
-            (rows_b, cols_b, seen_b), labels_a, labels_b)
-
-    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
-    tm.pallas_quad_fwd = lambda *a, **k: orig_fwd(*a, **dict(k, interpret=True))
-    tm.pallas_quad_bwd = lambda *a, **k: orig_bwd(*a, **dict(k, interpret=True))
-    try:
-        def total(px, py, one_pass):
-            (la, lb), acc = tm.quad_add_margin(px, py, *args,
-                                               one_pass=one_pass, **kw)
-            return la + lb, acc
-
-        (l1, acc1), (gx1, gy1) = jax.value_and_grad(
-            total, argnums=(0, 1), has_aux=True)(p_x, p_y, True)
-        (l2, acc2), (gx2, gy2) = jax.value_and_grad(
-            total, argnums=(0, 1), has_aux=True)(p_x, p_y, False)
-    finally:
-        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
-
-    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
-    np.testing.assert_allclose(float(acc1), float(acc2), atol=1e-7)
-    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), atol=1e-5)
-
 
 @pytest.mark.parametrize("scale", [32.0, 64.0])
 def test_quad_fixed_ref_matches_running_max(scale, rng):

@@ -118,6 +118,11 @@ def main():
     ap.add_argument("--int8_compute", action="store_true")
     ap.add_argument("--tag", default="",
                     help="suffix for the results row (e.g. bf16mom)")
+    # multi-seed support (round-4 verdict item 5): the seed drives BOTH the
+    # init PRNGKey and the data order (cfg.data.seed). Seed 0 reproduces the
+    # round-4 single-seed rows; non-zero seeds get an `_sN` row suffix so
+    # tools/aggregate_matrix_seeds.py can group repeats into mean±range.
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from cross_stack_eval import build_pair_bin
@@ -154,6 +159,7 @@ def main():
         cfg.pool.head = head
         cfg.pool.queue_size = args.queue
         cfg.pool.num_classes = args.ids
+        cfg.data.seed = args.seed
         if head == "full_softmax":
             cfg.pool.use_fused = args.use_fused
             cfg.pool.classifier_dtype = args.cls_dtype
@@ -162,8 +168,10 @@ def main():
             cfg.pool.use_fused = args.use_fused
             cfg.pool.queue_dtype = args.queue_dtype
             cfg.pool.queue_int8_compute = args.int8_compute
+        seed_sfx = f"_s{args.seed}" if args.seed else ""
         cfg.train.saved_dir = (
-            f"/tmp/casia_study_{head}_{args.tag or 'base'}_{args.epochs}ep")
+            f"/tmp/casia_study_{head}_{args.tag or 'base'}"
+            f"{seed_sfx}_{args.epochs}ep")
         cfg.train.print_freq = 200
         cfg.train.save_freq = 10**9  # no mid-run checkpoints needed
         cfg.train.holdout_records = holdout
@@ -182,7 +190,7 @@ def main():
         res["train_acc"] = round(float(summary.get("train_acc", -1.0)), 4)
         res["train_seconds"] = round(train_s, 0)
         trainer.close()
-        key = head + (f"_{args.tag}" if args.tag else "")
+        key = head + (f"_{args.tag}" if args.tag else "") + seed_sfx
         results[key] = res
         print(key, json.dumps(res), flush=True)
 

@@ -129,17 +129,6 @@ class PoolConfig:
     # rather than padding. Measured: int8 q=10x2^20 fits tile 1280,
     # +1.3-1.6% over 1024 (docs/PERF.md round 3).
     queue_tile: int = 0
-    # ONE queue pass per STEP instead of two: the fused quad forward
-    # additionally accumulates the softmax-weighted queue sums
-    # S = Σ exp(z − scale)·w and the top-k column ids, so the backward
-    # never streams the queue (d_emb = per-row scalars × S + a B·k-row
-    # gather; ops/twin_margin._one_pass_dir_demb). Arc/AM + TPU Pallas +
-    # scale ≤ 40 + single-shard only; "on" requests it (with those
-    # fallbacks), "off" keeps two-pass. "auto" currently = off: the
-    # first real-chip cut measured the one-pass forward ~4.5x slower
-    # per tile (S-sum epilogue serializes the stream — see
-    # core/ffc.py gate + tools/bench_one_pass_kernel.py).
-    queue_one_pass: str = "auto"  # auto | on | off
     momentum: float = 0.99  # EMA alpha for gallery net (--alpha, main.py:157)
     # hard_neg = clamp(int(queue_size*2e-4), 3, 10) as in ffc.py:48; -1 = auto
     hard_neg: int = -1

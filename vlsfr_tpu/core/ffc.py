@@ -218,16 +218,6 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
     if int8_compute and cfg.pool.queue_dtype != "int8":
         raise ValueError(
             "pool.queue_int8_compute requires pool.queue_dtype='int8'")
-    # one queue pass per STEP (fwd accumulates the weighted sums + the
-    # per-tile maxima; the backward never streams the queue). The
-    # fused_quad_margin impl self-gates to Arc/AM + Pallas + scale <= 40;
-    # sharded compositions keep the two-pass partial kernels. "auto"
-    # currently resolves to OFF: the first real-chip measurement put the
-    # one-pass forward at ~36 us/tile vs 8 for two-pass (q=10x2^20 int8c
-    # b128 — the S-sum epilogue serializes the stream; bisect in
-    # tools/bench_one_pass_kernel.py). Flip auto on only behind a
-    # measured step-time win (docs/PERF.md).
-    one_pass = cfg.pool.queue_one_pass == "on"
     sharded = use_fused and mesh is not None and (
         mesh.shape.get("model", 1) > 1 or cfg.pool.force_sharded)
     sharded_quad_fn = None
@@ -384,7 +374,7 @@ def make_ffc_loss_fn(model, cfg: Config, mesh=None) -> Callable:
                     scale=loss_kw["scale"], hard_neg=loss_kw["hard_neg"],
                     mask_svfc=loss_kw["mask_svfc"], tile=quad_tile,
                     with_acc=True, qscales=state.queue_scales,
-                    int8_compute=int8_compute, one_pass=one_pass,
+                    int8_compute=int8_compute,
                 )
             new_queue = (g_xd, idx.b.rows, idx.b.cols)
         else:

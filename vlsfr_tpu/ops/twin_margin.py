@@ -570,31 +570,14 @@ def _scale_operand(qscales, c, tile):
     return (sp,), (spec,)
 
 
-def _zx_sub(tile):
-    """One-pass z-max pack geometry for a kernel tile: (n_sub, sub,
-    n_sub_pad). 128-column subtiles when the tile is a 128-multiple (the
-    production case — 128-aligned lane slices are Mosaic-native); tiny or
-    odd test tiles fall back to equal splits (or one subtile)."""
-    n_sub = max(1, tile // 128)
-    while tile % n_sub:
-        n_sub -= 1
-    sub = tile // n_sub
-    return n_sub, sub, n_sub + ((-n_sub) % 8)
-
-
-def _twin_tile(b, d, tile, qbytes=4, one_pass=False):
+def _twin_tile(b, d, tile, qbytes=4):
     """VMEM clamp: ONE double-buffered queue tile (q1 is never an operand
     — see twin_write_values), emb/g/v [B, D], and ~8 [B, tile] working
     buffers. ``qbytes`` is the queue storage itemsize — int8 tiles are 4x
     smaller than f32, which admits wider tiles (the [B, tile] f32 working
-    set then dominates the budget). ``one_pass`` reserves the 6 extra
-    [B, D] f32 weighted-sum output refs of the one-pass forward (they
-    double as the accumulators — no separate scratches) plus the two
-    grid-indexed per-subtile z-max packs, whose double-buffered blocks
-    grow with the tile (f32 per 128 columns x 2 dirs x 2 buffers = 16
-    bytes/col)."""
-    fixed = (24 + (24 if one_pass else 0)) * b * d
-    per_col = 2 * qbytes * d + 40 * b + (16 if one_pass else 0)
+    set then dominates the budget)."""
+    fixed = 24 * b * d
+    per_col = 2 * qbytes * d + 40 * b
     max_tile = max(256, int((11 * 2**20 - fixed) // per_col) // 128 * 128)
     return min(tile, max_tile)
 
@@ -1248,10 +1231,7 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
 
 def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False, partial_out=False, int8=False,
-                          int8c=False, one_pass=False):
-    if one_pass:
-        assert loss_type != "SV" and scale <= _FIXED_REF_MAX_SCALE
-
+                          int8c=False):
     def body(labA, gt1a, gt2a, rowsA, colsA, blendA,
              labB, gt1b, gt2b, rowsB, colsB, blendB,
              embA_ref, gA_ref, vA_ref, embB_ref, gB_ref, vB_ref,
@@ -1261,20 +1241,8 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
              ce1b, neg1b, ce2b, neg2b, logz1b, logz2b,
              topk1a, topk2a, topk1b, topk2b,
              *rest):
-        if one_pass:
-            # extra outputs: the grid-indexed per-tile z-max packs + the
-            # weighted-sum refs. The S sums accumulate DIRECTLY in their
-            # output refs (constant index map keeps them VMEM-resident
-            # for the whole grid) — separate scratches would double the
-            # [B, D] footprint.
-            (zxa_ref, zxb_ref,
-             sca, sw1a, sw2a, scb, sw1b, sw2b,
-             m1a, s1a, t1a, m2a, s2a, t2a,
-             m1b, s1b, t1b, m2b, s2b, t2b) = rest
-        else:
-            zxa_ref = zxb_ref = None
-            (m1a, s1a, t1a, m2a, s2a, t2a,
-             m1b, s1b, t1b, m2b, s2b, t2b) = rest
+        (m1a, s1a, t1a, m2a, s2a, t2a,
+         m1b, s1b, t1b, m2b, s2b, t2b) = rest
         t = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -1285,9 +1253,6 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                 m_scr[:] = jnp.full((b, 1), NEG_INF, jnp.float32)
                 s_scr[:] = jnp.zeros((b, 1), jnp.float32)
                 t_scr[:] = jnp.full((b, k), NEG_INF, jnp.float32)
-            if one_pass:
-                for s_acc in (sca, sw1a, sw2a, scb, sw1b, sw2b):
-                    s_acc[:] = jnp.zeros((b, d), jnp.float32)
 
         col = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         valid = col < c
@@ -1301,22 +1266,6 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
         # direction, per-view target terms analytic) — at production scales
         # the fixed-reference z-unit variant (_FIXED_REF_MAX_SCALE); SV
         # modifies non-target columns per view and keeps the two-stream body
-        if one_pass:
-            _quad_dir_fwd_shared_zfix(
-                *args, labA, gt1a, gt2a, rowsA, colsA, blendA,
-                embA_ref, gA_ref, vA_ref,
-                (m1a, s1a, t1a), (m2a, s2a, t2a),
-                (ce1a, neg1a, logz1a, topk1a),
-                (ce2a, neg2a, logz2a, topk2a), partial_out=partial_out,
-                e8=e8A, sums=(sca, sw1a, sw2a), zx_ref=zxa_ref)
-            _quad_dir_fwd_shared_zfix(
-                *args, labB, gt1b, gt2b, rowsB, colsB, blendB,
-                embB_ref, gB_ref, vB_ref,
-                (m1b, s1b, t1b), (m2b, s2b, t2b),
-                (ce1b, neg1b, logz1b, topk1b),
-                (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out,
-                e8=e8B, sums=(scb, sw1b, sw2b), zx_ref=zxb_ref)
-            return
         if loss_type == "SV":
             dir_fwd = _quad_dir_fwd
         elif scale <= _FIXED_REF_MAX_SCALE:
@@ -1657,24 +1606,17 @@ def _e8_operands(emb_x, emb_y, int8_compute):
 def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, gts_a, gts_b, *,
                     loss_type, margin, scale, k, mask_svfc, tile=512,
-                    interpret=False, qscales=None, int8_compute=False,
-                    one_pass=False):
-    """``one_pass`` (Arc/AM, scale ≤ _FIXED_REF_MAX_SCALE): additionally
-    returns, per direction, the per-SUBTILE z-max pack
-    [n_tiles, ceil8(tile/128), B] and the weighted queue sums
-    (S_clean, Sw1, Sw2) — the residuals that let the one-pass backward
-    rebuild d_emb with ZERO queue re-stream (_one_pass_dir_demb)."""
+                    interpret=False, qscales=None, int8_compute=False):
     b, d = emb_x.shape
     c = queue.shape[1]
-    tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize,
-                                   one_pass=one_pass))
+    tile = _fit_tile(c, _twin_tile(b, d, tile, qbytes=queue.dtype.itemsize))
     qp, n_tiles = _pad_queue(queue, c, tile)
     s_ops, s_specs = _scale_operand(qscales, c, tile)
     e8_ops, e8_specs = _e8_operands(emb_x, emb_y, int8_compute)
     kernel = _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale,
                                    mask_svfc, mxu_bf16=queue.dtype == jnp.bfloat16,
                                    int8=qscales is not None,
-                                   int8c=int8_compute, one_pass=one_pass)
+                                   int8c=int8_compute)
     gA32, rowsA, colsA, vA, blendA = _dir_inputs(queue, g_a, *plan_a, qscales=qscales)
     gB32, rowsB, colsB, vB, blendB = _dir_inputs(queue, g_b, *plan_b, qscales=qscales)
     gt1a, gt2a = gts_a
@@ -1682,28 +1624,15 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     vec = lambda v, dt=jnp.float32: v[:, None].astype(dt)  # noqa: E731
     bspec = pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
-    extra_specs, extra_shapes = [], []
-    if one_pass:
-        # grid-indexed per-SUBTILE z-max packs (tile/128 maxima per grid
-        # step, padded to a multiple of 8 sublanes) + the weighted sums;
-        # no extra scratches — the S sums accumulate directly in their
-        # output refs
-        _, _, n_sub_pad = _zx_sub(tile)
-        zx_spec = pl.BlockSpec((1, n_sub_pad, b), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM)
-        extra_specs = [zx_spec] * 2 + [full((b, d))] * 6
-        extra_shapes = (
-            [jax.ShapeDtypeStruct((n_tiles, n_sub_pad, b), jnp.float32)] * 2
-            + [jax.ShapeDtypeStruct((b, d), jnp.float32)] * 6)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[bspec] * 12 + [full((b, d))] * 6 + list(e8_specs) + [
             pl.BlockSpec((1, tile, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
         ] + list(s_specs),
-        out_specs=[bspec] * 12 + [full((b, k))] * 4 + extra_specs,
+        out_specs=[bspec] * 12 + [full((b, k))] * 4,
         out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 12
-        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4 + extra_shapes,
+        + [jax.ShapeDtypeStruct((b, k), jnp.float32)] * 4,
         scratch_shapes=(
             [pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.float32),
              pltpu.VMEM((b, k), jnp.float32)] * 4
@@ -1721,10 +1650,6 @@ def pallas_quad_fwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     col0 = lambda v: v[:, 0]  # noqa: E731
     res = (col0(logz1a), col0(logz2a), col0(logz1b), col0(logz2b),
            topk1a, topk2a, topk1b, topk2b)
-    if one_pass:
-        zxa, zxb, sca, sw1a, sw2a, scb, sw1b, sw2b = out[16:]
-        res = res + ((zxa, zxb),
-                     ((sca, sw1a, sw2a), (scb, sw1b, sw2b)))
     return ((col0(ce1a), col0(neg1a), col0(ce2a), col0(neg2a),
              col0(ce1b), col0(neg1b), col0(ce2b), col0(neg2b)), res)
 
@@ -1807,173 +1732,33 @@ def pallas_quad_bwd(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     return d_emb_x, d_emb_y
 
 
-# z-unit guard band for the one-pass hard-negative recompute: bf16 MXU
-# rounding perturbs a recomputed z by up to ~1e-2·scale for unit rows —
-# the band keeps true top-k members selectable; the rank cap bounds the
-# selection at k either way.
-_REC_GUARD = 0.5
-
-
-def _one_pass_hardneg(emb, queue, qscales, g32, rows_i, cols_i, seen_f,
-                      kth1, kth2, dn1, dn2, zx, *, scale, k, mxu_bf16):
-    """Hard-negative d_emb tail WITHOUT a queue pass: ∂ mean(max(v, 0))
-    of each view's top-k needs those ≤k columns' queue rows back.
-    Candidate SUBTILES (128 columns — the forward records maxima at this
-    granularity precisely so this gather stays small; a 2k·TILE-row
-    gather was a multi-GB temp that OOM'd the chip at 10.5M slots) come
-    from the forward's per-subtile z-maxima (kernel-side values, so the
-    m_t ≥ z_kth test is rounding-consistent with the kernel's own
-    top-k); only the top 2k candidate subtiles per row are gathered
-    (2k·128 rows ≪ Q) and their z recomputed, then per view at most k
-    passing columns are rank-selected inside a small guard band —
-    recompute rounding can swap near-tied members, the same fuzz class
-    as the two-pass kernel's KTH_TIE_TOL threshold test. This step's
-    written slots are excluded from the raw gather by a [Q] bitmap and
-    handled separately through their effective views (reference
-    ffc.py:160-201 semantics)."""
-    b, d = emb.shape
-    q = queue.shape[1]
-    n_tiles = zx.shape[0]
-    tile = q // n_tiles
-    n_sub, sub, _ = _zx_sub(tile)
-    s_total = n_tiles * n_sub
-    # [B, S] subtile maxima (kernel z-units); drop the NEG_INF pad rows
-    m_t = zx[:, :n_sub, :].reshape(s_total, b).T
-    zthr1 = jnp.maximum(scale * (kth1 - KTH_TIE_TOL), _Z_POS_TINY)[:, None]
-    zthr2 = jnp.maximum(scale * (kth2 - KTH_TIE_TOL), _Z_POS_TINY)[:, None]
-    thr_min = jnp.minimum(zthr1, zthr2)
-    ncand = min(s_total, 2 * k)
-    scores = jnp.where(m_t >= thr_min, m_t, NEG_INF)
-    _, tids = jax.lax.top_k(scores, ncand)  # [B, ncand] subtile ids
-
-    # gather the candidate subtiles and recompute their raw z (bf16 MXU
-    # like the kernel's int8/bf16 streams; f32 for f32 queues). NEVER
-    # slice plane 0 first — ``queue[0].reshape(...)`` as a gather operand
-    # materializes a queue-sized temp (the _gather_plane copy class;
-    # OOM'd the chip at 10.5M slots). Reshape the FULL array (free
-    # bitcast) and gather with a plane-index carrier instead.
-    plane0 = jnp.zeros_like(tids)
-    qt = queue.reshape(2, s_total, sub, d)[plane0, tids]
-    qt = qt.reshape(b, ncand * sub, d)  # [B, M, D]
-    m = ncand * sub
-    cols_g = (tids * sub)[:, :, None] + jnp.arange(sub, dtype=jnp.int32)
-    cols_g = cols_g.reshape(b, m)
-    if qscales is not None:
-        sg = qscales.reshape(2, s_total, sub)[plane0, tids].reshape(b, m)
-        zr = jax.lax.dot_general(
-            emb.astype(jnp.bfloat16), qt.astype(jnp.bfloat16),
-            (((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * (sg * scale)
-    else:
-        e_op = emb * scale
-        w_op = qt.astype(jnp.float32)
-        if mxu_bf16:
-            e_op, w_op = e_op.astype(jnp.bfloat16), qt.astype(jnp.bfloat16)
-        zr = jax.lax.dot_general(e_op, w_op, (((1,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-
-    # columns owned by this step's write plan are handled below through
-    # their effective views — mask them out of the raw pool
-    wmask = jnp.zeros((q,), jnp.bool_).at[jnp.maximum(cols_i, 0)].set(True)
-    zr = jnp.where(wmask[cols_g], NEG_INF, zr)
-
-    def raw_term(zthr, dnv):
-        # the guard band admits true members whose recomputed z rounds a
-        # bit low; the rank cap keeps at most k, like ∂mean(max(topk, 0))
-        zsel = jnp.where(zr >= zthr - _REC_GUARD, zr, NEG_INF)
-        vals, pos = jax.lax.top_k(zsel, k)
-        ok = vals > _Z_POS_TINY
-        ids = jnp.take_along_axis(cols_g, pos, axis=1)  # [B, k]
-        rows = _gather_plane_deq(queue, qscales, 0, ids.reshape(-1))
-        coef = jnp.where(ok, dnv[:, None], 0.0)
-        return jnp.einsum("bk,bkd->bd", coef, rows.reshape(b, k, d))
-
-    d_emb = raw_term(zthr1, dn1) + raw_term(zthr2, dn2)
-
-    # written slots: ≤B entries, per-view effective values (duplicates
-    # collapse to the last writer — count each SLOT once)
-    safe = jnp.maximum(cols_i, 0)
-    r0 = _gather_plane_deq(queue, qscales, 0, safe)
-    r1 = _gather_plane_deq(queue, qscales, 1, safe)
-    r0e, rbe = _effective_views(r0, r1, cols_i, g32, rows_i, cols_i, seen_f)
-    bp = cols_i.shape[0]
-    i_io = jnp.arange(bp, dtype=jnp.int32)
-    same = cols_i[:, None] == cols_i[None, :]
-    uniq = i_io == jnp.max(jnp.where(same, i_io[None, :], -1), axis=1)
-
-    def written_term(re_, zthr, dnv):
-        zw = scale * (emb @ re_.T)  # [B, Bp]
-        passes = (zw >= zthr) & uniq[None, :]
-        return jnp.where(passes, dnv[:, None], 0.0) @ re_
-
-    d_emb = d_emb + written_term(r0e, zthr1, dn1)
-    d_emb = d_emb + written_term(rbe, zthr2, dn2)
-    return d_emb
-
-
-def _one_pass_dir_demb(emb, queue, qscales, g32, rows_i, cols_i, seen_f,
-                       labels, gts, logzs, topks, zx, sums, cots, *,
-                       loss_type, margin, scale, k, mask_svfc, mxu_bf16):
-    """One direction's d_emb from the one-pass residuals — NO queue
-    stream. The softmax mass routes through the forward's weighted sums
-    (exp(z − logz_v) = exp(z − scale)·exp(scale − logz_v): the per-column
-    factor is already inside S, the per-row factor is a scalar here); the
-    hard-negative term re-finds its ≤k columns from the per-tile maxima
-    (_one_pass_hardneg); the target column goes through the analytic φ'
-    tail as everywhere else."""
-    gt1, gt2 = gts
-    logz1, logz2 = logzs
-    tv1, tv2 = topks
-    sc, sw1, sw2 = sums
-    d_ce1, d_neg1, d_ce2, d_neg2 = cots  # pre-masked (pos / outlier split)
-    pos = labels >= 0
-    a1 = (scale * d_ce1 * jnp.exp(scale - logz1))[:, None]
-    a2 = (scale * d_ce2 * jnp.exp(scale - logz2))[:, None]
-    d_emb = (a1 + a2) * sc + a1 * sw1 + a2 * sw2
-
-    d_emb = d_emb + _one_pass_hardneg(
-        emb.astype(jnp.float32), queue, qscales, g32, rows_i, cols_i,
-        seen_f, tv1[:, -1], tv2[:, -1], d_neg1 * (1.0 / k),
-        d_neg2 * (1.0 / k), zx, scale=scale, k=k, mxu_bf16=mxu_bf16)
-
-    def dgt(gt, logz, d_ce):
-        zt = scale * _phi_target(gt, loss_type, margin, mask_svfc)
-        return jnp.where(pos, (jnp.exp(zt - logz) - 1.0) * d_ce * scale, 0.0)
-
-    return _twin_gt_tail(emb, queue, g32, rows_i, cols_i, seen_f, labels,
-                         gt1, gt2, dgt(gt1, logz1, d_ce1),
-                         dgt(gt2, logz2, d_ce2), d_emb, loss_type, margin,
-                         qscales=qscales)
-
-
 @partial(jax.custom_vjp,
-         nondiff_argnums=(14, 15, 16, 17, 18, 19, 20, 21, 22))
+         nondiff_argnums=(14, 15, 16, 17, 18, 19, 20, 21))
 def fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                       seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                       loss_type="Arc", margin=0.5, scale=32.0, hard_neg=10,
                       mask_svfc=1.2, tile=512, use_pallas="auto",
-                      int8_compute=False, one_pass=False):
+                      int8_compute=False):
     """Both FFC directions' per-row (ce1, neg1, ce2, neg2) — 8 outputs —
     in ONE streaming pass over q0 (A: probe emb_x vs write plan
     (g_a, rows_a, cols_a, seen_a); B: probe emb_y vs plan b).
     ``qscales`` is the [2, Q] per-row scale array for int8-stored queues
     (ops/qqueue.py), None otherwise. Differentiable w.r.t. emb_x/emb_y
-    only. ``one_pass`` (Arc/AM + Pallas + scale ≤ 40): the forward
-    additionally accumulates the weighted queue sums and per-tile maxima
-    so the backward never streams the queue at all — ONE pass per STEP
-    over the pool instead of two."""
+    only. (A one-pass variant — fwd accumulating weighted queue sums so
+    the bwd never re-streams the queue — was built, measured SLOWER at
+    step level on both int8 and f32 queues, and removed; docs/PERF.md
+    "Step-level A/B result".)"""
     out, _ = _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
                             cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
                             labels_b, loss_type, margin, scale, hard_neg,
-                            mask_svfc, tile, use_pallas, int8_compute,
-                            one_pass)
+                            mask_svfc, tile, use_pallas, int8_compute)
     return out
 
 
 def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                    seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                    loss_type, margin, scale, hard_neg, mask_svfc, tile,
-                   use_pallas, int8_compute=False, one_pass=False, gts=None):
+                   use_pallas, int8_compute=False, gts=None):
     if gts is None:
         gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a,
                                labels_a, qscales=qscales),
@@ -1982,8 +1767,6 @@ def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
     gts_a, gts_b = gts
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
-    one_pass = (one_pass and use_pallas and loss_type != "SV"
-                and scale <= _FIXED_REF_MAX_SCALE)
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, tile=tile)
     if use_pallas:
@@ -1991,7 +1774,7 @@ def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                                    (rows_a, cols_a, seen_a), (rows_b, cols_b, seen_b),
                                    labels_a, labels_b, gts_a, gts_b,
                                    qscales=qscales, int8_compute=int8_compute,
-                                   one_pass=one_pass, **kw)
+                                   **kw)
     else:
         # scan fallback: two independent twin streams (CPU path — no fusion win)
         out_a, res_a = _twin_stream_fwd(emb_x, queue, g_a, rows_a, cols_a, seen_a,
@@ -2003,8 +1786,6 @@ def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
         out = out_a + out_b
         res = (logz1a, logz2a, logz1b, logz2b, topk1a, topk2a, topk1b, topk2b)
     # streaming top-1 hits per direction (view 1) — see _twin_fwd_impl
-    # (res[:8] layout is shared by the one-pass variant, which appends
-    # its extra residuals after)
     topk1a, topk1b = res[4], res[6]
     hit_a = ((gts_a[0] + KTH_TIE_TOL >= topk1a[:, 0])
              & (labels_a >= 0)).astype(jnp.float32)
@@ -2016,7 +1797,7 @@ def _quad_fwd_impl(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
 def _quad_vjp_fwd(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                   seen_a, rows_b, cols_b, seen_b, labels_a, labels_b,
                   loss_type, margin, scale, hard_neg, mask_svfc, tile,
-                  use_pallas, int8_compute, one_pass):
+                  use_pallas, int8_compute):
     gts = (compute_twin_gt(emb_x, queue, g_a, rows_a, cols_a, seen_a, labels_a,
                            qscales=qscales),
            compute_twin_gt(emb_y, queue, g_b, rows_b, cols_b, seen_b, labels_b,
@@ -2025,21 +1806,19 @@ def _quad_vjp_fwd(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a,
                               cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
                               labels_b, loss_type, margin, scale, hard_neg,
                               mask_svfc, tile, use_pallas, int8_compute,
-                              one_pass, gts=gts)
+                              gts=gts)
     (logz1a, logz2a, logz1b, logz2b,
-     topk1a, topk2a, topk1b, topk2b) = res[:8]
-    extras = tuple(res[8:]) if len(res) > 8 else (None, None)
+     topk1a, topk2a, topk1b, topk2b) = res
     return out, (emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a, seen_a,
                  rows_b, cols_b, seen_b, labels_a, labels_b, gts,
                  (logz1a, logz2a, logz1b, logz2b),
-                 (topk1a, topk2a, topk1b, topk2b)) + extras
+                 (topk1a, topk2a, topk1b, topk2b))
 
 
 def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
-                  use_pallas, int8_compute, one_pass, res, cots):
+                  use_pallas, int8_compute, res, cots):
     (emb_x, emb_y, queue, qscales, g_a, g_b, rows_a, cols_a, seen_a,
-     rows_b, cols_b, seen_b, labels_a, labels_b, gts, logzs, topks,
-     zx, sums) = res
+     rows_b, cols_b, seen_b, labels_a, labels_b, gts, logzs, topks) = res
     (d_ce1a, d_neg1a, d_ce2a, d_neg2a,
      d_ce1b, d_neg1b, d_ce2b, d_neg2b, _d_hit_a, _d_hit_b) = cots
     gts_a, gts_b = gts
@@ -2047,40 +1826,6 @@ def _quad_vjp_bwd(loss_type, margin, scale, hard_neg, mask_svfc, tile,
         use_pallas = jax.default_backend() == "tpu"
     kw = dict(loss_type=loss_type, margin=margin, scale=scale, k=hard_neg,
               mask_svfc=mask_svfc, tile=tile)
-    if zx is not None:
-        # one-pass residuals: d_emb without re-streaming the queue (the
-        # candidate-tile gathers and the label-row tail are O(B·k·tile))
-        logz1a, logz2a, logz1b, logz2b = logzs
-        topk1a, topk2a, topk1b, topk2b = topks
-        zx_a, zx_b = zx
-        sums_a, sums_b = sums
-
-        def masked1(labels, d_ce1, d_neg1, d_ce2, d_neg2):
-            pos = labels >= 0
-            return (jnp.where(pos, d_ce1, 0.0), jnp.where(pos, 0.0, d_neg1),
-                    jnp.where(pos, d_ce2, 0.0), jnp.where(pos, 0.0, d_neg2))
-
-        opkw = dict(loss_type=loss_type, margin=margin, scale=scale,
-                    k=hard_neg, mask_svfc=mask_svfc,
-                    mxu_bf16=queue.dtype == jnp.bfloat16)
-        gA32, rowsA, colsA, _vA, _blA = _dir_inputs(queue, g_a,
-                                                    rows_a, cols_a, seen_a,
-                                                    qscales=qscales)
-        gB32, rowsB, colsB, _vB, _blB = _dir_inputs(queue, g_b,
-                                                    rows_b, cols_b, seen_b,
-                                                    qscales=qscales)
-        d_emb_x = _one_pass_dir_demb(
-            emb_x, queue, qscales, gA32, rowsA, colsA, seen_a, labels_a,
-            gts_a, (logz1a, logz2a), (topk1a, topk2a), zx_a, sums_a,
-            masked1(labels_a, d_ce1a, d_neg1a, d_ce2a, d_neg2a), **opkw)
-        d_emb_y = _one_pass_dir_demb(
-            emb_y, queue, qscales, gB32, rowsB, colsB, seen_b, labels_b,
-            gts_b, (logz1b, logz2b), (topk1b, topk2b), zx_b, sums_b,
-            masked1(labels_b, d_ce1b, d_neg1b, d_ce2b, d_neg2b), **opkw)
-        return (d_emb_x, d_emb_y, _zero_cot(queue),
-                None if qscales is None else jnp.zeros_like(qscales),
-                jnp.zeros_like(g_a), jnp.zeros_like(g_b),
-                None, None, None, None, None, None, None, None)
     if use_pallas:
         d_emb_x, d_emb_y = pallas_quad_bwd(
             emb_x, emb_y, queue, g_a, g_b,
@@ -2113,7 +1858,7 @@ def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
                     labels_a, labels_b, *, loss_type="Arc", margin=0.5,
                     scale=32.0, hard_neg=10, mask_svfc=1.2, tile=512,
                     use_pallas="auto", with_acc=False, qscales=None,
-                    int8_compute=False, one_pass=False):
+                    int8_compute=False):
     """(loss_a, loss_b): both FFC directional losses with ONE streaming
     pass over q0 per fwd/bwd (the reduction of each direction matches
     twin_add_margin exactly). ``with_acc`` also returns the combined
@@ -2132,8 +1877,7 @@ def quad_add_margin(emb_x, emb_y, queue, g_a, g_b, plan_a, plan_b,
     out = fused_quad_margin(emb_x, emb_y, queue, qscales, g_a, g_b, rows_a,
                             cols_a, seen_a, rows_b, cols_b, seen_b, labels_a,
                             labels_b, loss_type, margin, scale, hard_neg,
-                            mask_svfc, tile, use_pallas, int8_compute,
-                            one_pass)
+                            mask_svfc, tile, use_pallas, int8_compute)
     ce1a, neg1a, ce2a, neg2a, ce1b, neg1b, ce2b, neg2b, hit_a, hit_b = out
 
     losses = (reduce_margin_dir(ce1a, neg1a, ce2a, neg2a, labels_a),
@@ -2314,7 +2058,7 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
                               lab_ref, gt1_ref, gt2_ref, rows_ref, cols_ref,
                               blend_ref, emb_ref, g_ref, v_ref,
                               scr1, scr2, out1, out2, partial_out=False,
-                              e8=None, sums=None, zx_ref=None):
+                              e8=None):
     """Arc/AM shared-stream forward at the FIXED z-reference (see
     _FIXED_REF_MAX_SCALE): the per-tile clean stream is one masked
     fold (the scale multiply rides the dot operands — _cos_tile zscale),
@@ -2324,28 +2068,14 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
     parallel/_shard_common.collective_merge, which is reference-
     invariant) uses the constant reference ``scale``.
 
-    ``sums``/``zx_ref`` enable the ONE-PASS mode (pool.queue_one_pass):
-    the kernel additionally accumulates the softmax-weighted queue sums
-    S = Σ_j exp(z_j − scale)·w_j — S_clean for tiles where both views
-    share columns, Sw1/Sw2 on written tiles per effective view, all
-    accumulated DIRECTLY in their output refs (constant index map keeps
-    them VMEM-resident) — and records per-SUBTILE z-maxima (128-column
-    granularity, 128-aligned lane slices of the zm the stream already
-    computed) into the grid-indexed packed ``zx_ref``
-    [1, ceil8(tile/128), B] (pad rows NEG_INF). Subtile — not per-tile —
-    maxima matter: the backward's candidate gather pulls whole regions,
-    and at 10.5M slots a 2k·TILE-row gather was a 1.7-5.4 GB temp that
-    OOM'd the chip; 2k·128-row subtile gathers are ~10x smaller and
-    recompute ~10x fewer z columns. With (S, logz, subtile maxima, top-k
-    values) as residuals the ENTIRE backward queue stream disappears:
-    d_emb_clean = Σ_v scale·dce_v·exp(scale − logz_v)·S_v exactly (the
-    per-column exp(z − logz_v) factors through the fixed reference), and
-    the hard-negative tail re-finds its ≤k columns by gathering only the
-    ~2k candidate subtiles whose kernel-side maximum clears the kth
-    threshold (_one_pass_hardneg). An id-carrying top-k merge was
-    measured 3-4x WORSE than this (docs/PERF.md round-3 session-5
-    bisect) — never reintroduce per-merge index extraction."""
-    one_pass = sums is not None
+    (The ONE-PASS mode that once rode this body — accumulating softmax-
+    weighted queue sums + per-subtile z-maxima so the backward never
+    re-streamed the queue — was measured SLOWER at step level on both
+    int8 and f32 queues and removed; docs/PERF.md "Step-level A/B
+    result". Two lessons stay: the S-dot epilogue serializes the MXU
+    stream, and an id-carrying top-k merge was measured 3-4x WORSE than
+    value-only merges (round-3 session-5 bisect) — never reintroduce
+    per-merge index extraction.)"""
     labels = lab_ref[:]
     emb = emb_ref[:].astype(jnp.float32)
     cols_v = cols_ref[:][:, 0]
@@ -2381,19 +2111,6 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
                 t_scr[:] = _topk_rows(
                     jnp.concatenate([t_scr[:], zm], axis=-1), k)
 
-    def record_zx(zm_all):
-        if one_pass:
-            # per-128-column subtile maxima of the combined masked z
-            # [B, T], packed [n_sub_pad, B]; 128-aligned static lane
-            # slices (Mosaic-native), NEG_INF pad rows never rank
-            n_sub, sub, n_sub_pad = _zx_sub(tile)
-            rows = [jnp.max(zm_all[:, i * sub:(i + 1) * sub], axis=-1)[None, :]
-                    for i in range(n_sub)]
-            if n_sub_pad > n_sub:
-                rows.append(jnp.full((n_sub_pad - n_sub, b), NEG_INF,
-                                     jnp.float32))
-            zx_ref[0] = jnp.concatenate(rows, axis=0)
-
     tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
 
     @pl.when(tile_hit)
@@ -2409,32 +2126,6 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
         zx2 = jnp.max(zm2, axis=-1)
         stream(zm1, e1, zx1, [scr1])
         stream(zm2, e2, zx2, [scr2])
-        record_zx(jnp.maximum(zm1, zm2))
-        if one_pass:
-            # per-view weighted sums over the EFFECTIVE views
-            sw1, sw2 = sums[1], sums[2]
-            zero = jnp.zeros_like(e1)
-            if s_lane is not None:
-                oh = _lane_write_onehots(rows_ref[:], cols_ref[:],
-                                         blend_ref[:], t, tile)
-                sw1[:] = sw1[:] + _int8_written_demb(e1, zero, w0_raw,
-                                                     s_lane, g_ref[:],
-                                                     v_ref[:], oh)
-                sw2[:] = sw2[:] + _int8_written_demb(zero, e2, w0_raw,
-                                                     s_lane, g_ref[:],
-                                                     v_ref[:], oh)
-            else:
-                w0e, wbe = effective_tile_views(
-                    w0_raw.astype(jnp.float32), col[0],
-                    g_ref[:].astype(jnp.float32), rows_ref[:][:, 0], cols_v,
-                    v_ref[:].astype(jnp.float32), blend_ref[:][:, 0],
-                    mxu_bf16=mxu_bf16)
-                e1_op, w0_op = _mxu_pair(e1, w0e, mxu_bf16)
-                e2_op, wb_op = _mxu_pair(e2, wbe, mxu_bf16)
-                sw1[:] = sw1[:] + jnp.dot(e1_op, w0_op,
-                                          preferred_element_type=jnp.float32)
-                sw2[:] = sw2[:] + jnp.dot(e2_op, wb_op,
-                                          preferred_element_type=jnp.float32)
 
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
@@ -2443,10 +2134,6 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
         e = jnp.exp(zm - scale)
         zx = jnp.max(zm, axis=-1)
         stream(zm, e, zx, [scr1, scr2])
-        record_zx(zm)
-        if one_pass:
-            sc = sums[0]
-            sc[:] = sc[:] + _demb_clean(e, w0_raw, s_lane, mxu_bf16)
 
     @pl.when(t == n_t - 1)
     def _finalize():
