@@ -80,10 +80,29 @@ SUITE = [
     {"name": "ffc_q1m_f32", "BENCH_MODE": "ffc", "BENCH_QUEUE": str(1 << 20),
      "BENCH_QUEUE_DTYPE": "float32"},
     # serving bf16 vs int8 (ops/quant.py): settled results (+27%/−20%,
-    # docs/PERF.md) — lowest priority, first dropped under the budget
+    # docs/PERF.md) — lowest priority, but NOT permanently invisible: one
+    # of the two is promoted into the core order each round (see
+    # _round_index round-robin), so a serving regression still reaches the
+    # driver within two rounds.
     {"name": "infer_bf16", "BENCH_MODE": "infer"},
     {"name": "infer_int8", "BENCH_MODE": "infer", "BENCH_INT8": "1"},
 ]
+# tail rows rotated one-per-round instead of always-skipped (round-4
+# verdict weak #6: both serving rows were skipped under the budget every
+# round, leaving serving throughput driver-invisible forever)
+ROTATE_NAMES = ("infer_bf16", "infer_int8")
+
+
+def _round_index():
+    """Rounds completed so far: the driver records BENCH_r{N}.json at the
+    end of every round, so counting them rotates the promoted serving row
+    round-robin with no persistent state of our own."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__)) or "."
+        return len([f for f in os.listdir(here)
+                    if f.startswith("BENCH_r") and f.endswith(".json")])
+    except OSError:
+        return 0
 
 
 def _run_row(entry, timeout_s):
@@ -115,14 +134,27 @@ def _run_row(entry, timeout_s):
 
 
 def run_suite() -> int:
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    # 1800 s default: BENCH_r04 spent 1465 of 1500 — a 35 s margin starved
+    # the serving tail every round; r04's total stayed well inside the
+    # driver window, so a modest raise is safe.
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1800))
     t_start = time.monotonic()
     # Headline FIRST: it hits the persistent compile cache from previous
     # rounds, so it is the cheapest row AND the one the driver tracks.
     head_row, head_wall = _run_row(HEADLINE, budget)
     walls = {HEADLINE["name"]: round(head_wall, 1)}
     rows, skipped = [], []
-    for entry in SUITE:
+    # round-robin: promote ONE rotating (serving) row ahead of the last
+    # core row so it runs while budget remains; the other stays last and
+    # may be skipped — it gets its turn next round.
+    core = [e for e in SUITE if e["name"] not in ROTATE_NAMES]
+    rot = [e for e in SUITE if e["name"] in ROTATE_NAMES]
+    order = core
+    if rot:
+        pick = rot[_round_index() % len(rot)]
+        order = core[:-1] + [pick] + core[-1:] + [e for e in rot
+                                                  if e is not pick]
+    for entry in order:
         elapsed = time.monotonic() - t_start
         remaining = budget - elapsed
         # estimate the next row's cost from the slowest completed row
