@@ -43,15 +43,22 @@ Q = 10 << 20
 K = 10
 
 
-def chain_time(make_body, carry, n=8, label=""):
-    """(t(2n) - t(n)) / n via two fori_loop chains inside jit."""
+def chain_time(make_body, carry, n=8, label="", consts=()):
+    """(t(2n) - t(n)) / n via two fori_loop chains inside jit.
+
+    ``consts``: big device arrays the body needs (queue, images, EMA
+    source). They MUST be jit ARGUMENTS, not closure captures — a closed-
+    over 10.7 GB queue is lowered as an ir_constant, which materializes it
+    to host numpy (RESOURCE_EXHAUSTED through the tunnel; the CLAUDE.md
+    closure-constant gotcha). ``make_body(i, c, *consts)``."""
 
     def run(steps):
-        f = jax.jit(lambda c: jax.lax.fori_loop(0, steps, make_body, c))
-        c = f(carry)  # compile + warm
+        f = jax.jit(lambda c, *k: jax.lax.fori_loop(
+            0, steps, lambda i, cc: make_body(i, cc, *k), c))
+        c = f(carry, *consts)  # compile + warm
         sync = float(jax.tree.leaves(c)[0].reshape(-1)[0])
         t0 = time.time()
-        c = f(carry)
+        c = f(carry, *consts)
         sync = float(jax.tree.leaves(c)[0].reshape(-1)[0])  # noqa: F841
         return time.time() - t0
 
@@ -101,28 +108,31 @@ def main():
     del q8_flat, qs_flat
 
     kw = dict(loss_type="Arc", margin=0.5, scale=32.0, hard_neg=K,
-              use_pallas=True, qscales=qs, int8_compute=True, tile=1280)
+              use_pallas=True, int8_compute=True, tile=1280)
 
-    def head_loss(e1, e2):
-        la, lb = quad_add_margin(e1, e2, q8, ga, gb, (rowsA, colsA, seenA),
-                                 (rowsB, colsB, seenB), labA, labB, **kw)
+    def head_loss(e1, e2, q8_, qs_):
+        la, lb = quad_add_margin(e1, e2, q8_, ga, gb, (rowsA, colsA, seenA),
+                                 (rowsB, colsB, seenB), labA, labB,
+                                 qscales=qs_, **kw)
         return la + lb
 
     grad_head = jax.value_and_grad(head_loss, argnums=(0, 1))
 
-    def head_fwd_body(i, c):
+    def head_fwd_body(i, c, q8_, qs_):
         e1, e2 = c
-        l = head_loss(e1, e2)
+        l = head_loss(e1, e2, q8_, qs_)
         # true dependency: the next probe embeddings move with the loss
         return (e1 + 1e-12 * l, e2 - 1e-12 * l)
 
-    def head_fb_body(i, c):
+    def head_fb_body(i, c, q8_, qs_):
         e1, e2 = c
-        l, (g1, g2) = grad_head(e1, e2)
+        l, (g1, g2) = grad_head(e1, e2, q8_, qs_)
         return (e1 + 1e-9 * g1 + 1e-12 * l, e2 + 1e-9 * g2)
 
-    t_hf = chain_time(head_fwd_body, (ex, ey), n=4, label="head fwd")
-    t_hfb = chain_time(head_fb_body, (ex, ey), n=4, label="head fwd+bwd")
+    t_hf = chain_time(head_fwd_body, (ex, ey), n=4, label="head fwd",
+                      consts=(q8, qs))
+    t_hfb = chain_time(head_fb_body, (ex, ey), n=4, label="head fwd+bwd",
+                       consts=(q8, qs))
 
     # ---- speed-of-light references for the head ----
     qbytes = Q * D  # one plane streamed per pass (int8)
@@ -146,11 +156,11 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x2[:2], train=True)
     params, stats = variables["params"], variables["batch_stats"]
 
-    def probe_body(i, c):
+    def probe_body(i, c, x2_):
         p, st = c
 
         def loss_fn(p_):
-            emb, upd = model.apply({"params": p_, "batch_stats": st}, x2,
+            emb, upd = model.apply({"params": p_, "batch_stats": st}, x2_,
                                    train=True, mutable=["batch_stats"])
             return jnp.sum(jnp.abs(emb)) * 1e-3, upd["batch_stats"]
 
@@ -159,19 +169,20 @@ def main():
         return (p2, st2)
 
     t_probe = chain_time(probe_body, (params, stats), n=4,
-                         label="probe fwd+bwd+sgd (2B)")
+                         label="probe fwd+bwd+sgd (2B)", consts=(x2,))
 
     ema_src = jax.tree.map(lambda a: a + 1e-3, params)
 
-    def gallery_body(i, c):
+    def gallery_body(i, c, x2_, ema_, st_):
         p, acc = c
-        p2 = jax.tree.map(lambda a, b: 0.99 * a + 0.01 * b, p, ema_src)
-        emb, _ = model.apply({"params": p2, "batch_stats": stats}, x2,
+        p2 = jax.tree.map(lambda a, b: 0.99 * a + 0.01 * b, p, ema_)
+        emb, _ = model.apply({"params": p2, "batch_stats": st_}, x2_,
                              train=True, mutable=["batch_stats"])
         return (p2, acc + jnp.sum(emb) * 1e-6)
 
     t_gal = chain_time(gallery_body, (params, jnp.float32(0)), n=4,
-                       label="gallery EMA+fwd (2B)")
+                       label="gallery EMA+fwd (2B)",
+                       consts=(x2, ema_src, stats))
 
     total = t_hfb + t_probe + t_gal
     print(f"\nsum of isolated passes: head fwd+bwd {t_hfb:.1f} + probe "
@@ -192,23 +203,24 @@ def main():
             tm._twin_tile = lambda b_, d_, t_, qbytes=4, _w=wide: _w
             kw_w = dict(kw, tile=wide)
 
-            def head_loss_w(e1, e2):
-                la, lb = quad_add_margin(e1, e2, q8, ga, gb,
+            def head_loss_w(e1, e2, q8_, qs_):
+                la, lb = quad_add_margin(e1, e2, q8_, ga, gb,
                                          (rowsA, colsA, seenA),
                                          (rowsB, colsB, seenB), labA, labB,
-                                         **kw_w)
+                                         qscales=qs_, **kw_w)
                 return la + lb
 
             grad_w = jax.value_and_grad(head_loss_w, argnums=(0, 1))
 
-            def body_w(i, c):
+            def body_w(i, c, q8_, qs_):
                 e1, e2 = c
-                l, (g1, g2) = grad_w(e1, e2)
+                l, (g1, g2) = grad_w(e1, e2, q8_, qs_)
                 return (e1 + 1e-9 * g1 + 1e-12 * l, e2 + 1e-9 * g2)
 
             try:
                 t_w = chain_time(body_w, (ex, ey), n=4,
-                                 label=f"head fwd+bwd tile={wide}")
+                                 label=f"head fwd+bwd tile={wide}",
+                                 consts=(q8, qs))
                 print(f"  tile {wide} vs 1280: {t_hfb-t_w:+.2f} ms",
                       flush=True)
             except Exception as e:  # Mosaic VMEM OOM is the expected fail
