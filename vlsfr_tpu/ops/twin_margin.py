@@ -36,6 +36,7 @@ direction-B persistence scatter done once outside the loss.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -156,6 +157,17 @@ _FIXED_REF_MAX_SCALE = 40.0
 # one; the boundary moves from cos > 0 to cos ≥ 1e-20/scale (measure-zero
 # inside the KTH_TIE_TOL fuzz).
 _Z_POS_TINY = 1e-20
+# PERF-BISECT ONLY (tools/bench_head_bisect.py): comma-set of clean-tile
+# epilogue stages to stub out of the shared-stream forward so their cost
+# can be measured by difference on the real chip — per-op profilers see a
+# Pallas kernel as ONE opaque custom call, so intra-kernel decomposition
+# needs compiled ablation variants. Values: "topk" (skip the running
+# top-k needs/merge), "exp" (identity for the softmax exp), "mask" (skip
+# the neg_ok where), "deq" (skip the int8-compute post-dot dequant
+# multiply). Read ONCE at import; NEVER set in training — ablated kernels
+# compute wrong losses by construction.
+_ABLATE = frozenset(
+    filter(None, os.environ.get("VLSFR_HEAD_ABLATE", "").split(",")))
 
 
 def _topk_rows(buf, k):
@@ -180,6 +192,8 @@ def _cos_int8_dot(e_int, se, w0_raw, s_lane):
     scale (ops/qqueue.py quantize_rows)."""
     acc = jax.lax.dot_general(e_int, w0_raw, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
+    if "deq" in _ABLATE:  # perf-bisect only: cost of the [B, T] dequant
+        return acc.astype(jnp.float32)
     return acc.astype(jnp.float32) * (se * s_lane)
 
 
@@ -2088,9 +2102,11 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
         max(zm) [B] come from the caller so the one-pass S dots and z-max
         record reuse them); z-unit top-k."""
         ts = jnp.sum(e, axis=-1, keepdims=True)
-        kth = jnp.min(scrs[0][2][:], axis=-1, keepdims=True)
         for scr in scrs:
             scr[1][:] = scr[1][:] + ts
+        if "topk" in _ABLATE:  # perf-bisect only: cost of needs+merge
+            return
+        kth = jnp.min(scrs[0][2][:], axis=-1, keepdims=True)
         if len(scrs) == 2:
             kth = jnp.minimum(
                 kth, jnp.min(scrs[1][2][:], axis=-1, keepdims=True))
@@ -2130,8 +2146,8 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
     @pl.when(jnp.logical_not(tile_hit))
     def _clean_tile():
         z = _cos_tile(emb, w0_raw, s_lane, mxu_bf16, e8=e8, zscale=scale)
-        zm = jnp.where(neg_ok, z, NEG_INF)
-        e = jnp.exp(zm - scale)
+        zm = z if "mask" in _ABLATE else jnp.where(neg_ok, z, NEG_INF)
+        e = (zm - scale) if "exp" in _ABLATE else jnp.exp(zm - scale)
         zx = jnp.max(zm, axis=-1)
         stream(zm, e, zx, [scr1, scr2])
 
