@@ -280,3 +280,59 @@ def test_quad_fixed_ref_matches_running_max(scale, rng):
     # carry an extra ~1e-7 relative shift vs the running-max scan
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["f32", "int8", "int8c"])
+def test_quad_stacked_matches(mode, rng):
+    """The both-directions-stacked clean-tile fast path (_STACKED) is
+    BIT-identical to the per-direction zfix bodies: the stacked [2B, tile]
+    dot/exp/sum/top-k are row-wise, and written/final tiles route to the
+    per-direction path. Write plans are confined to tile 0 so the other
+    tiles genuinely exercise the stacked branch."""
+    from vlsfr_tpu.ops import twin_margin as tm
+
+    p_x, g_a, queue, rows_a, cols_a, seen_a, labels_a = make_case(rng)
+    p_y, g_b, _, rows_b, cols_b, seen_b, labels_b = make_case(rng)
+    # confine writes (and in-pool labels) to the first 16-wide tile
+    cols_a, cols_b = cols_a % 16, cols_b % 16
+    labels_a = jnp.where(labels_a >= 0, cols_a, -1)
+    labels_b = jnp.where(labels_b >= 0, cols_b, -1)
+    qscales = None
+    if mode in ("int8", "int8c"):
+        from vlsfr_tpu.ops.qqueue import quantize_rows
+
+        q8, qs = quantize_rows(queue.reshape(-1, queue.shape[-1]))
+        queue = q8.reshape(queue.shape)
+        qscales = qs.reshape(queue.shape[:2])
+    kw = dict(loss_type="Arc", margin=0.5, scale=32.0, hard_neg=3, tile=16,
+              qscales=qscales, int8_compute=mode == "int8c", with_acc=True)
+    args = (queue, g_a, g_b, (rows_a, cols_a, seen_a),
+            (rows_b, cols_b, seen_b), labels_a, labels_b)
+
+    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
+    tm.pallas_quad_fwd = lambda *a, **k: orig_fwd(*a, **dict(k, interpret=True))
+    tm.pallas_quad_bwd = lambda *a, **k: orig_bwd(*a, **dict(k, interpret=True))
+    try:
+        def total(px, py):
+            (la, lb), acc = tm.quad_add_margin(px, py, *args,
+                                               use_pallas=True, **kw)
+            return la + lb, acc
+
+        results = {}
+        for stacked in (False, True):
+            orig_flag = tm._STACKED
+            tm._STACKED = stacked
+            try:
+                results[stacked] = jax.value_and_grad(
+                    total, argnums=(0, 1), has_aux=True)(p_x, p_y)
+            finally:
+                tm._STACKED = orig_flag
+    finally:
+        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
+
+    (l0, acc0), (gx0, gy0) = results[False]
+    (l1, acc1), (gx1, gy1) = results[True]
+    assert float(l0) == float(l1)
+    assert float(acc0) == float(acc1)
+    np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1))
+    np.testing.assert_array_equal(np.asarray(gy0), np.asarray(gy1))

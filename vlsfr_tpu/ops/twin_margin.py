@@ -168,6 +168,15 @@ _Z_POS_TINY = 1e-20
 # compute wrong losses by construction.
 _ABLATE = frozenset(
     filter(None, os.environ.get("VLSFR_HEAD_ABLATE", "").split(",")))
+# Both-directions-stacked clean-tile fast path for the quad forward
+# (A/B candidate, round 5): one [2B, tile] cosine dot per clean tile
+# instead of two [B, tile] dots — doubles the MXU M-extent (amortizing
+# the systolic fill / weight-load of each 128x128 block over twice the
+# activation rows) and halves the per-op issue count of the epilogue.
+# Row-wise ops ⇒ outputs bit-identical to the per-direction bodies
+# (tests/test_twin_margin.py::test_quad_stacked_matches). Opt-in via env
+# until the on-chip step-level A/B decides the default.
+_STACKED = os.environ.get("VLSFR_QUAD_STACKED", "0") == "1"
 
 
 def _topk_rows(buf, k):
@@ -1243,6 +1252,58 @@ def _quad_dir_fwd(b, c, tile, k, loss_type, margin, scale, mask_svfc, mxu_bf16,
         view(cos, gt2_ref[:], scr2, out2)
 
 
+def _quad_stacked_clean_fwd(b, c, tile, k, scale, t, w0_raw, s_lane,
+                            mxu_bf16, lab_a, lab_b, emb_a, emb_b,
+                            e8_a, e8_b, scrs_a, scrs_b):
+    """BOTH-directions-clean per-tile forward on ONE stacked [2B, tile]
+    cosine dot (see _STACKED). Semantics per direction are exactly the
+    zfix stream: fixed-reference exp fold into both views' s, shared
+    top-k candidate extraction. The needs-check is OR'd across the two
+    directions — a merge firing for a direction whose candidates don't
+    beat its kth leaves that buffer's values unchanged, so results stay
+    bit-identical. Callers route written tiles and the finalize tile to
+    the per-direction bodies."""
+    labels2 = jnp.concatenate([lab_a, lab_b], axis=0)            # [2b, 1]
+    col2 = t * tile + jax.lax.broadcasted_iota(jnp.int32, (2 * b, tile), 1)
+    neg_ok2 = (col2 < c) & jnp.logical_not(col2 == labels2)
+    if e8_a is not None:
+        e8_2 = (jnp.concatenate([e8_a[0], e8_b[0]], axis=0),
+                jnp.concatenate([e8_a[1], e8_b[1]], axis=0))
+        emb2 = emb_a  # unused on the int8-compute path
+    else:
+        e8_2 = None
+        emb2 = jnp.concatenate([emb_a, emb_b], axis=0).astype(jnp.float32)
+    z = _cos_tile(emb2, w0_raw, s_lane, mxu_bf16, e8=e8_2, zscale=scale)
+    zm = z if "mask" in _ABLATE else jnp.where(neg_ok2, z, NEG_INF)
+    e = (zm - scale) if "exp" in _ABLATE else jnp.exp(zm - scale)
+    ts = jnp.sum(e, axis=-1, keepdims=True)                      # [2b, 1]
+    ts_a, ts_b = ts[:b], ts[b:]
+    for scr in scrs_a:
+        scr[1][:] = scr[1][:] + ts_a
+    for scr in scrs_b:
+        scr[1][:] = scr[1][:] + ts_b
+    if "topk" in _ABLATE:
+        return
+    kth_a = jnp.minimum(jnp.min(scrs_a[0][2][:], axis=-1, keepdims=True),
+                        jnp.min(scrs_a[1][2][:], axis=-1, keepdims=True))
+    kth_b = jnp.minimum(jnp.min(scrs_b[0][2][:], axis=-1, keepdims=True),
+                        jnp.min(scrs_b[1][2][:], axis=-1, keepdims=True))
+    kth2 = jnp.concatenate([kth_a, kth_b], axis=0)
+    zx = jnp.max(zm, axis=-1, keepdims=True)                     # [2b, 1]
+    needs = jnp.any(zx > kth2)
+
+    @pl.when(needs)
+    def _merge():
+        cand = _topk_rows(zm, k)                                 # [2b, k]
+        c_a, c_b = cand[:b], cand[b:]
+        for scr in scrs_a:
+            scr[2][:] = _topk_rows(
+                jnp.concatenate([scr[2][:], c_a], axis=-1), k)
+        for scr in scrs_b:
+            scr[2][:] = _topk_rows(
+                jnp.concatenate([scr[2][:], c_b], axis=-1), k)
+
+
 def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False, partial_out=False, int8=False,
                           int8c=False):
@@ -1286,18 +1347,42 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
             dir_fwd = _quad_dir_fwd_shared_zfix
         else:
             dir_fwd = _quad_dir_fwd_shared
-        dir_fwd(*args, labA, gt1a, gt2a, rowsA, colsA, blendA,
-                embA_ref, gA_ref, vA_ref,
-                (m1a, s1a, t1a), (m2a, s2a, t2a),
-                (ce1a, neg1a, logz1a, topk1a),
-                (ce2a, neg2a, logz2a, topk2a), partial_out=partial_out,
-                e8=e8A)
-        dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
-                embB_ref, gB_ref, vB_ref,
-                (m1b, s1b, t1b), (m2b, s2b, t2b),
-                (ce1b, neg1b, logz1b, topk1b),
-                (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out,
-                e8=e8B)
+
+        def run_dirs():
+            dir_fwd(*args, labA, gt1a, gt2a, rowsA, colsA, blendA,
+                    embA_ref, gA_ref, vA_ref,
+                    (m1a, s1a, t1a), (m2a, s2a, t2a),
+                    (ce1a, neg1a, logz1a, topk1a),
+                    (ce2a, neg2a, logz2a, topk2a), partial_out=partial_out,
+                    e8=e8A)
+            dir_fwd(*args, labB, gt1b, gt2b, rowsB, colsB, blendB,
+                    embB_ref, gB_ref, vB_ref,
+                    (m1b, s1b, t1b), (m2b, s2b, t2b),
+                    (ce1b, neg1b, logz1b, topk1b),
+                    (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out,
+                    e8=e8B)
+
+        if (_STACKED and dir_fwd is _quad_dir_fwd_shared_zfix
+                and not partial_out and b % 8 == 0):
+            in_range = lambda cv: jnp.any(  # noqa: E731
+                (cv >= t * tile) & (cv < t * tile + tile))
+            fast = (jnp.logical_not(in_range(colsA[:][:, 0]))
+                    & jnp.logical_not(in_range(colsB[:][:, 0]))
+                    & (t != n_t - 1))
+
+            @pl.when(fast)
+            def _fast():
+                _quad_stacked_clean_fwd(
+                    b, c, tile, k, scale, t, w0_raw, s_lane, mxu_bf16,
+                    labA[:], labB[:], embA_ref[:], embB_ref[:], e8A, e8B,
+                    ((m1a, s1a, t1a), (m2a, s2a, t2a)),
+                    ((m1b, s1b, t1b), (m2b, s2b, t2b)))
+
+            @pl.when(jnp.logical_not(fast))
+            def _slow():
+                run_dirs()
+        else:
+            run_dirs()
 
     return _splice_optional(body, 18, int8c=int8c, int8=int8)
 
