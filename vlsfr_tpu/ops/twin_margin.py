@@ -1304,6 +1304,45 @@ def _quad_stacked_clean_fwd(b, c, tile, k, scale, t, w0_raw, s_lane,
                 jnp.concatenate([scr[2][:], c_b], axis=-1), k)
 
 
+def _quad_stacked_clean_bwd(b, c, tile, k, scale, t, w0_raw, s_lane,
+                            mxu_bf16, lab_a, lab_b, emb_a, emb_b,
+                            e8_a, e8_b, ins_a, ins_b, demb_a, demb_b):
+    """BOTH-directions-clean per-tile backward on ONE stacked [2B, tile]
+    z-recompute dot + ONE stacked d_emb dot (see _STACKED /
+    _quad_stacked_clean_fwd). ``ins_*`` carry each direction's per-row
+    view state as VALUES: (logz1, logz2, dce1, dce2, dneg1, dneg2,
+    kth1, kth2), all [B, 1]. Row-wise math — bit-identical to
+    _quad_dir_bwd_shared's clean tile; written/final tiles route to the
+    per-direction path (the dgt finalize lives there)."""
+    labels2 = jnp.concatenate([lab_a, lab_b], axis=0)            # [2b, 1]
+    col2 = t * tile + jax.lax.broadcasted_iota(jnp.int32, (2 * b, tile), 1)
+    neg_ok2 = (col2 < c) & jnp.logical_not(col2 == labels2)
+    st = lambda i: jnp.concatenate([ins_a[i], ins_b[i]], axis=0)  # noqa: E731
+    logz1, logz2, dce1, dce2, dneg1, dneg2, kth1, kth2 = map(
+        st, range(8))
+    ref = jnp.minimum(logz1, logz2)
+    c12 = (dce1 * jnp.exp(ref - logz1) + dce2 * jnp.exp(ref - logz2)) * scale
+    zthr1 = jnp.maximum(scale * (kth1 - KTH_TIE_TOL), _Z_POS_TINY)
+    zthr2 = jnp.maximum(scale * (kth2 - KTH_TIE_TOL), _Z_POS_TINY)
+    dn1 = dneg1 * (1.0 / k)
+    dn2 = dneg2 * (1.0 / k)
+    if e8_a is not None:
+        e8_2 = (jnp.concatenate([e8_a[0], e8_b[0]], axis=0),
+                jnp.concatenate([e8_a[1], e8_b[1]], axis=0))
+        emb2 = emb_a  # unused on the int8-compute path
+    else:
+        e8_2 = None
+        emb2 = jnp.concatenate([emb_a, emb_b], axis=0).astype(jnp.float32)
+    z = _cos_tile(emb2, w0_raw, s_lane, mxu_bf16, e8=e8_2, zscale=scale)
+    zm = jnp.where(neg_ok2, z, NEG_INF)
+    dc = jnp.exp(zm - ref) * c12
+    dc = dc + jnp.where(zm >= zthr1, dn1, 0.0)
+    dc = dc + jnp.where(zm >= zthr2, dn2, 0.0)
+    out = _demb_clean(dc, w0_raw, s_lane, mxu_bf16)              # [2b, d]
+    demb_a[:] = demb_a[:] + out[:b]
+    demb_b[:] = demb_b[:] + out[b:]
+
+
 def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           mxu_bf16=False, partial_out=False, int8=False,
                           int8c=False):
@@ -1494,16 +1533,41 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                           embB_ref, gB_ref, vB_ref, dembB_scr, dgt1b_scr,
                           dgt2b_scr, e8=e8B)
         else:
-            _quad_dir_bwd_shared(*args, labA, rowsA, colsA, blendA,
-                                 gt1a, gt2a, logz1a, logz2a, kth1a, kth2a,
-                                 dce1a, dneg1a, dce2a, dneg2a,
-                                 embA_ref, gA_ref, vA_ref, dembA_scr,
-                                 dgt1a_scr, dgt2a_scr, n_t, e8=e8A)
-            _quad_dir_bwd_shared(*args, labB, rowsB, colsB, blendB,
-                                 gt1b, gt2b, logz1b, logz2b, kth1b, kth2b,
-                                 dce1b, dneg1b, dce2b, dneg2b,
-                                 embB_ref, gB_ref, vB_ref, dembB_scr,
-                                 dgt1b_scr, dgt2b_scr, n_t, e8=e8B)
+            def run_dirs():
+                _quad_dir_bwd_shared(*args, labA, rowsA, colsA, blendA,
+                                     gt1a, gt2a, logz1a, logz2a, kth1a,
+                                     kth2a, dce1a, dneg1a, dce2a, dneg2a,
+                                     embA_ref, gA_ref, vA_ref, dembA_scr,
+                                     dgt1a_scr, dgt2a_scr, n_t, e8=e8A)
+                _quad_dir_bwd_shared(*args, labB, rowsB, colsB, blendB,
+                                     gt1b, gt2b, logz1b, logz2b, kth1b,
+                                     kth2b, dce1b, dneg1b, dce2b, dneg2b,
+                                     embB_ref, gB_ref, vB_ref, dembB_scr,
+                                     dgt1b_scr, dgt2b_scr, n_t, e8=e8B)
+
+            if _STACKED and b % 8 == 0:
+                in_range = lambda cv: jnp.any(  # noqa: E731
+                    (cv >= t * tile) & (cv < t * tile + tile))
+                fast = (jnp.logical_not(in_range(colsA[:][:, 0]))
+                        & jnp.logical_not(in_range(colsB[:][:, 0]))
+                        & (t != n_t - 1))
+
+                @pl.when(fast)
+                def _fast():
+                    _quad_stacked_clean_bwd(
+                        b, c, tile, k, scale, t, w0_raw, s_lane, mxu_bf16,
+                        labA[:], labB[:], embA_ref[:], embB_ref[:], e8A, e8B,
+                        (logz1a[:], logz2a[:], dce1a[:], dce2a[:],
+                         dneg1a[:], dneg2a[:], kth1a[:], kth2a[:]),
+                        (logz1b[:], logz2b[:], dce1b[:], dce2b[:],
+                         dneg1b[:], dneg2b[:], kth1b[:], kth2b[:]),
+                        dembA_scr, dembB_scr)
+
+                @pl.when(jnp.logical_not(fast))
+                def _slow():
+                    run_dirs()
+            else:
+                run_dirs()
 
         @pl.when(t == n_t - 1)
         def _finalize():
