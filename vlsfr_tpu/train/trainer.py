@@ -37,9 +37,26 @@ from vlsfr_tpu.train.softmax_head import create_softmax_state, make_softmax_trai
 from vlsfr_tpu.utils.metrics import MetricsLogger, Throughput, logger
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every Trainer process. ir50-sized
+    training graphs take 5-10 minutes to compile through a TPU tunnel;
+    without this, every CLI/tool invocation repays that in full (bench.py
+    always set it, the trainer path never did — round-4's accuracy rows
+    each burned ~8 idle minutes recompiling identical graphs). JAX only
+    persists compilations above ~1 s, so CPU test graphs don't churn the
+    cache. Opt out with VLSFR_COMPILE_CACHE=''."""
+    import os
+
+    cache = os.environ.get("VLSFR_COMPILE_CACHE",
+                           os.path.expanduser("~/.vlsfr_jax_cache"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+
+
 class Trainer:
     def __init__(self, cfg: Config, reader: MultiSourceReader | None = None):
         self.cfg = cfg
+        _enable_compile_cache()
         self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.image_size = cfg.data.image_size or native_image_size(cfg.model.net_type)
 
