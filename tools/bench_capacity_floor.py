@@ -71,8 +71,8 @@ def chain_time(make_body, carry, n=8, label="", consts=()):
 
 
 def main():
+    from vlsfr_tpu.core.ffc import init_queue
     from vlsfr_tpu.models import create_net
-    from vlsfr_tpu.ops.qqueue import quantize_rows
     from vlsfr_tpu.ops.twin_margin import quad_add_margin
 
     print("device:", jax.devices()[0], flush=True)
@@ -96,16 +96,11 @@ def main():
     rowsA, colsA, seenA, labA = plan()
     rowsB, colsB, seenB, labB = plan()
 
-    @jax.jit
-    def init_queue(key):
-        qf = jax.random.normal(key, (2, Q, D), jnp.float32)
-        qf = qf / jnp.linalg.norm(qf, axis=-1, keepdims=True)
-        return quantize_rows(qf.reshape(-1, D))
-
-    q8_flat, qs_flat = init_queue(jax.random.PRNGKey(1))
-    q8 = q8_flat.reshape(2, Q, D)
-    qs = qs_flat.reshape(2, Q)
-    del q8_flat, qs_flat
+    # the PROVEN 10.5M-slot init (core/ffc.py): generate->norm->quantize
+    # fused under one jit with NO reshape between stages — a reshape there
+    # breaks the fusion and materializes the 21.5 GB f32 intermediate
+    # (RESOURCE_EXHAUSTED on a 16 GB chip; cost this tool two runs)
+    q8, qs = init_queue(jax.random.PRNGKey(1), Q, D, jnp.int8)
 
     kw = dict(loss_type="Arc", margin=0.5, scale=32.0, hard_neg=K,
               use_pallas=True, int8_compute=True, tile=1280)

@@ -54,7 +54,7 @@ def run_one():
 
     from bench_capacity_floor import chain_time
 
-    from vlsfr_tpu.ops.qqueue import quantize_rows
+    from vlsfr_tpu.core.ffc import init_queue
     from vlsfr_tpu.ops.twin_margin import _ABLATE, quad_add_margin
 
     assert _ABLATE == frozenset(filter(None, ablate.split(","))), _ABLATE
@@ -76,16 +76,9 @@ def run_one():
     plan_a, lab_a = plan()
     plan_b, lab_b = plan()
 
-    @jax.jit
-    def init_queue(key):
-        qf = jax.random.normal(key, (2, Q, D), jnp.float32)
-        qf = qf / jnp.linalg.norm(qf, axis=-1, keepdims=True)
-        return quantize_rows(qf.reshape(-1, D))
-
-    q8_flat, qs_flat = init_queue(jax.random.PRNGKey(1))
-    q8 = q8_flat.reshape(2, Q, D)
-    qs = qs_flat.reshape(2, Q)
-    del q8_flat, qs_flat
+    # proven fused 10.5M int8 init (core/ffc.py init_queue — no reshape
+    # between norm and quantize, see bench_capacity_floor.py)
+    q8, qs = init_queue(jax.random.PRNGKey(1), Q, D, jnp.int8)
 
     def head_fwd_body(i, c, q8_, qs_):
         e1, e2 = c
