@@ -320,13 +320,15 @@ def test_quad_stacked_matches(mode, rng):
 
         results = {}
         for stacked in (False, True):
-            orig_flag = tm._STACKED
-            tm._STACKED = stacked
+            # pin BOTH flags: under the "auto" default _STACKED_AUTO would
+            # route int8c through the stacked path even in the off leg
+            orig_flag = tm._STACKED, tm._STACKED_AUTO
+            tm._STACKED, tm._STACKED_AUTO = stacked, False
             try:
                 results[stacked] = jax.value_and_grad(
                     total, argnums=(0, 1), has_aux=True)(p_x, p_y)
             finally:
-                tm._STACKED = orig_flag
+                tm._STACKED, tm._STACKED_AUTO = orig_flag
     finally:
         tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
 

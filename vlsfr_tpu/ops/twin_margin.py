@@ -168,15 +168,23 @@ _Z_POS_TINY = 1e-20
 # compute wrong losses by construction.
 _ABLATE = frozenset(
     filter(None, os.environ.get("VLSFR_HEAD_ABLATE", "").split(",")))
-# Both-directions-stacked clean-tile fast path for the quad forward
-# (A/B candidate, round 5): one [2B, tile] cosine dot per clean tile
-# instead of two [B, tile] dots — doubles the MXU M-extent (amortizing
-# the systolic fill / weight-load of each 128x128 block over twice the
-# activation rows) and halves the per-op issue count of the epilogue.
-# Row-wise ops ⇒ outputs bit-identical to the per-direction bodies
-# (tests/test_twin_margin.py::test_quad_stacked_matches). Opt-in via env
-# until the on-chip step-level A/B decides the default.
-_STACKED = os.environ.get("VLSFR_QUAD_STACKED", "0") == "1"
+# Both-directions-stacked clean-tile fast path for the quad kernels:
+# one [2B, tile] cosine dot per clean tile instead of two [B, tile]
+# dots — doubles the MXU M-extent (amortizing the systolic fill /
+# weight-load of each 128x128 block over twice the activation rows) and
+# halves the per-op issue count of the epilogue. Row-wise ops ⇒ outputs
+# bit-identical to the per-direction bodies
+# (tests/test_twin_margin.py::test_quad_stacked_matches).
+#
+# Round-5 step-level A/B (docs/PERF.md "Stacked clean-tile"): int8-
+# compute +5.2% (capacity row 1557→1638 img/s) but FLOAT tiles fell off
+# a cliff (q1M f32: 2176→3 img/s — the doubled [2B, tile] f32 working
+# set wrecks the Mosaic schedule at float tile widths). Default is
+# therefore "auto" = on ONLY for the int8-compute path;
+# VLSFR_QUAD_STACKED=1/0 forces either way (bench A/B override).
+_STACKED_ENV = os.environ.get("VLSFR_QUAD_STACKED", "auto")
+_STACKED = _STACKED_ENV == "1"        # forced on for every tile dtype
+_STACKED_AUTO = _STACKED_ENV == "auto"  # on when the dot runs int8xint8
 
 
 def _topk_rows(buf, k):
@@ -1401,7 +1409,8 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                     (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out,
                     e8=e8B)
 
-        if (_STACKED and dir_fwd is _quad_dir_fwd_shared_zfix
+        if ((_STACKED or (_STACKED_AUTO and e8A is not None))
+                and dir_fwd is _quad_dir_fwd_shared_zfix
                 and not partial_out and b % 8 == 0):
             in_range = lambda cv: jnp.any(  # noqa: E731
                 (cv >= t * tile) & (cv < t * tile + tile))
@@ -1545,7 +1554,8 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                      embB_ref, gB_ref, vB_ref, dembB_scr,
                                      dgt1b_scr, dgt2b_scr, n_t, e8=e8B)
 
-            if _STACKED and b % 8 == 0:
+            if ((_STACKED or (_STACKED_AUTO and e8A is not None))
+                    and b % 8 == 0):
                 in_range = lambda cv: jnp.any(  # noqa: E731
                     (cv >= t * tile) & (cv < t * tile + tile))
                 fast = (jnp.logical_not(in_range(colsA[:][:, 0]))
