@@ -1296,17 +1296,27 @@ def _quad_stacked_clean_fwd(b, c, tile, k, scale, t, w0_raw, s_lane,
                         jnp.min(scrs_a[1][2][:], axis=-1, keepdims=True))
     kth_b = jnp.minimum(jnp.min(scrs_b[0][2][:], axis=-1, keepdims=True),
                         jnp.min(scrs_b[1][2][:], axis=-1, keepdims=True))
-    kth2 = jnp.concatenate([kth_a, kth_b], axis=0)
+    # Per-DIRECTION merge gating (round-5 bisect follow-up): the topk
+    # stage is ~50 of the 75 ms head-fwd micro and the merge (k max+
+    # argmax passes over the whole tile) dominates it, so firing it for
+    # BOTH directions whenever EITHER improves — the first stacked cut's
+    # OR'd `needs` — pays the expensive extraction twice as often as the
+    # per-direction bodies do. Gate each direction on its own rows; the
+    # merge math per direction is unchanged, so results stay
+    # bit-identical (a direction that fires without beating its kth
+    # leaves its buffers unchanged, as before).
     zx = jnp.max(zm, axis=-1, keepdims=True)                     # [2b, 1]
-    needs = jnp.any(zx > kth2)
 
-    @pl.when(needs)
-    def _merge():
-        cand = _topk_rows(zm, k)                                 # [2b, k]
-        c_a, c_b = cand[:b], cand[b:]
+    @pl.when(jnp.any(zx[:b] > kth_a))
+    def _merge_a():
+        c_a = _topk_rows(zm[:b], k)                              # [b, k]
         for scr in scrs_a:
             scr[2][:] = _topk_rows(
                 jnp.concatenate([scr[2][:], c_a], axis=-1), k)
+
+    @pl.when(jnp.any(zx[b:] > kth_b))
+    def _merge_b():
+        c_b = _topk_rows(zm[b:], k)                              # [b, k]
         for scr in scrs_b:
             scr[2][:] = _topk_rows(
                 jnp.concatenate([scr[2][:], c_b], axis=-1), k)
