@@ -338,3 +338,72 @@ def test_quad_stacked_matches(mode, rng):
     assert float(acc0) == float(acc1)
     np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1))
     np.testing.assert_array_equal(np.asarray(gy0), np.asarray(gy1))
+
+
+@pytest.mark.parametrize("mode", ["f32", "int8c"])
+@pytest.mark.parametrize("stacked", [False, True])
+def test_merge_probe_matches_full(mode, stacked, rng):
+    """The two-stage merge probe (_merge_tile_topk, k > probe_m) is
+    BIT-identical to the always-full extraction: only tile values > kth
+    can change merged top-k VALUES, and the deep fallback catches rows
+    where more than probe_m qualify. hard_neg=6 > probe_m=4 engages the
+    probe; the NEG_INF-initialized buffers force the deep fallback on
+    each buffer's first firing tile and random later tiles exercise the
+    probe-only branch. For f32 the result is also checked against the
+    scan reference (the int8c scan fallback rounds differently at the
+    ~5e-3 level — tests/test_qqueue.py owns that comparison)."""
+    from vlsfr_tpu.ops import twin_margin as tm
+
+    p_x, g_a, queue, rows_a, cols_a, seen_a, labels_a = make_case(rng)
+    p_y, g_b, _, rows_b, cols_b, seen_b, labels_b = make_case(rng)
+    qscales = None
+    if mode == "int8c":
+        from vlsfr_tpu.ops.qqueue import quantize_rows
+
+        q8, qs = quantize_rows(queue.reshape(-1, queue.shape[-1]))
+        queue = q8.reshape(queue.shape)
+        qscales = qs.reshape(queue.shape[:2])
+    kw = dict(loss_type="Arc", margin=0.5, scale=32.0, hard_neg=6, tile=16,
+              qscales=qscales, int8_compute=mode == "int8c", with_acc=True)
+    args = (queue, g_a, g_b, (rows_a, cols_a, seen_a),
+            (rows_b, cols_b, seen_b), labels_a, labels_b)
+
+    def total(px, py, pallas):
+        (la, lb), acc = tm.quad_add_margin(px, py, *args,
+                                           use_pallas=pallas, **kw)
+        return la + lb, acc
+
+    orig_fwd, orig_bwd = tm.pallas_quad_fwd, tm.pallas_quad_bwd
+    tm.pallas_quad_fwd = lambda *a, **k: orig_fwd(*a, **dict(k, interpret=True))
+    tm.pallas_quad_bwd = lambda *a, **k: orig_bwd(*a, **dict(k, interpret=True))
+    orig_flag = tm._STACKED, tm._STACKED_AUTO
+    orig_merge = tm._merge_tile_topk
+    tm._STACKED, tm._STACKED_AUTO = stacked, False
+    results = {}
+    try:
+        for pm in (4, 99):  # 99 > tile+k: the probe can never satisfy, full always
+            tm._merge_tile_topk = (
+                lambda zm, kth, scrs, k, _pm=pm, _o=orig_merge:
+                _o(zm, kth, scrs, k, probe_m=_pm))
+            results[pm] = jax.value_and_grad(
+                total, argnums=(0, 1), has_aux=True)(p_x, p_y, True)
+        if mode == "f32":
+            results["scan"] = jax.value_and_grad(
+                total, argnums=(0, 1), has_aux=True)(p_x, p_y, False)
+    finally:
+        tm._merge_tile_topk = orig_merge
+        tm._STACKED, tm._STACKED_AUTO = orig_flag
+        tm.pallas_quad_fwd, tm.pallas_quad_bwd = orig_fwd, orig_bwd
+
+    (l_p, acc_p), (gx_p, gy_p) = results[4]
+    (l_f, acc_f), (gx_f, gy_f) = results[99]
+    assert float(l_p) == float(l_f)
+    assert float(acc_p) == float(acc_f)
+    np.testing.assert_array_equal(np.asarray(gx_p), np.asarray(gx_f))
+    np.testing.assert_array_equal(np.asarray(gy_p), np.asarray(gy_f))
+    if mode == "f32":
+        (l_s, acc_s), (gx_s, gy_s) = results["scan"]
+        np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+        np.testing.assert_allclose(float(acc_p), float(acc_s), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_s), atol=1e-5)

@@ -201,6 +201,42 @@ def _topk_rows(buf, k):
     return jnp.concatenate(out, axis=-1)
 
 
+def _merge_tile_topk(zm, kth, topk_scrs, k, probe_m=4):
+    """Fold one [b, tile] masked-z tile into each [b, k] top-k scratch,
+    EXACTLY, with a cheap candidate probe (round-5 bisect follow-up: the
+    topk stage is 50 of the 75 ms head-fwd micro and the k·2-pass
+    extraction over the tile dominates it).
+
+    Only tile values STRICTLY ABOVE ``kth`` (the min over the caller's
+    top-k buffer(s)) can change any merged top-k value — the buffers
+    already hold k entries ≥ kth, so a tile value ≤ kth can never
+    displace one (ties swap equal values, leaving the value multiset
+    identical). Once the stream warms up, a firing tile almost always
+    holds only 1-3 such values: probe the ``probe_m`` largest first
+    (probe_m·2 VPU passes over [b, tile] instead of k·2) and run the
+    full extraction only when some row's probe_m-th largest still reads
+    > kth (more than probe_m values might qualify there). Both branches
+    produce bit-identical buffers (values-only merge)."""
+    def fold(cand):
+        for t_scr in topk_scrs:
+            t_scr[:] = _topk_rows(
+                jnp.concatenate([t_scr[:], cand], axis=-1), k)
+
+    if k <= probe_m:
+        fold(_topk_rows(zm, k))
+        return
+    probe = _topk_rows(zm, probe_m)                        # [b, m]
+    deep = jnp.any(probe[:, probe_m - 1:] > kth)
+
+    @pl.when(jnp.logical_not(deep))
+    def _probe_merge():
+        fold(probe)
+
+    @pl.when(deep)
+    def _full_merge():
+        fold(_topk_rows(zm, k))
+
+
 def _cos_int8_dot(e_int, se, w0_raw, s_lane):
     """[B, T] cosines on the int8 MXU path (2x bf16 throughput on v5e):
     exact int32 accumulation (|q| ≤ 127 ⇒ products Σ < 2^24 at D ≤ 1024),
@@ -1309,17 +1345,11 @@ def _quad_stacked_clean_fwd(b, c, tile, k, scale, t, w0_raw, s_lane,
 
     @pl.when(jnp.any(zx[:b] > kth_a))
     def _merge_a():
-        c_a = _topk_rows(zm[:b], k)                              # [b, k]
-        for scr in scrs_a:
-            scr[2][:] = _topk_rows(
-                jnp.concatenate([scr[2][:], c_a], axis=-1), k)
+        _merge_tile_topk(zm[:b], kth_a, [scr[2] for scr in scrs_a], k)
 
     @pl.when(jnp.any(zx[b:] > kth_b))
     def _merge_b():
-        c_b = _topk_rows(zm[b:], k)                              # [b, k]
-        for scr in scrs_b:
-            scr[2][:] = _topk_rows(
-                jnp.concatenate([scr[2][:], c_b], axis=-1), k)
+        _merge_tile_topk(zm[b:], kth_b, [scr[2] for scr in scrs_b], k)
 
 
 def _quad_stacked_clean_bwd(b, c, tile, k, scale, t, w0_raw, s_lane,
@@ -2283,18 +2313,11 @@ def _quad_dir_fwd_shared_zfix(b, c, tile, k, loss_type, margin, scale,
 
         @pl.when(needs)
         def _merge():
-            if len(scrs) == 2:
-                # both views share zm: extract the tile's top-k ONCE, fold
-                # the [b, k] candidates into each buffer (exact:
-                # topk(buf ∪ zm) == topk(buf ∪ topk_k(zm)))
-                cand = _topk_rows(zm, k)
-                for scr in scrs:
-                    scr[2][:] = _topk_rows(
-                        jnp.concatenate([scr[2][:], cand], axis=-1), k)
-            else:
-                t_scr = scrs[0][2]
-                t_scr[:] = _topk_rows(
-                    jnp.concatenate([t_scr[:], zm], axis=-1), k)
+            # both views share zm: extract the tile's candidates ONCE
+            # (two-stage probe, _merge_tile_topk), fold into each buffer
+            # (k passes over [b, k+m] — negligible). Exact:
+            # topk(buf ∪ zm) == topk(buf ∪ topk_k(zm))
+            _merge_tile_topk(zm, kth, [scr[2] for scr in scrs], k)
 
     tile_hit = jnp.any((cols_v >= t * tile) & (cols_v < t * tile + tile))
 
