@@ -646,6 +646,15 @@ def _twin_tile(b, d, tile, qbytes=4):
     fixed = 24 * b * d
     per_col = 2 * qbytes * d + 40 * b
     max_tile = max(256, int((11 * 2**20 - fixed) // per_col) // 128 * 128)
+    if qbytes == 1 and b <= 128:
+        # Measured calibration (docs/PERF.md round-5 floor tool, capacity
+        # shapes b128/d512): the estimator lands int8 on 1536→1280 after
+        # _fit_tile, but tile 2048 COMPILES and runs the head fwd+bwd
+        # 9.2 ms/iter faster (65.97 vs 75.20) — the ~8-buffer working-set
+        # model overbooks the shipped stacked+probe path. 2560 also fits
+        # but is slower (67.24); cap at the measured-best 2048. b>128
+        # keeps the formula (working set scales with B; unmeasured).
+        max_tile = max(max_tile, 2048)
     return min(tile, max_tile)
 
 
