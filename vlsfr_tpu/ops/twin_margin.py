@@ -176,15 +176,20 @@ _ABLATE = frozenset(
 # bit-identical to the per-direction bodies
 # (tests/test_twin_margin.py::test_quad_stacked_matches).
 #
-# Round-5 step-level A/B (docs/PERF.md "Stacked clean-tile"): int8-
-# compute +5.2% (capacity row 1557→1638 img/s) but FLOAT tiles fell off
-# a cliff (q1M f32: 2176→3 img/s — the doubled [2B, tile] f32 working
-# set wrecks the Mosaic schedule at float tile widths). Default is
-# therefore "auto" = on ONLY for the int8-compute path;
+# Round-5 step-level A/Bs (docs/PERF.md "Stacked clean-tile"): int8-
+# compute +5.2% (capacity row 1557→1638 img/s). FLOAT tiles initially
+# fell off a cliff (q1M f32: 2176→3 img/s) — that was the PRE-probe
+# full [2B, tile] merge extraction wrecking the f32 Mosaic schedule;
+# with the two-stage probe (_merge_tile_topk) the same config reads
+# 2190.81 vs 2170.39 off (+0.9%, docs/logs/r5_f32_stacked_recheck.log).
+# Default "auto" = stacked on the int8-compute and float-tile paths
+# (both step-measured); the int8-STORAGE bf16-dot path (s_lane) keeps
+# per-direction bodies — never step-measured stacked, and the f32
+# incident says unmeasured schedule changes can be catastrophic.
 # VLSFR_QUAD_STACKED=1/0 forces either way (bench A/B override).
 _STACKED_ENV = os.environ.get("VLSFR_QUAD_STACKED", "auto")
 _STACKED = _STACKED_ENV == "1"        # forced on for every tile dtype
-_STACKED_AUTO = _STACKED_ENV == "auto"  # on when the dot runs int8xint8
+_STACKED_AUTO = _STACKED_ENV == "auto"  # on for int8-compute/float tiles
 
 
 def _topk_rows(buf, k):
@@ -1458,7 +1463,8 @@ def _make_quad_fwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                     (ce2b, neg2b, logz2b, topk2b), partial_out=partial_out,
                     e8=e8B)
 
-        if ((_STACKED or (_STACKED_AUTO and e8A is not None))
+        if ((_STACKED or (_STACKED_AUTO
+                 and (e8A is not None or s_lane is None)))
                 and dir_fwd is _quad_dir_fwd_shared_zfix
                 and not partial_out and b % 8 == 0):
             in_range = lambda cv: jnp.any(  # noqa: E731
@@ -1603,7 +1609,8 @@ def _make_quad_bwd_kernel(b, d, c, tile, k, loss_type, margin, scale, mask_svfc,
                                      embB_ref, gB_ref, vB_ref, dembB_scr,
                                      dgt1b_scr, dgt2b_scr, n_t, e8=e8B)
 
-            if ((_STACKED or (_STACKED_AUTO and e8A is not None))
+            if ((_STACKED or (_STACKED_AUTO
+                 and (e8A is not None or s_lane is None)))
                     and b % 8 == 0):
                 in_range = lambda cv: jnp.any(  # noqa: E731
                     (cv >= t * tile) & (cv < t * tile + tile))
