@@ -123,11 +123,12 @@ class PoolConfig:
     # fused-head queue stream tile width (class-axis columns per grid
     # step). 0 = auto: request wide (2048) when the queue size divides
     # 1024, else 512; the kernels then clamp to the itemsize-aware VMEM
-    # budget (ops/twin_margin._twin_tile — f32 lands on 1024, int8 on
-    # 1536) and to the largest dividing 128-multiple (_fit_tile), so an
+    # budget (ops/twin_margin._twin_tile — f32 lands on 1024; int8 at
+    # b<=128 takes the measured-calibration cap 2048, docs/PERF.md
+    # round-5 floor tool: −9.2 ms head fwd+bwd vs the estimator's 1280)
+    # and to the largest dividing 128-multiple (_fit_tile), so an
     # oversized request degrades loudly via the make_ffc_loss_fn warning
-    # rather than padding. Measured: int8 q=10x2^20 fits tile 1280,
-    # +1.3-1.6% over 1024 (docs/PERF.md round 3).
+    # rather than padding.
     queue_tile: int = 0
     momentum: float = 0.99  # EMA alpha for gallery net (--alpha, main.py:157)
     # hard_neg = clamp(int(queue_size*2e-4), 3, 10) as in ffc.py:48; -1 = auto
