@@ -206,7 +206,7 @@ def _topk_rows(buf, k):
     return jnp.concatenate(out, axis=-1)
 
 
-def _merge_tile_topk(zm, kth, topk_scrs, k, probe_m=4):
+def _merge_tile_topk(zm, kth, topk_scrs, k, probe_m=2):
     """Fold one [b, tile] masked-z tile into each [b, k] top-k scratch,
     EXACTLY, with a cheap candidate probe (round-5 bisect follow-up: the
     topk stage is 50 of the 75 ms head-fwd micro and the k·2-pass
@@ -221,7 +221,12 @@ def _merge_tile_topk(zm, kth, topk_scrs, k, probe_m=4):
     (probe_m·2 VPU passes over [b, tile] instead of k·2) and run the
     full extraction only when some row's probe_m-th largest still reads
     > kth (more than probe_m values might qualify there). Both branches
-    produce bit-identical buffers (values-only merge)."""
+    produce bit-identical buffers (values-only merge).
+
+    probe_m=2 is the measured optimum at the capacity operating point
+    (tools/bench_probe_m.py, tile 2048 int8c b128: m=2 64.07 /
+    m=4 68.65 / m=8 83.50 ms head fwd+bwd chain — the deep-fallback
+    duty is low enough that the smallest probe wins)."""
     def fold(cand):
         for t_scr in topk_scrs:
             t_scr[:] = _topk_rows(
